@@ -1,0 +1,47 @@
+"""mcp_crawl4ai_rag_spark — a from-scratch PySpark-native URL-frontier +
+fetch-scheduler engine with the query/data-processing capabilities of the
+jroth55/mcp-crawl4ai-rag reference (see SURVEY.md).
+
+Everything is expressed as DataFrame/SQL operations plus Arrow-vectorized
+pandas UDFs; there is no per-row Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+__version__ = "0.1.0"
+
+
+def get_spark(
+    app_name: str = "mcp_crawl4ai_rag_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build a SparkSession tuned for this engine.
+
+    Defaults target the sandbox (``local[*]``); on a real cluster pass
+    ``master=None`` with spark-submit providing the master, and size
+    ``shuffle_partitions`` to ~2-3x total executor cores.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    conf = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.driver.memory": "8g",
+        "spark.ui.enabled": "false",
+    }
+    if shuffle_partitions is not None:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,154 @@
+"""Multimodal (image) payload kernels.
+
+The corpus is an Iceberg/parquet table of image+caption pairs with a
+``bytes: binary`` payload (BASELINE.json input_hint). The reference crawler
+treats images purely as *binary URLs to skip* (src/crawl4ai_mcp.py:131-144);
+in this engine they are first-class payloads with per-row invariants:
+decoded-pixel PSNR ≥ 40 dB for lossy ``fmt``, bit-exact for lossless,
+``caption`` strict equality, ``phash`` recompute match.
+
+CODEC STUB NOTE: PIL/libjpeg are not installed in this container, so the
+codec below is a *deterministic fake*: 'png' = zlib of raw grayscale pixels
+(lossless), 'jpeg' = 4-level quantization then zlib (lossy, PSNR ≈ 46 dB).
+The Spark-side plumbing — binary schema, Arrow-batched mapInPandas decode,
+batch shapes, partitioning — is real and tested; swapping in PIL touches only
+``encode_image`` / ``decode_image``.
+
+All Spark entry points are ``mapInPandas`` stages: one numpy pipeline per
+Arrow batch, no per-row Python at the DataFrame boundary.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_MAGIC = b"SGIM"  # fake-codec container magic
+_JPEG_Q = 4  # quantization step → max abs error 2 → PSNR ~46 dB
+
+
+def _seed_for(image_id: str) -> int:
+    d = hashlib.blake2b(image_id.encode("utf-8"), digest_size=8).digest()
+    return int.from_bytes(d, "big")
+
+
+def gen_pixels(image_id: str, w: int, h: int) -> np.ndarray:
+    """Deterministic grayscale pixels: an 8×8 coarse pattern upscaled to
+    (h, w) — structured enough to compress and to carry a meaningful phash."""
+    rng = np.random.Generator(np.random.PCG64(_seed_for(image_id)))
+    coarse = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    img = np.kron(coarse, np.ones((max(h // 8, 1), max(w // 8, 1)), dtype=np.uint8))
+    return img[:h, :w]
+
+
+_CAPTION_VOCAB = (
+    "a the red blue green small large photo image picture of cat dog tree "
+    "house car mountain river sky night day person building bridge flower"
+).split()
+
+
+def gen_caption(image_id: str) -> str:
+    rng = np.random.Generator(np.random.PCG64(_seed_for(image_id) ^ 0xC0FFEE))
+    n = int(rng.integers(4, 12))
+    return " ".join(_CAPTION_VOCAB[i] for i in rng.integers(0, len(_CAPTION_VOCAB), n))
+
+
+def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
+    """Container: MAGIC | fmt(1B: 0=png,1=jpeg) | w,h (uint16 LE) | zlib(payload)."""
+    h, w = pixels.shape
+    if fmt == "jpeg":
+        payload = ((pixels // _JPEG_Q) * _JPEG_Q + _JPEG_Q // 2).astype(np.uint8)
+        code = 1
+    elif fmt == "png":
+        payload = pixels
+        code = 0
+    else:
+        raise NotImplementedError(f"codec stub supports png/jpeg, got {fmt!r}")
+    return _MAGIC + struct.pack("<BHH", code, w, h) + zlib.compress(payload.tobytes(), 6)
+
+
+def decode_image(blob: bytes) -> tuple[str, np.ndarray]:
+    if blob[:4] != _MAGIC:
+        raise ValueError("not a fake-codec image")
+    code, w, h = struct.unpack("<BHH", blob[4:9])
+    raw = zlib.decompress(blob[9:])
+    return ("jpeg" if code == 1 else "png"), np.frombuffer(raw, dtype=np.uint8).reshape(h, w)
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """Average-hash: 8×8 block means vs global mean → 64 bits (signed)."""
+    h, w = pixels.shape
+    bh, bw = max(h // 8, 1), max(w // 8, 1)
+    blocks = pixels[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
+    bits = (blocks > blocks.mean()).flatten()
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bit)
+    return int(np.uint64(v).astype(np.int64))
+
+
+VERIFY_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("fmt", StringType()),
+        StructField("psnr_db", DoubleType()),
+        StructField("pixel_ok", BooleanType()),
+        StructField("phash_ok", BooleanType()),
+        StructField("caption_ok", BooleanType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def verify_images(images: DataFrame, min_psnr_db: float = 40.0) -> DataFrame:
+    """Per-row payload invariants vs the reference decode (BASELINE.json
+    input_hint): decode ``bytes`` → PSNR against the deterministic reference
+    pixels (≥ min_psnr_db for lossy, bit-exact for lossless), recompute phash,
+    strict caption equality."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid, blob, w, h, fmt, caption, stored_phash in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"],
+                pdf["fmt"], pdf["caption"], pdf["phash"],
+            ):
+                ref = gen_pixels(iid, int(w), int(h))
+                _, dec = decode_image(bytes(blob))
+                p = psnr(ref, dec)
+                pixel_ok = bool(np.array_equal(ref, dec)) if fmt == "png" else p >= min_psnr_db
+                ph = phash64(dec)
+                rows.append(
+                    (
+                        iid, fmt,
+                        min(p, 99.0),
+                        pixel_ok,
+                        ph == int(stored_phash),
+                        caption == gen_caption(iid),
+                        ph,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in VERIFY_SCHEMA.fields])
+
+    return images.mapInPandas(gen, schema=VERIFY_SCHEMA)

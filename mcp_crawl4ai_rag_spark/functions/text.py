@@ -1,0 +1,116 @@
+"""Text-analysis kernels for training-data pipelines.
+
+Language-ID (stopword heuristic), quality scoring, token counting, and
+document fingerprinting over a ``documents``-shaped table. Everything is a
+pure Catalyst column expression (no Python in the hot path) and every formula
+is simple enough to restate in ANSI SQL — the DuckDB oracles in
+``__spark_entry__.py`` are generated from the same constants below.
+
+No counterpart exists in the reference (it delegates text understanding to
+the embedding model); these are the SURVEY.md "training-data pipeline"
+first-class additions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tokenization regexes (shared with the DuckDB oracle verbatim).
+WS_TOKEN_RE = r"\S+"
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation marks.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+PUNCT_RE = r"[^A-Za-z0-9\s]"
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+# Deterministic tie-break: first language in this order wins.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it", "you", "that"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "ich"),
+    "fr": ("le", "et", "les", "des", "une", "est", "dans", "que", "pour", "qui"),
+    "es": ("el", "los", "y", "en", "un", "una", "es", "por", "con", "para"),
+}
+LANG_ORDER = ("en", "de", "fr", "es")
+
+
+def words_expr(text: Column | str) -> Column:
+    """Lower-cased whitespace tokens, no empties."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(F.lower(c), F.lit(WS_TOKEN_RE), 0)
+
+
+def token_count_ws(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(WS_TOKEN_RE), 0))
+
+
+def token_count_bpe(text: Column | str) -> Column:
+    """Count under the BPE-ish pre-tokenizer (letters/digits/punct split)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), 0))
+
+
+def punct_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(PUNCT_RE), 0))
+
+
+def stopword_hits(text: Column | str, lang: str) -> Column:
+    """Number of tokens that are stopwords of ``lang``."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(words_expr(text), lambda w: F.array_contains(sw, w)))
+
+
+def lang_id_expr(text: Column | str) -> Column:
+    """Predicted language = argmax stopword-hit count, ties broken by
+    LANG_ORDER; 'und' (undetermined) when no stopword matches."""
+    hits = [stopword_hits(text, lg) for lg in LANG_ORDER]
+    best = F.greatest(*hits)
+    out = F.lit("und")
+    # Build when-chain in reverse so earlier languages win ties.
+    for lg, h in reversed(list(zip(LANG_ORDER, hits))):
+        out = F.when((best > 0) & (h == best), F.lit(lg)).otherwise(out)
+    return out
+
+
+def quality_score_expr(text: Column | str) -> Column:
+    """Heuristic quality in [0,1]: length saturation + low punctuation +
+    English-stopword density. Rounded to 4dp for cross-engine stability."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_chars = F.length(c).cast("double")
+    n_words = token_count_ws(c).cast("double")
+    length_part = F.least(F.lit(1.0), n_chars / F.lit(500.0))
+    punct_part = F.lit(1.0) - punct_count(c).cast("double") / F.greatest(
+        n_chars, F.lit(1.0)
+    )
+    sw_part = F.least(
+        F.lit(1.0),
+        F.lit(3.0) * stopword_hits(c, "en").cast("double") / F.greatest(n_words, F.lit(1.0)),
+    )
+    return F.round(
+        F.lit(0.4) * length_part + F.lit(0.3) * punct_part + F.lit(0.3) * sw_part, 4
+    )
+
+
+def fingerprint_expr(text: Column | str) -> Column:
+    """Normalization fingerprint: md5 of the lowercase, whitespace-collapsed
+    token stream. Cross-engine reproducible (md5 in Spark and DuckDB);
+    the scale-path 64-bit variant is functions/dedup simhash."""
+    return F.md5(F.array_join(words_expr(text), " "))
+
+
+def ngrams_expr(text: Column | str, n: int = 3) -> Column:
+    """Distinct character n-grams of the raw text (for Jaccard dedup)."""
+    c = F.col(text) if isinstance(text, str) else text
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - F.lit(n - 1), F.lit(0)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(c, i, n)))
+
+
+def word_shingles_expr(text: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles (for MinHash). A document shorter than k
+    words yields one shingle containing all its words."""
+    w = words_expr(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - F.lit(k), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(w, i + 1, k), " "))
+    )

@@ -1,0 +1,234 @@
+"""URL kernel library: canonicalization, classification, filtering, hashing.
+
+Re-expresses the reference's URL helpers (src/crawl4ai_mcp.py:105-173 and the
+link-expansion filters at :1022-1053) as pure Spark column expressions so they
+stay inside whole-stage codegen. The single genuinely non-columnar operation
+(RFC-3986 relative-reference resolution, reference :1039 ``urljoin``) is split
+into a columnar fast path covering absolute / root-relative / fragment hrefs
+and an Arrow-batched pandas UDF slow path used only for dot-relative hrefs.
+
+Python twins of each kernel (``py_*``) implement identical semantics for the
+driver-side scalar uses (prefix derivation) and for differential tests.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urldefrag, urljoin, urlparse
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+from ..config import BINARY_EXTENSIONS
+
+# ---------------------------------------------------------------------------
+# Columnar kernels
+# ---------------------------------------------------------------------------
+
+# Regex alternation equivalent to the reference's endswith-any-of list
+# (src/crawl4ai_mcp.py:131-139). '.' escaped; anchored at end.
+_BINARY_EXT_RE = r"\.(" + "|".join(e.lstrip(".") for e in BINARY_EXTENSIONS) + r")$"
+
+
+def canonical_url(url: Column | str) -> Column:
+    """Crawl identity: strip the fragment (reference normalize_url,
+    src/crawl4ai_mcp.py:984-985 — ``urldefrag(url)[0]``)."""
+    c = F.col(url) if isinstance(url, str) else url
+    return F.substring_index(c, "#", 1)
+
+
+def comparison_normalize(url: Column | str) -> Column:
+    """Prefix-matching normal form (reference normalize_url_for_comparison,
+    src/crawl4ai_mcp.py:105-119): strip ALL trailing '/' then remove the
+    literal substrings 'https://' and 'http://' (anywhere, in that order —
+    matching the reference's ``str.replace`` semantics exactly)."""
+    c = F.col(url) if isinstance(url, str) else url
+    c = F.regexp_replace(c, r"/+$", "")
+    c = F.regexp_replace(c, r"https://", "")
+    return F.regexp_replace(c, r"http://", "")
+
+
+def is_binary_url(url: Column | str) -> Column:
+    """True for URLs the crawler must never schedule (reference
+    is_binary_file, src/crawl4ai_mcp.py:121-144). '.xml.gz' is exempt."""
+    c = F.col(url) if isinstance(url, str) else url
+    lower = F.lower(c)
+    return (~lower.endswith(".xml.gz")) & lower.rlike(_BINARY_EXT_RE)
+
+
+def is_sitemap_url(url: Column | str) -> Column:
+    """Sitemap classifier (reference is_sitemap, src/crawl4ai_mcp.py:146-161):
+    endswith sitemap.xml / sitemap.xml.gz / sitemap_index.xml, or 'sitemap'
+    appears in the lowercased URL's path component."""
+    c = F.col(url) if isinstance(url, str) else url
+    lower = F.lower(c)
+    path = url_path(lower)
+    return (
+        lower.endswith("sitemap.xml")
+        | lower.endswith("sitemap.xml.gz")
+        | lower.endswith("sitemap_index.xml")
+        | path.contains("sitemap")
+    )
+
+
+def is_txt_url(url: Column | str) -> Column:
+    """Text-file classifier (reference is_txt, src/crawl4ai_mcp.py:163-173).
+    Case-SENSITIVE endswith, faithfully reproducing the reference."""
+    c = F.col(url) if isinstance(url, str) else url
+    return c.endswith(".txt")
+
+
+def classify_url(url: Column | str) -> Column:
+    """Dispatch order of smart_crawl_url (src/crawl4ai_mcp.py:699-758):
+    txt → sitemap → webpage."""
+    c = F.col(url) if isinstance(url, str) else url
+    return (
+        F.when(is_txt_url(c), F.lit("text_file"))
+        .when(is_sitemap_url(c), F.lit("sitemap"))
+        .otherwise(F.lit("webpage"))
+    )
+
+
+def is_valid_http_url(url: Column | str) -> Column:
+    """Seed validation (reference src/crawl4ai_mcp.py:452-474): http(s)
+    scheme plus a non-empty authority."""
+    c = F.col(url) if isinstance(url, str) else url
+    return c.rlike(r"^https?://[^/\s]+")
+
+
+# Host/path via regex rather than parse_url: Spark 4's parse_url/try_parse_url
+# reject/null URLs that Python's urlparse (the reference's parser,
+# src/crawl4ai_mcp.py:1023,1047) tolerates — e.g. spaces in paths. These
+# regexes reproduce urlparse's netloc/path splits for hierarchical URLs and
+# never throw, keeping the whole filter chain inside codegen.
+_NETLOC_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)"
+_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([^?#]*)"
+
+
+def url_host(url: Column | str) -> Column:
+    """netloc equivalent (urlparse(url).netloc) for absolute URLs."""
+    c = F.col(url) if isinstance(url, str) else url
+    return F.regexp_extract(c, _NETLOC_RE, 1)
+
+
+def url_path(url: Column | str) -> Column:
+    c = F.col(url) if isinstance(url, str) else url
+    return F.regexp_extract(c, _PATH_RE, 1)
+
+
+def url_hash(url: Column | str) -> Column:
+    """64-bit identity hash of the canonical URL for the URL-seen set
+    (north_star: hashed canonical URLs). xxhash64 is a JVM built-in."""
+    c = F.col(url) if isinstance(url, str) else url
+    return F.xxhash64(c)
+
+
+# ---------------------------------------------------------------------------
+# Relative-reference resolution (reference src/crawl4ai_mcp.py:1039)
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(StringType())
+def _urljoin_udf(base: pd.Series, href: pd.Series) -> pd.Series:
+    # Arrow-batched; only invoked on the dot-relative minority of hrefs.
+    return pd.Series(
+        [urljoin(b, h) if h else b for b, h in zip(base, href)], dtype="object"
+    )
+
+
+def resolve_href(base: Column, href: Column) -> Column:
+    """Absolute URL for a discovered href, = ``urljoin(base, href)``.
+
+    Columnar fast path (absolute, protocol-relative, root-relative, fragment,
+    query) covers the overwhelming majority of real-world hrefs; dot-/plain-
+    relative paths fall through to the Arrow UDF. Semantics verified against
+    ``urllib.parse.urljoin`` in tests/test_urls.py.
+    """
+    scheme = F.regexp_extract(base, r"^([a-z][a-z0-9+.-]*):", 1)
+    origin = F.regexp_extract(base, r"^([a-z][a-z0-9+.-]*://[^/?#]*)", 1)
+    base_no_frag = F.substring_index(base, "#", 1)
+    return (
+        F.when(href.isNull() | (href == ""), base)
+        .when(href.rlike(r"^[a-z][a-z0-9+.-]*://"), href)  # absolute
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(origin, href))  # root-relative
+        .when(href.startswith("#"), F.concat(base_no_frag, href))
+        .when(href.startswith("?"), F.concat(F.substring_index(base_no_frag, "?", 1), href))
+        .otherwise(_urljoin_udf(base, href))  # dot-relative → Arrow UDF
+    )
+
+
+# ---------------------------------------------------------------------------
+# Python twins (driver-side scalars + differential-test oracles)
+# ---------------------------------------------------------------------------
+
+
+def py_canonical_url(url: str) -> str:
+    return urldefrag(url)[0]
+
+
+def py_comparison_normalize(url: str) -> str:
+    url = url.rstrip("/")
+    return url.replace("https://", "").replace("http://", "")
+
+
+def py_is_binary_url(url: str) -> bool:
+    lower = url.lower()
+    if lower.endswith(".xml.gz"):
+        return False
+    return any(lower.endswith(ext) for ext in BINARY_EXTENSIONS)
+
+
+def py_is_sitemap(url: str) -> bool:
+    lower = url.lower()
+    return (
+        lower.endswith("sitemap.xml")
+        or lower.endswith("sitemap.xml.gz")
+        or lower.endswith("sitemap_index.xml")
+        or "sitemap" in urlparse(lower).path.lower()
+    )
+
+
+def py_is_txt(url: str) -> bool:
+    return url.endswith(".txt")
+
+
+def py_derive_prefix(url: str) -> str:
+    """Default boundary-prefix derivation (reference src/crawl4ai_mcp.py:
+    663-680): the start URL's directory — parent dir when the last path
+    segment looks like a file, the domain root when there is no path."""
+    parsed = urlparse(url)
+    path = parsed.path.rstrip("/")
+    if path and path != "/":
+        last_segment = path.split("/")[-1]
+        if last_segment and "." in last_segment and not last_segment.startswith("."):
+            path = "/".join(path.split("/")[:-1])
+        return f"{parsed.scheme}://{parsed.netloc}{path}"
+    return f"{parsed.scheme}://{parsed.netloc}"
+
+
+def py_resolve_href(base: str, href: str) -> str:
+    return urljoin(base, href) if href else base
+
+
+__all__ = [
+    "canonical_url",
+    "comparison_normalize",
+    "is_binary_url",
+    "is_sitemap_url",
+    "is_txt_url",
+    "classify_url",
+    "is_valid_http_url",
+    "url_host",
+    "url_path",
+    "url_hash",
+    "resolve_href",
+    "py_canonical_url",
+    "py_comparison_normalize",
+    "py_is_binary_url",
+    "py_is_sitemap",
+    "py_is_txt",
+    "py_derive_prefix",
+    "py_resolve_href",
+]

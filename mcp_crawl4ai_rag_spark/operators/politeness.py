@@ -1,0 +1,155 @@
+"""Per-host politeness: epoch-granular rate limiting + skew-proof pop.
+
+The reference delegates politeness to crawl4ai's RateLimiter (per-domain
+base delay 1-3 s, exponential backoff on 429/503 capped at 60 s, drop after
+3 retries — BASELINE.json north_star; the reference itself constructs only
+the MemoryAdaptiveDispatcher, src/crawl4ai_mcp.py:938-942). Wall-clock
+sleeps make no sense in batch execution, so the engine maps delays onto
+*epoch budgets*: an epoch represents EPOCH_SECONDS of crawl time and a host
+with effective delay d gets floor(EPOCH_SECONDS / d) fetch slots per epoch.
+Backoff state doubles d per consecutive 429/503 epoch (capped at max_delay)
+and resets on success — the same trajectory as the RateLimiter, quantized to
+epochs.
+
+The pop itself is the SURVEY.md §2.3 J4 operator: per-host FIFO by
+(depth, priority, seq) with a per-host budget. A naive
+``row_number() OVER (PARTITION BY host)`` serializes each host into one task
+— the hot host becomes the straggler. The two-phase pop below salts each
+host into SALT_LANES lanes by url_hash, takes the per-lane top-B in parallel,
+then ranks only the ≤ lanes*B survivors per host. Identical output (a
+host's global top-B is contained in the union of its per-lane top-Bs),
+deterministic, and the heavy first phase is skew-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import (
+    DEFAULT_SALT_LANES,
+    EPOCH_SECONDS,
+    POLITENESS_BASE_DELAY_MAX,
+    POLITENESS_BASE_DELAY_MIN,
+    POLITENESS_MAX_DELAY,
+)
+
+def _order():
+    # column objects need an active session in classic PySpark → lazy
+    return [F.col("depth").asc(), F.col("priority").asc(), F.col("seq").asc()]
+
+
+def pop_per_host(
+    frontier: DataFrame,
+    budgets: DataFrame | None,
+    salt_lanes: int = DEFAULT_SALT_LANES,
+) -> tuple[DataFrame, DataFrame]:
+    """Split ``frontier`` into (popped, deferred) under per-host budgets.
+
+    ``budgets``: (host, budget int); hosts absent from it get unlimited.
+    ``budgets=None`` → pop everything (reference level-synchronous mode,
+    src/crawl4ai_mcp.py:993-1011 crawls the whole depth level).
+    """
+    if budgets is None:
+        return frontier, frontier.limit(0)
+
+    fr = frontier.join(F.broadcast(budgets), on="host", how="left")
+
+    # Phase 1: per-(host, lane) rank — lanes are hash-salted so the hot
+    # host's rows spread over salt_lanes parallel window partitions.
+    lane = F.pmod(F.col("url_hash"), F.lit(salt_lanes))
+    w_lane = Window.partitionBy("host", "__lane").orderBy(*_order())
+    fr = (
+        fr.withColumn("__lane", lane)
+        .withColumn("__lane_rk", F.row_number().over(w_lane))
+    )
+    # Rows that can't be in the host's top-budget are deferred without ever
+    # entering the phase-2 window.
+    survivors = fr.where(F.col("budget").isNull() | (F.col("__lane_rk") <= F.col("budget")))
+    eliminated = fr.where(F.col("budget").isNotNull() & (F.col("__lane_rk") > F.col("budget")))
+
+    # Phase 2: exact per-host rank over ≤ lanes*budget survivors.
+    w_host = Window.partitionBy("host").orderBy(*_order())
+    ranked = survivors.withColumn("__rk", F.row_number().over(w_host))
+    popped = ranked.where(F.col("budget").isNull() | (F.col("__rk") <= F.col("budget")))
+    deferred_2 = ranked.where(F.col("budget").isNotNull() & (F.col("__rk") > F.col("budget")))
+
+    drop = ["__lane", "__lane_rk", "__rk", "budget"]
+    popped = popped.drop(*drop)
+    deferred = deferred_2.drop(*drop).unionByName(
+        eliminated.drop(*[c for c in drop if c in eliminated.columns])
+    )
+    return popped, deferred
+
+
+def effective_delay_expr():
+    """delay = crawl_delay override else midpoint of the RateLimiter base
+    window, doubled per backoff level, capped at max_delay."""
+    base = F.coalesce(
+        F.col("crawl_delay"),
+        F.lit((POLITENESS_BASE_DELAY_MIN + POLITENESS_BASE_DELAY_MAX) / 2.0),
+    )
+    return F.least(
+        base * F.pow(F.lit(2.0), F.coalesce(F.col("backoff_level"), F.lit(0))),
+        F.lit(POLITENESS_MAX_DELAY),
+    )
+
+
+def compute_budgets(
+    hosts: DataFrame,
+    robots: DataFrame | None,
+    backoff: DataFrame | None,
+    epoch_seconds: float = EPOCH_SECONDS,
+) -> DataFrame:
+    """(host) → (host, budget): floor(epoch_seconds / effective_delay),
+    minimum 1 so a backed-off host still drains (the RateLimiter retries
+    rather than starving)."""
+    df = hosts.select("host").distinct()
+    if robots is not None:
+        df = df.join(F.broadcast(robots.select("host", "crawl_delay")), "host", "left")
+    else:
+        df = df.withColumn("crawl_delay", F.lit(None).cast("double"))
+    if backoff is not None:
+        df = df.join(F.broadcast(backoff), "host", "left")
+    else:
+        df = df.withColumn("backoff_level", F.lit(0))
+    return df.select(
+        "host",
+        F.greatest(
+            F.floor(F.lit(epoch_seconds) / effective_delay_expr()), F.lit(1)
+        ).cast("int").alias("budget"),
+    )
+
+
+def update_backoff(
+    fetch_statuses: DataFrame, prev_backoff: DataFrame | None
+) -> DataFrame:
+    """Next-epoch backoff state from this epoch's per-host statuses:
+    any 429/503 → level+1 (capped at 6 ≈ max_delay), else reset to 0.
+    Hosts not fetched this epoch keep their level (no decay without signal)."""
+    per_host = fetch_statuses.groupBy("host").agg(
+        F.max(F.when(F.col("status").isin(429, 503), 1).otherwise(0)).alias("__throttled")
+    )
+    if prev_backoff is None:
+        prev_backoff = per_host.select("host", F.lit(0).alias("backoff_level")).limit(0)
+    merged = per_host.join(prev_backoff, "host", "full_outer").select(
+        "host",
+        F.when(
+            F.col("__throttled") == 1,
+            F.least(F.coalesce(F.col("backoff_level"), F.lit(0)) + 1, F.lit(6)),
+        )
+        .when(F.col("__throttled") == 0, F.lit(0))
+        .otherwise(F.coalesce(F.col("backoff_level"), F.lit(0)))
+        .alias("backoff_level"),
+    )
+    return merged
+
+
+def robots_denied_expr():
+    """True when the URL's path matches a disallow prefix — SURVEY.md §2.10
+    D4 (`robots` table semantics)."""
+    return F.when(
+        F.col("disallow_prefixes").isNull(), F.lit(False)
+    ).otherwise(
+        F.exists("disallow_prefixes", lambda p: F.col("path").startswith(p))
+    )

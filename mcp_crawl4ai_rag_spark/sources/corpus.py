@@ -1,0 +1,290 @@
+"""Deterministic synthetic corpus: web graph + image payloads + crawl config.
+
+This module is the SINGLE SOURCE OF TRUTH for the graph formulas. Three
+independent consumers reproduce them exactly:
+
+1. Spark generation here (pure column expressions over ``spark.range``);
+2. the DuckDB recursive-CTE oracle in ``__spark_entry__.py`` (SQL fragments
+   rendered from the same constants via :func:`oracle_edges_sql`);
+3. the plain-Python BFS oracle in tests (:func:`py_graph`).
+
+Graph contract for page id ``i`` in ``[0, n)``:
+
+- host(i)   = 0 if i % HOT_HOST_MOD == 0 else i % n_hosts    (host 0 is hot —
+              exercises skew/salting)
+- path(i)   = '/private/p/{i}' if i % PRIVATE_MOD == 0 else '/p/{i}'
+              ('/private' is robots-disallowed on every host)
+- url(i)    = 'https://h{host(i)}.example.com' + path(i)
+- status(i) = 404 if i % FAIL404_MOD == 0 else 429 if i % FAIL429_MOD == 0
+              else 200; success = status == 200
+- edges     : t_j(i) = (EDGE_A*i + EDGE_B*j + EDGE_C) % n  for j in 0..OUT_DEGREE-1
+
+``out_links`` as *emitted by pages* additionally exercise every link filter:
+target j==1 is emitted dot-relative ('../p/{t}') when same-host, target j==0
+gets a '#frag' fragment when (i+t) % FRAG_MOD == 0, and every page emits one
+binary-extension link and one off-domain link (both must be dropped by the
+engine and never reach the frontier). The *logical* edge set is exactly the
+t_j formula — that is what the oracles reproduce.
+
+Everything is seeded/modular — no wall clock, no unseeded RNG (FIXTURES.md
+determinism rules).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.images import decode_image, encode_image, gen_caption, gen_pixels, phash64
+
+# --- graph constants (shared with all oracles) ---
+N_HOSTS = 10
+HOT_HOST_MOD = 4
+PRIVATE_MOD = 41
+FAIL404_MOD = 37
+FAIL429_MOD = 53
+OUT_DEGREE = 3
+EDGE_A, EDGE_B, EDGE_C = 31, 7, 1
+FRAG_MOD = 5
+SEED_IDS = (1, 2, 3)  # chosen to avoid the failure/robots residues
+IMAGES_PER_PAGE = 2
+IMG_FK_A, IMG_FK_B = 13, 5
+
+
+def host_of(i: int, n_hosts: int = N_HOSTS) -> int:
+    return 0 if i % HOT_HOST_MOD == 0 else i % n_hosts
+
+
+def path_of(i: int) -> str:
+    return f"/private/p/{i}" if i % PRIVATE_MOD == 0 else f"/p/{i}"
+
+
+def url_of(i: int, n_hosts: int = N_HOSTS) -> str:
+    return f"https://h{host_of(i, n_hosts)}.example.com{path_of(i)}"
+
+
+def status_of(i: int) -> int:
+    if i % FAIL404_MOD == 0:
+        return 404
+    if i % FAIL429_MOD == 0:
+        return 429
+    return 200
+
+
+def targets_of(i: int, n: int) -> list[int]:
+    return [(EDGE_A * i + EDGE_B * j + EDGE_C) % n for j in range(OUT_DEGREE)]
+
+
+def py_graph(n: int, n_hosts: int = N_HOSTS) -> dict[int, dict]:
+    """Plain-Python materialization for the differential BFS oracle."""
+    return {
+        i: {
+            "url": url_of(i, n_hosts),
+            "host": host_of(i, n_hosts),
+            "path": path_of(i),
+            "status": status_of(i),
+            "robots_denied": i % PRIVATE_MOD == 0,
+            "targets": targets_of(i, n),
+        }
+        for i in range(n)
+    }
+
+
+# ---------------------------------------------------------------------------
+# Spark generators (pure column expressions — scale-out by construction)
+# ---------------------------------------------------------------------------
+
+
+def _host_expr(i):
+    return F.when(i % HOT_HOST_MOD == 0, F.lit(0)).otherwise(
+        (i % N_HOSTS).cast("int")
+    )
+
+
+def _url_expr(i):
+    host = _host_expr(i)
+    path = F.when(
+        i % PRIVATE_MOD == 0, F.concat(F.lit("/private/p/"), i.cast("string"))
+    ).otherwise(F.concat(F.lit("/p/"), i.cast("string")))
+    return F.concat(F.lit("https://h"), host.cast("string"), F.lit(".example.com"), path)
+
+
+def gen_pages(spark: SparkSession, n: int, partitions: int = 32) -> DataFrame:
+    """Synthetic fetchable web corpus: what a fetch of url(i) returns.
+
+    Models the crawl-result shape {url, markdown, links, success} of the
+    reference (src/crawl4ai_mcp.py:948,1016,523-526). ``out_links`` are hrefs
+    *as a page would emit them* (relative/fragment/binary/off-domain noise
+    included); markdown includes headers and ``` fences to exercise the
+    chunker.
+    """
+    df = spark.range(0, n, 1, partitions).select(F.col("id").cast("long"))
+    i = F.col("id")
+    n_lit = F.lit(n)
+
+    host = _host_expr(i)
+    url = _url_expr(i)
+    hostname = F.concat(F.lit("h"), host.cast("string"), F.lit(".example.com"))
+
+    def target(j: int):
+        return (i * EDGE_A + F.lit(EDGE_B * j + EDGE_C)) % n_lit
+
+    def target_url(j: int):
+        return _url_expr(target(j))
+
+    # href emission: j=0 absolute (+#frag when (i+t)%FRAG_MOD==0),
+    # j=1 dot-relative when same host else absolute, j=2 absolute.
+    t0, t1 = target(0), target(1)
+    href0 = F.when(
+        (i + t0) % FRAG_MOD == 0, F.concat(target_url(0), F.lit("#frag"))
+    ).otherwise(target_url(0))
+    t1_path = F.when(
+        t1 % PRIVATE_MOD == 0, F.concat(F.lit("../private/p/"), t1.cast("string"))
+    ).otherwise(F.concat(F.lit("../p/"), t1.cast("string")))
+    href1 = F.when(_host_expr(t1) == host, t1_path).otherwise(target_url(1))
+    href2 = target_url(2)
+    noise_binary = F.concat(url, F.lit("/img_"), i.cast("string"), F.lit(".png"))
+    noise_offsite = F.concat(F.lit("https://offsite.example.org/x"), i.cast("string"))
+
+    markdown = F.concat(
+        F.lit("# Page "), i.cast("string"),
+        F.lit("\n\nSynthetic host "), hostname,
+        F.lit(" body text with words. More sentences here. "),
+        F.lit("\n\n## Section\n\n```\ncode block line\n```\n\nTail paragraph "),
+        F.repeat(F.concat(F.lit("filler"), (i % 17).cast("string"), F.lit(" ")), 40),
+    )
+
+    status = (
+        F.when(i % FAIL404_MOD == 0, F.lit(404))
+        .when(i % FAIL429_MOD == 0, F.lit(429))
+        .otherwise(F.lit(200))
+    )
+
+    img = lambda k: F.format_string("img_%012d", (i * IMG_FK_A + F.lit(k * IMG_FK_B)) % n_lit)
+
+    return df.select(
+        url.alias("url"),
+        hostname.alias("host"),
+        F.when(i % PRIVATE_MOD == 0, F.concat(F.lit("/private/p/"), i.cast("string")))
+        .otherwise(F.concat(F.lit("/p/"), i.cast("string")))
+        .alias("path"),
+        markdown.alias("markdown"),
+        F.array(href0, href1, href2, noise_binary, noise_offsite).alias("out_links"),
+        F.array(*[img(k) for k in range(IMAGES_PER_PAGE)]).alias("image_ids"),
+        status.alias("status"),
+        (status == 200).alias("success"),
+    )
+
+
+IMAGES_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("bytes", BinaryType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("fmt", StringType()),
+        StructField("caption", StringType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def gen_images(spark: SparkSession, n: int, partitions: int = 32) -> DataFrame:
+    """Image+caption corpus in the exact BASELINE.json input_hint shape.
+
+    Payload synthesis runs distributed in mapInPandas (numpy + fake codec);
+    w/h are multiples of 8 in [32, 64]; fmt alternates png/jpeg.
+    """
+    base = spark.range(0, n, 1, partitions).select(
+        F.format_string("img_%012d", F.col("id")).alias("image_id"),
+        (F.lit(32) + (F.col("id") % 5) * 8).cast("int").alias("w"),
+        (F.lit(32) + (F.col("id") % 3) * 16).cast("int").alias("h"),
+        F.when(F.col("id") % 2 == 0, F.lit("png")).otherwise(F.lit("jpeg")).alias("fmt"),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid, w, h, fmt in zip(pdf["image_id"], pdf["w"], pdf["h"], pdf["fmt"]):
+                px = gen_pixels(iid, int(w), int(h))
+                blob = encode_image(px, fmt)
+                # stored phash is of the DECODED pixels (what a verifier can
+                # recompute), so lossy fmt still matches exactly
+                _, dec = decode_image(blob)
+                rows.append(
+                    (iid, blob, int(w), int(h), fmt, gen_caption(iid), phash64(dec))
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+            )
+
+    return base.mapInPandas(gen, schema=IMAGES_SCHEMA)
+
+
+def gen_seeds(spark: SparkSession, n: int, n_hosts: int = N_HOSTS) -> DataFrame:
+    rows = [
+        (url_of(s, n_hosts), 0, 0, k) for k, s in enumerate(SEED_IDS) if s < n
+    ]
+    return spark.createDataFrame(rows, "url string, priority int, depth int, seq long")
+
+
+def gen_robots(spark: SparkSession, n_hosts: int = N_HOSTS) -> DataFrame:
+    rows = [
+        (f"h{h}.example.com", ["/private"], 2.0 if h == 1 else None)
+        for h in range(n_hosts)
+    ]
+    return spark.createDataFrame(
+        rows, "host string, disallow_prefixes array<string>, crawl_delay double"
+    )
+
+
+def gen_politeness(spark: SparkSession, n_hosts: int = N_HOSTS) -> DataFrame:
+    rows = [(f"h{h}.example.com", 1.0, 3.0, 60.0, 3) for h in range(n_hosts)]
+    return spark.createDataFrame(
+        rows,
+        "host string, base_delay_min double, base_delay_max double, "
+        "max_delay double, max_retries int",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL fragments (DuckDB) — rendered from the same constants
+# ---------------------------------------------------------------------------
+
+
+def oracle_edges_sql(id_expr: str = "r.id", n_expr: str = "p.n") -> str:
+    """List literal of the OUT_DEGREE logical edge targets of ``id_expr``."""
+    terms = ", ".join(
+        f"({EDGE_A}*{id_expr} + {EDGE_B * j + EDGE_C}) % {n_expr}"
+        for j in range(OUT_DEGREE)
+    )
+    return f"[{terms}]"
+
+
+def oracle_url_sql(id_expr: str) -> str:
+    """SQL expression rebuilding url(i) — DuckDB dialect."""
+    host = f"(CASE WHEN ({id_expr}) % {HOT_HOST_MOD} = 0 THEN 0 ELSE ({id_expr}) % {N_HOSTS} END)"
+    path = (
+        f"(CASE WHEN ({id_expr}) % {PRIVATE_MOD} = 0 THEN '/private/p/' ELSE '/p/' END)"
+    )
+    return f"('https://h' || {host} || '.example.com' || {path} || ({id_expr}))"
+
+
+def oracle_expandable_sql(id_expr: str) -> str:
+    """Predicate: page ``id_expr`` was fetched successfully AND robots-allowed
+    (only such pages contribute out-edges)."""
+    return (
+        f"(({id_expr}) % {FAIL404_MOD} <> 0 AND ({id_expr}) % {FAIL429_MOD} <> 0 "
+        f"AND ({id_expr}) % {PRIVATE_MOD} <> 0)"
+    )

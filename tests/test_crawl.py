@@ -1,0 +1,167 @@
+"""Crawl-engine differential tests vs the Python reference oracle
+(SURVEY.md §5.2): identical visited set, identical per-depth fetch sets,
+politeness budget enforcement, robots denials, checkpoint/resume identity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mcp_crawl4ai_rag_spark.plans.crawl import CrawlEngine
+from mcp_crawl4ai_rag_spark.sources.corpus import (
+    SEED_IDS,
+    gen_pages,
+    gen_robots,
+    gen_seeds,
+)
+from tests.oracle_crawl import reference_crawl
+
+N = 300
+DEPTH = 4
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pages = gen_pages(spark, N, partitions=8).cache()
+    pages.count()
+    return pages
+
+
+def test_url_seen_matches_oracle(spark, corpus):
+    eng = CrawlEngine(
+        spark, corpus, robots=gen_robots(spark), allowed_host_suffix=".example.com"
+    )
+    res = eng.run(gen_seeds(spark, N), max_depth=DEPTH)
+    got = {
+        r["canonical_url"]: r["depth"] for r in res.url_seen.collect()
+    }
+    want, want_fetched = reference_crawl(N, SEED_IDS, DEPTH)
+    assert got == want, (
+        f"engine={len(got)} oracle={len(want)} "
+        f"missing={set(want) - set(got)} extra={set(got) - set(want)}"
+    )
+    got_fetched = {
+        (r["canonical_url"], r["depth"]) for r in res.fetched.collect()
+    }
+    assert got_fetched == set(want_fetched)
+
+
+def test_bloom_and_exact_paths_agree(spark, corpus):
+    seeds = gen_seeds(spark, N)
+    robots = gen_robots(spark)
+    a = CrawlEngine(
+        spark, corpus, robots=robots, allowed_host_suffix=".example.com", use_bloom=True
+    ).run(seeds, max_depth=3)
+    b = CrawlEngine(
+        spark, corpus, robots=robots, allowed_host_suffix=".example.com", use_bloom=False
+    ).run(seeds, max_depth=3)
+    sa = {(r["canonical_url"], r["depth"], r["seq"]) for r in a.url_seen.collect()}
+    sb = {(r["canonical_url"], r["depth"], r["seq"]) for r in b.url_seen.collect()}
+    assert sa == sb
+
+
+def test_ordering_contract_deterministic(spark, corpus):
+    """seq is a total order, stable across runs (SURVEY.md §7.0)."""
+    seeds = gen_seeds(spark, N)
+    robots = gen_robots(spark)
+
+    def seqs():
+        res = CrawlEngine(
+            spark, corpus, robots=robots, allowed_host_suffix=".example.com"
+        ).run(seeds, max_depth=3)
+        rows = res.url_seen.orderBy("seq").collect()
+        return [(r["canonical_url"], r["depth"], r["seq"]) for r in rows]
+
+    a, b = seqs(), seqs()
+    assert a == b
+    seq_vals = [s for _, _, s in a]
+    assert len(seq_vals) == len(set(seq_vals)), "seq must be unique"
+    # depth is monotone in discovery: a URL's seq grows with depth order
+    by_depth = {}
+    for u, d, s in a:
+        by_depth.setdefault(d, []).append(s)
+    for d in sorted(by_depth)[:-1]:
+        assert max(by_depth[d]) < min(by_depth[d + 1]), "level-ordered seq"
+
+
+def test_robots_denials_counted(spark, corpus):
+    eng = CrawlEngine(
+        spark, corpus, robots=gen_robots(spark), allowed_host_suffix=".example.com"
+    )
+    res = eng.run(gen_seeds(spark, N), max_depth=DEPTH)
+    lineage = res.lineage.agg(F.sum("robots_denials")).collect()[0][0]
+    want, _ = reference_crawl(N, SEED_IDS, DEPTH)
+    denied_in_oracle = sum(1 for u in want if "/private/" in u)
+    assert lineage == denied_in_oracle
+    assert lineage > 0, "corpus must exercise robots"
+
+
+def test_politeness_budget_enforced_and_set_preserved(spark, corpus):
+    """With budgets the crawl takes more epochs but converges to the same
+    visited membership; per-epoch per-host scheduling respects the budget."""
+    seeds = gen_seeds(spark, N)
+    robots = gen_robots(spark)
+    free = CrawlEngine(
+        spark, corpus, robots=robots, allowed_host_suffix=".example.com"
+    ).run(seeds, max_depth=3)
+    polite = CrawlEngine(
+        spark,
+        corpus,
+        robots=robots,
+        allowed_host_suffix=".example.com",
+        epoch_seconds=10.0,  # delay 2.0 default → budget 5/host/epoch
+    ).run(seeds, max_depth=3, politeness=True, max_epochs=40)
+
+    free_set = {r["canonical_url"] for r in free.url_seen.collect()}
+    polite_set = {r["canonical_url"] for r in polite.url_seen.collect()}
+    assert free_set == polite_set
+
+    per_epoch_host = (
+        polite.url_seen.groupBy("epoch_seen", "host")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert per_epoch_host <= 15  # budget * backoff headroom (h1 crawl_delay)
+    deferrals = polite.lineage.agg(F.sum("politeness_deferrals")).collect()[0][0]
+    assert deferrals > 0
+    assert polite.epochs_run > free.epochs_run
+
+
+def test_checkpoint_resume_bit_identical(spark, corpus, tmp_path):
+    seeds = gen_seeds(spark, N)
+    robots = gen_robots(spark)
+    full = CrawlEngine(
+        spark, corpus, robots=robots, allowed_host_suffix=".example.com",
+        checkpoint_dir=str(tmp_path / "full"),
+    ).run(seeds, max_depth=DEPTH)
+
+    # interrupted run: stop after 2 epochs ("kill"), then resume
+    part_dir = str(tmp_path / "part")
+    CrawlEngine(
+        spark, corpus, robots=robots, allowed_host_suffix=".example.com",
+        checkpoint_dir=part_dir,
+    ).run(seeds, max_depth=DEPTH, max_epochs=2)
+    resumed = CrawlEngine(
+        spark, corpus, robots=robots, allowed_host_suffix=".example.com",
+        checkpoint_dir=part_dir,
+    ).resume(max_epochs=DEPTH)
+
+    def key(df):
+        return sorted(
+            (r["canonical_url"], r["depth"], r["seq"], r["epoch_seen"])
+            for r in df.collect()
+        )
+
+    assert key(full.url_seen) == key(resumed.url_seen)
+    f1 = sorted((r["canonical_url"], r["epoch"]) for r in full.fetched.collect())
+    f2 = sorted((r["canonical_url"], r["epoch"]) for r in resumed.fetched.collect())
+    assert f1 == f2
+
+
+def test_lineage_schema_and_counts(spark, corpus):
+    res = CrawlEngine(
+        spark, corpus, robots=gen_robots(spark), allowed_host_suffix=".example.com"
+    ).run(gen_seeds(spark, N), max_depth=3)
+    rows = res.lineage.orderBy("epoch").collect()
+    assert [r["epoch"] for r in rows] == list(range(res.epochs_run))
+    total_sched = sum(r["urls_scheduled"] for r in rows)
+    assert total_sched == res.url_seen.count()

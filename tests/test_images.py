@@ -1,0 +1,62 @@
+"""Image payload invariants (BASELINE.json input_hint): decoded-pixel
+PSNR ≥ 40 dB for lossy fmt, bit-exact for lossless, caption equality,
+phash recompute — via the deterministic fake codec (PIL not in container)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from mcp_crawl4ai_rag_spark.functions.images import (
+    decode_image,
+    encode_image,
+    gen_caption,
+    gen_pixels,
+    phash64,
+    psnr,
+    verify_images,
+)
+from mcp_crawl4ai_rag_spark.sources.corpus import gen_images
+
+
+def test_png_roundtrip_bitexact():
+    px = gen_pixels("img_000000000001", 40, 32)
+    fmt, dec = decode_image(encode_image(px, "png"))
+    assert fmt == "png" and np.array_equal(px, dec)
+
+
+def test_jpeg_roundtrip_psnr():
+    px = gen_pixels("img_000000000002", 64, 48)
+    fmt, dec = decode_image(encode_image(px, "jpeg"))
+    assert fmt == "jpeg"
+    p = psnr(px, dec)
+    assert 40.0 <= p < 99.0
+
+
+def test_pixels_deterministic():
+    a = gen_pixels("img_x", 32, 32)
+    b = gen_pixels("img_x", 32, 32)
+    c = gen_pixels("img_y", 32, 32)
+    assert np.array_equal(a, b) and not np.array_equal(a, c)
+    assert gen_caption("img_x") == gen_caption("img_x")
+    assert gen_caption("img_x") != gen_caption("img_y")
+
+
+def test_phash_stability():
+    px = gen_pixels("img_z", 48, 48)
+    assert phash64(px) == phash64(px.copy())
+    # quantization must not flip the phash (block means move by ≤2 gray levels)
+    _, dec = decode_image(encode_image(px, "jpeg"))
+    assert phash64(dec) == phash64(px) or bin(
+        np.uint64(phash64(dec) ^ phash64(px)).item()
+    ).count("1") <= 2
+
+
+def test_verify_images_all_pass(spark):
+    images = gen_images(spark, 64, partitions=4)
+    v = verify_images(images).cache()
+    n = v.count()
+    assert n == 64
+    assert v.where(~F.col("pixel_ok")).count() == 0
+    assert v.where(~F.col("phash_ok")).count() == 0
+    assert v.where(~F.col("caption_ok")).count() == 0
+    assert v.where((F.col("fmt") == "jpeg") & (F.col("psnr_db") < 40.0)).count() == 0
+    v.unpersist()

@@ -1,0 +1,147 @@
+"""Differential tests: Spark URL kernels vs the reference semantics.
+
+The oracles are the ``py_*`` twins in functions/urls.py, which reimplement
+the reference functions (src/crawl4ai_mcp.py:105-173) line-for-line in
+behavior; the cases below include hand-derived expected values straight from
+the reference code so the twins themselves are pinned too.
+"""
+
+from urllib.parse import urljoin
+
+import pytest
+from pyspark.sql import functions as F
+
+from mcp_crawl4ai_rag_spark.functions.urls import (
+    canonical_url,
+    classify_url,
+    comparison_normalize,
+    is_binary_url,
+    is_sitemap_url,
+    is_txt_url,
+    is_valid_http_url,
+    py_canonical_url,
+    py_comparison_normalize,
+    py_derive_prefix,
+    py_is_binary_url,
+    py_is_sitemap,
+    py_is_txt,
+    resolve_href,
+)
+
+URLS = [
+    "https://example.com/a/b/c",
+    "https://example.com/a/b/c/",
+    "https://example.com/a/b/c///",
+    "http://example.com/a#frag",
+    "https://example.com/file.PDF",
+    "https://example.com/archive.tar.gz",
+    "https://example.com/sitemap.xml",
+    "https://example.com/sitemap.xml.gz",
+    "https://example.com/sitemap_index.xml",
+    "https://example.com/sub/sitemap-news.xml",
+    "https://example.com/SITEMAP.XML",
+    "https://example.com/notes.txt",
+    "https://example.com/notes.TXT",
+    "https://example.com/image.jpeg",
+    "https://example.com/data.XML.GZ",
+    "https://example.com/page?q=1#x",
+    "https://example.com",
+    "https://example.com/",
+    "HTTPS://EXAMPLE.COM/Path",
+    "https://h0.example.com/p/1",
+    "https://example.com/a.b/c.d.e",
+    "https://example.com/has sitemap in path/x",
+    "https://example.com/deep/x.woff2",
+    "https://example.com/x.png#frag",
+]
+
+
+def _spark_eval(spark, expr_fn, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r[0] for r in df.select(expr_fn(F.col("url"))).collect()]
+
+
+def test_canonical_url_matches(spark):
+    got = _spark_eval(spark, canonical_url, URLS)
+    assert got == [py_canonical_url(u) for u in URLS]
+
+
+def test_comparison_normalize_matches(spark):
+    got = _spark_eval(spark, comparison_normalize, URLS)
+    assert got == [py_comparison_normalize(u) for u in URLS]
+
+
+def test_binary_filter_matches(spark):
+    got = _spark_eval(spark, is_binary_url, URLS)
+    assert got == [py_is_binary_url(u) for u in URLS]
+
+
+def test_binary_filter_pinned_cases():
+    # hand-pinned from reference src/crawl4ai_mcp.py:121-144
+    assert py_is_binary_url("https://x/file.pdf")
+    assert py_is_binary_url("https://x/FILE.PDF")
+    assert not py_is_binary_url("https://x/sitemap.xml.gz")  # exemption
+    assert py_is_binary_url("https://x/data.gz")  # plain .gz IS binary
+    assert not py_is_binary_url("https://x/page.html")
+    assert py_is_binary_url("https://x/font.woff2")
+
+
+def test_sitemap_classifier_matches(spark):
+    got = _spark_eval(spark, is_sitemap_url, URLS)
+    assert got == [py_is_sitemap(u) for u in URLS]
+
+
+def test_txt_classifier_matches(spark):
+    got = _spark_eval(spark, is_txt_url, URLS)
+    # reference is_txt is case-SENSITIVE (src/crawl4ai_mcp.py:173)
+    assert got == [py_is_txt(u) for u in URLS]
+    assert py_is_txt("https://x/a.txt") and not py_is_txt("https://x/a.TXT")
+
+
+def test_classify_dispatch_order(spark):
+    # txt beats sitemap (reference dispatch :699-758 checks is_txt first)
+    got = _spark_eval(spark, classify_url, ["https://x/sitemap.txt"])
+    assert got == ["text_file"]
+
+
+def test_valid_http(spark):
+    urls = ["https://x.com/a", "ftp://x.com", "not a url", "http://y", ""]
+    got = _spark_eval(spark, is_valid_http_url, urls)
+    assert got == [True, False, False, True, False]
+
+
+HREFS = [
+    ("https://h0.example.com/p/1", "https://h1.example.com/p/2"),
+    ("https://h0.example.com/p/1", "/p/9"),
+    ("https://h0.example.com/p/1", "../p/7"),
+    ("https://h0.example.com/a/b/c", "../../x"),
+    ("https://h0.example.com/p/1", "p/7"),
+    ("https://h0.example.com/p/1", "#frag"),
+    ("https://h0.example.com/p/1?q=2", "?q=3"),
+    ("https://h0.example.com/p/1", "//cdn.example.com/x"),
+    ("https://h0.example.com/p/1", ""),
+    ("https://h0.example.com/private/p/41", "../p/3"),
+]
+
+
+def test_resolve_href_matches_urljoin(spark):
+    df = spark.createDataFrame(HREFS, "base string, href string")
+    got = [r[0] for r in df.select(resolve_href(F.col("base"), F.col("href"))).collect()]
+    want = [urljoin(b, h) if h else b for b, h in HREFS]
+    assert got == want
+
+
+@pytest.mark.parametrize(
+    "url,want",
+    [
+        # hand-derived from reference :663-680
+        ("https://example.com/docs/guide/", "https://example.com/docs/guide"),
+        ("https://example.com/docs/page.html", "https://example.com/docs"),
+        ("https://example.com/", "https://example.com"),
+        ("https://example.com", "https://example.com"),
+        ("https://example.com/a", "https://example.com/a"),
+        ("https://example.com/a/.hidden", "https://example.com/a/.hidden"),
+    ],
+)
+def test_derive_prefix(url, want):
+    assert py_derive_prefix(url) == want

@@ -1,0 +1,93 @@
+"""Bloom / cuckoo / anti-join membership tests (north_star components)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from mcp_crawl4ai_rag_spark.operators.urlseen import (
+    BloomFilter,
+    CuckooFilter,
+    anti_join_seen,
+    bloom_maybe_contains,
+    build_bloom,
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=200))
+def test_bloom_zero_false_negatives(xs):
+    bf = BloomFilter.sized_for(max(len(xs), 1), 0.01)
+    arr = np.array(xs, dtype=np.int64)
+    bf.add_hashes(arr)
+    assert bf.contains_hashes(arr).all()
+
+
+def test_bloom_fpp_reasonable():
+    rng = np.random.default_rng(42)
+    members = rng.integers(-(2**62), 2**62, 5000, dtype=np.int64)
+    others = rng.integers(-(2**62), 2**62, 20000, dtype=np.int64)
+    others = np.setdiff1d(others, members)
+    bf = BloomFilter.sized_for(len(members), 0.01)
+    bf.add_hashes(members)
+    fp = bf.contains_hashes(others).mean()
+    assert fp < 0.03, f"observed FPP {fp}"
+
+
+def test_bloom_merge():
+    a = BloomFilter.sized_for(100, 0.01)
+    b = BloomFilter.sized_for(100, 0.01)
+    xa = np.arange(0, 50, dtype=np.int64)
+    xb = np.arange(1000, 1050, dtype=np.int64)
+    a.add_hashes(xa)
+    b.add_hashes(xb)
+    m = a.merge(b)
+    assert m.contains_hashes(xa).all() and m.contains_hashes(xb).all()
+
+
+def test_distributed_build_and_probe(spark):
+    df = spark.range(0, 2000, 1, 8).select(F.xxhash64("id").alias("url_hash"))
+    bloom = build_bloom(df, "url_hash", expected=2000)
+    probed = df.withColumn("hit", bloom_maybe_contains(bloom, F.col("url_hash")))
+    assert probed.where(~F.col("hit")).count() == 0  # zero false negatives
+
+
+def test_anti_join_with_bloom_equals_exact(spark):
+    cand = spark.range(0, 1000, 1, 4).select(
+        F.concat(F.lit("u"), F.col("id")).alias("canonical_url"),
+        F.xxhash64(F.concat(F.lit("u"), F.col("id"))).alias("url_hash"),
+    )
+    seen = spark.range(0, 500, 1, 4).select(
+        F.concat(F.lit("u"), (F.col("id") * 2)).alias("canonical_url"),
+        F.xxhash64(F.concat(F.lit("u"), (F.col("id") * 2))).alias("url_hash"),
+    )
+    bloom = build_bloom(seen, "url_hash", expected=500)
+    exact = set(
+        r[0] for r in anti_join_seen(cand, seen, None).select("canonical_url").collect()
+    )
+    with_bloom = set(
+        r[0] for r in anti_join_seen(cand, seen, bloom).select("canonical_url").collect()
+    )
+    assert exact == with_bloom
+    assert len(exact) == 500
+
+
+def test_cuckoo_insert_contains_delete():
+    cf = CuckooFilter(capacity=1000)
+    xs = [hash(("url", i)) for i in range(500)]
+    for x in xs:
+        assert cf.insert(x)
+    assert all(cf.contains(x) for x in xs)
+    for x in xs[:100]:
+        assert cf.delete(x)
+    # deleted keys are (probabilistically) gone; remaining keys must stay
+    assert all(cf.contains(x) for x in xs[100:])
+    misses = sum(cf.contains(x) for x in xs[:100])
+    assert misses <= 5  # only fingerprint collisions may linger
+
+
+@pytest.mark.parametrize("cap", [10, 100])
+def test_cuckoo_capacity_power_of_two(cap):
+    cf = CuckooFilter(capacity=cap)
+    assert cf.n_buckets & (cf.n_buckets - 1) == 0
