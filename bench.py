@@ -1,0 +1,193 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS], plus the north-rule frontier throughput job —
+one politeness-budgeted frontier epoch (bloom+anti-join dedup → salted
+per-host pop) over a synthetic N-URL frontier — at TWO parallelism levels
+(cpus/4 and cpus) on identical input, reporting URLs scheduled+deduped/sec
+at both and the scaling efficiency between them (the sandbox substitute for
+the N-vs-4N-executor criterion; see BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <urls/sec at full parallelism>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "scaling": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+FRONTIER_N = int(os.environ.get("SPARK_GRAFT_FRONTIER_N", "24000000"))
+# One shuffle-partition count for BOTH parallelism levels: on a real cluster
+# the partitioning is fixed by the data, only the executor count varies.
+SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "128"))
+
+BENCH_QUERIES = [
+    "crawl_bfs_visited",
+    "urlseen_antijoin",
+    "url_kernels",
+    "chunk_documents",
+    "quality_score",
+    "lang_id",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "embedding_topk",
+    "ann_lsh_topk",
+    "embedding_neardup",
+    "events_hourly",
+    "events_sessionize",
+    "image_verify",
+    "rag_pipeline",
+]
+
+
+def _mk_spark(cores: int):
+    from mcp_crawl4ai_rag_spark import get_spark
+
+    os.makedirs("/dev/shm/spark-tmp", exist_ok=True)
+    spark = get_spark(
+        app_name=f"bench-local{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=SHUFFLE_PARTITIONS,
+        extra_conf={
+            # single-node substitutes for cluster-local NVMe shuffle dirs
+            "spark.local.dir": "/dev/shm/spark-tmp",
+            "spark.driver.memory": "32g",
+            # keep post-shuffle parallelism at cluster-like granularity: AQE's
+            # 64MB default advisory coalesces this workload below core count
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def run_queries(spark) -> dict[str, float]:
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.count()  # materialize the full result
+        times[name] = round(time.time() - t0, 2)
+    return times
+
+
+def frontier_epoch(spark, n: int, pop_fraction: float = 0.4) -> tuple[int, float]:
+    """One frontier epoch at scale: n candidate URLs, n/3 already seen,
+    bloom-prefiltered exact dedup, per-host politeness budgets, salted
+    two-phase pop. Returns (candidates processed, elapsed seconds)."""
+    from pyspark.sql import functions as F
+
+    from mcp_crawl4ai_rag_spark.functions.urls import url_hash
+    from mcp_crawl4ai_rag_spark.operators.politeness import (
+        compute_budgets,
+        pop_per_host,
+    )
+    from mcp_crawl4ai_rag_spark.operators.urlseen import anti_join_seen, build_bloom
+
+    parts = SHUFFLE_PARTITIONS
+
+    # Frontier-scale host layout: ~1k hosts (a 10^10-URL frontier has ~10^6+
+    # hosts; per-host pop parallelism comes from host cardinality) with a hot
+    # host carrying ~25% of all URLs to exercise the salted-lane skew path.
+    def urls(ids):
+        i = F.col("id")
+        host_id = F.when(i % 4 == 0, F.lit(0)).otherwise((i % 1021).cast("int"))
+        host = F.concat(F.lit("h"), host_id.cast("string"), F.lit(".example.com"))
+        u = F.concat(F.lit("https://"), host, F.lit("/p/"), i.cast("string"))
+        return ids.select(
+            u.alias("canonical_url"),
+            url_hash(u).alias("url_hash"),
+            host.alias("host"),
+            F.lit("/p/x").alias("path"),
+            (F.col("id") % 4).cast("int").alias("depth"),
+            F.lit(0).alias("priority"),
+            F.col("id").alias("seq"),
+        )
+
+    frontier = urls(spark.range(0, n, 1, parts))
+    url_seen = urls(spark.range(0, n, 3, parts)).select("url_hash", "canonical_url")
+    # warm both inputs so the timed region is the dedup+pop pipeline only
+    frontier = frontier.localCheckpoint(eager=True)
+    url_seen = url_seen.localCheckpoint(eager=True)
+
+    # per-host budget sized to pop ~pop_fraction of the deduped frontier,
+    # hot-host skew included (host 0 carries ~25% of URLs)
+    new_est = n * 2 // 3
+    budget_seconds = (new_est * pop_fraction / 1021) * 2.0  # delay midpoint 2.0s
+
+    t0 = time.time()
+    bloom = build_bloom(url_seen, "url_hash", expected=n // 3)
+    fresh = anti_join_seen(frontier, url_seen, bloom)
+    budgets = compute_budgets(fresh, None, None, epoch_seconds=budget_seconds)
+    popped, deferred = pop_per_host(fresh, budgets)
+    n_popped = popped.count()
+    elapsed = time.time() - t0
+    assert n_popped > 0
+    frontier.unpersist()
+    url_seen.unpersist()
+    return n, elapsed
+
+
+def best_frontier_time(spark, n: int, reps: int = 3) -> float:
+    """Warm up (JIT/codegen), then take the best of ``reps`` runs — the
+    steady-state time, least polluted by GC/page-cache noise."""
+    frontier_epoch(spark, max(n // 8, 100_000))
+    return min(frontier_epoch(spark, n)[1] for _ in range(reps))
+
+
+def main() -> None:
+    spark = _mk_spark(CPUS)
+    qtimes = run_queries(spark)
+    t_hi = best_frontier_time(spark, FRONTIER_N)
+    spark.stop()
+
+    lo_cores = max(CPUS // 4, 1)
+    spark_lo = _mk_spark(lo_cores)
+    t_lo = best_frontier_time(spark_lo, FRONTIER_N)
+    spark_lo.stop()
+    n_hi = n_lo = FRONTIER_N
+
+    thr_hi = n_hi / t_hi
+    thr_lo = n_lo / t_lo
+    speedup = t_lo / t_hi
+    efficiency = speedup / (CPUS / lo_cores)
+
+    print(
+        json.dumps(
+            {
+                "metric": "urls_scheduled_deduped_per_sec",
+                "value": round(thr_hi, 1),
+                "unit": "sec",
+                "queries": qtimes,
+                "sf": float(SF_DIR.rstrip("/").split("sf")[-1]),
+                "scaling": {
+                    "frontier_urls": FRONTIER_N,
+                    "cores_lo": lo_cores,
+                    "cores_hi": CPUS,
+                    "sec_lo": round(t_lo, 2),
+                    "sec_hi": round(t_hi, 2),
+                    "urls_per_sec_lo": round(thr_lo, 1),
+                    "urls_per_sec_hi": round(thr_hi, 1),
+                    "speedup": round(speedup, 3),
+                    "efficiency_vs_4x": round(efficiency, 3),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,243 @@
+"""Document deduplication for training-data pipelines.
+
+Exact (fingerprint group-by), MinHash + LSH banding (near-dup candidate
+generation at scale), and SimHash (hamming-ball near-dup with pigeonhole
+banding). No counterpart in the reference (it dedups only whole URLs,
+src/crawl4ai_mcp.py:980-1004); these are the SURVEY.md training-data
+first-class additions.
+
+Scale shape
+-----------
+- MinHash signatures: one hash-aggregate over the exploded shingle stream —
+  map-side combine makes the shuffle carry only (doc, 16×min) partials, not
+  shingles. Banding turns the quadratic all-pairs problem into an equi-join
+  on (band_idx, band_key): at 10^9 docs the join shuffles only band buckets,
+  and AQE's skew split handles pathological buckets (e.g. boilerplate docs).
+- SimHash pairs: pigeonhole banding — with the 32-bit hash cut into 4 chunks
+  of 8 bits, any pair at hamming distance ≤ 3 must agree on ≥ 1 whole chunk,
+  so candidates come from 4 equi-joins instead of a cross join. Verification
+  (popcount of xor) runs only on candidates.
+
+Hashes are md5-derived (functions/hashing.py) so an independent ANSI-SQL
+oracle reproduces every value bit-for-bit — the DuckDB twins live in
+``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5int64
+from ..functions.text import fingerprint_expr, word_shingles_expr, words_expr
+
+MINHASH_PERMS = 16
+LSH_BANDS = 4
+LSH_ROWS_PER_BAND = 4
+SIMHASH_BITS = 32
+SIMHASH_CHUNKS = 4  # 8 bits each; pigeonhole-safe for max_hamming <= 3
+
+
+def exact_dedup_groups(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(fingerprint, n_docs, canonical_id): one row per distinct normalized
+    content; ``canonical_id`` = min id of the group (the kept copy)."""
+    return (
+        docs.select(
+            F.col(id_col), fingerprint_expr(F.col(text_col)).alias("fingerprint")
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("canonical_id"),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perms: int = MINHASH_PERMS,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, m0..m{P-1}): per-document MinHash signature over distinct k-word
+    shingles. Permutation p is the salted rehash md5int64('mh{p}:' + shingle)
+    — no modular arithmetic, so any engine reproduces it exactly."""
+    shingles = docs.select(
+        F.col(id_col),
+        F.explode(word_shingles_expr(F.col(text_col), shingle_k)).alias("shingle"),
+    )
+    aggs = [
+        F.min(
+            md5int64(F.concat(F.lit(f"mh{p}:"), F.col("shingle")))
+        ).alias(f"m{p}")
+        for p in range(num_perms)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_band_keys(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = LSH_BANDS,
+    rows_per_band: int = LSH_ROWS_PER_BAND,
+) -> DataFrame:
+    """(id, band_idx, band_key): one row per (doc, band); band_key is the md5
+    of the band's signature slice — collision ⇒ the slice matches exactly."""
+    entries = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"m{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*entries)).alias("band")
+    ).select(id_col, F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perms: int = MINHASH_PERMS,
+    bands: int = LSH_BANDS,
+    shingle_k: int = 3,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """(id_a, id_b, jaccard): candidate near-dup pairs from LSH banding,
+    verified with the exact shingle-set Jaccard (computed only on candidates).
+    id_a < id_b; jaccard rounded to 4dp for cross-engine comparison."""
+    rows_per_band = num_perms // bands
+    sigs = minhash_signatures(docs, text_col, id_col, num_perms, shingle_k)
+    bk = lsh_band_keys(sigs, id_col, bands, rows_per_band)
+
+    left = bk.select(
+        F.col(id_col).alias("id_a"), "band_idx", "band_key"
+    )
+    right = bk.select(
+        F.col(id_col).alias("id_b"), "band_idx", "band_key"
+    )
+    cand = (
+        left.join(right, on=["band_idx", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    sets = docs.select(
+        F.col(id_col), word_shingles_expr(F.col(text_col), shingle_k).alias("sh")
+    )
+    out = (
+        cand.join(sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    if min_jaccard > 0.0:
+        out = out.where(F.col("jaccard") >= min_jaccard)
+    return out
+
+
+def simhash_docs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """(id, simhash): SimHash over the document's DISTINCT lowercase tokens.
+    Bit k is set iff sum over tokens of (bit k of md5int64('sh:'+token) ? +1
+    : -1) is > 0. One explode + one hash-aggregate (map-side combined)."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(words_expr(F.col(text_col)))).alias("tok"),
+    ).withColumn("h", md5int64(F.concat(F.lit("sh:"), F.col("tok"))))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{k}")
+        for k in range(bits)
+    ]
+    agged = toks.groupBy(id_col).agg(*aggs)
+    sim = reduce(
+        lambda acc, k: acc
+        + F.when(F.col(f"b{k}") > 0, F.lit(1 << k).cast("long")).otherwise(F.lit(0).cast("long")),
+        range(bits),
+        F.lit(0).cast("long"),
+    )
+    return agged.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+    n_chunks: int = SIMHASH_CHUNKS,
+) -> DataFrame:
+    """(id_a, id_b, hamming): pairs at hamming distance ≤ max_hamming.
+
+    Pigeonhole banding: requires max_hamming < n_chunks so every qualifying
+    pair shares at least one whole chunk — candidates come from chunk
+    equi-joins, never a cross join.
+    """
+    assert max_hamming < n_chunks, "pigeonhole requires max_hamming < n_chunks"
+    chunk_bits = bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+
+    sims = simhash_docs(docs, text_col, id_col, bits)
+    chunks = sims.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_idx"),
+                        F.shiftright(F.col("simhash"), c * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select(id_col, "simhash", F.col("ck.chunk_idx").alias("chunk_idx"), F.col("ck.chunk_val").alias("chunk_val"))
+
+    left = chunks.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk_idx", "chunk_val"
+    )
+    right = chunks.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk_idx", "chunk_val"
+    )
+    return (
+        left.join(right, on=["chunk_idx", "chunk_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

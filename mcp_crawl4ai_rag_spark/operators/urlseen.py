@@ -75,15 +75,29 @@ class BloomFilter:
 
 
 def build_bloom(
-    df: DataFrame, hash_col: str, expected: int | None = None, fpp: float = BLOOM_FPP
+    df: DataFrame,
+    hash_col: str,
+    expected: int | None = None,
+    fpp: float = BLOOM_FPP,
+    fold_partitions: int = 16,
 ) -> BloomFilter:
     """Distributed build: each partition folds its Arrow batches into a local
     bitset (mapInPandas), the driver ORs the per-partition bitsets. One pass,
-    no shuffle; only bitsets cross to the driver."""
+    no shuffle; only bitsets cross to the driver.
+
+    ``fold_partitions`` bounds the number of per-partition bitsets: each fold
+    task carries a FULL m-bit bitset, so cost (alloc + driver collect) is
+    O(partitions × m) while the hashing itself is cheap — coalescing to ~16
+    folds is a ~10x win over folding on 64+ scan partitions. At 10^10-key
+    scale a single bitset stops fitting the driver: shard the bit space by
+    ``pmod(hash, S)`` (repartition by shard, one m/S-bit bitset per shard)
+    so the collect stays O(m) total — same fold body, sharded layout."""
     if expected is None:
         expected = df.count()
     proto = BloomFilter.sized_for(expected, fpp)
     m, k = proto.m, proto.k
+    if fold_partitions:
+        df = df.select(hash_col).coalesce(fold_partitions)
 
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         local = BloomFilter(bits=np.zeros((m + 7) // 8, dtype=np.uint8), m=m, k=k)

@@ -1,0 +1,106 @@
+"""Chunk → embed → store → retrieve: the reference's RAG dataflow.
+
+Re-expresses add_documents_to_supabase (reference src/utils.py:327-516),
+search_documents (src/utils.py:520-592) and get_available_sources
+(src/crawl4ai_mcp.py:1069-1123) as DataFrame pipelines over a
+``crawled_pages``-shaped table:
+
+    (url, chunk_number, content, source, headers, char_count, word_count,
+     crawl_type, embedding array<float>)
+
+unique key (url, chunk_number) — the reference's upsert conflict key
+(crawled_pages.sql:16, src/utils.py:495). ``store_documents`` implements the
+upsert as a keyed overwrite (last-writer-wins within the batch via a window
+rank); against Iceberg this becomes a MERGE INTO on the same key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_MATCH_COUNT
+from ..functions.chunking import explode_chunks, with_section_info
+from ..functions.embedding import embed_query, with_embeddings
+from ..functions.urls import url_host
+from ..functions.vectors import cosine_expr
+
+
+def build_chunks(
+    docs: DataFrame,
+    url_col: str = "url",
+    text_col: str = "markdown",
+    chunk_size: int = 5000,
+    crawl_type: str = "webpage",
+) -> DataFrame:
+    """Documents → one row per chunk with the reference's metadata columns
+    (src/crawl4ai_mcp.py:396-402: chunk_index, url, source, crawl_type +
+    section info)."""
+    chunks = explode_chunks(docs, text_col=text_col, chunk_size=chunk_size)
+    chunks = with_section_info(chunks, "content")
+    return chunks.withColumn("source", url_host(F.col(url_col))).withColumn(
+        "crawl_type", F.lit(crawl_type)
+    )
+
+
+def embed_chunks(chunks: DataFrame) -> DataFrame:
+    return with_embeddings(chunks, text_col="content", out_col="embedding")
+
+
+def store_documents(existing: DataFrame | None, batch: DataFrame) -> DataFrame:
+    """Idempotent upsert on (url, chunk_number) — reference src/utils.py:
+    493-500. New batch rows replace existing rows with the same key."""
+    if existing is None:
+        return batch.dropDuplicates(["url", "chunk_number"])
+    keyed = existing.withColumn("__gen", F.lit(0)).unionByName(
+        batch.withColumn("__gen", F.lit(1))
+    )
+    w = Window.partitionBy("url", "chunk_number").orderBy(F.desc("__gen"))
+    return (
+        keyed.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .drop("__gen", "__rk")
+    )
+
+
+def search_documents(
+    store: DataFrame,
+    query: str,
+    match_count: int = DEFAULT_MATCH_COUNT,
+    source_filter: str | None = None,
+    contextual: bool = False,
+    dim: int | None = None,
+) -> DataFrame:
+    """Top-k chunks by cosine similarity to the embedded query — the
+    perform_rag_query path (reference src/crawl4ai_mcp.py:1125-1214;
+    similarity = 1 - cosine distance, crawled_pages.sql:57). Metadata filter
+    becomes a pushed-down column predicate."""
+    kwargs = {"dim": dim} if dim else {}
+    qv = embed_query(query, contextual=contextual, **kwargs)
+    df = store
+    if source_filter is not None:
+        df = df.where(F.col("source") == source_filter)
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    return (
+        df.select(
+            "url",
+            "chunk_number",
+            "content",
+            "source",
+            F.round(cosine_expr(F.col("embedding"), q), 4).alias("similarity"),
+        )
+        .orderBy(F.desc("similarity"), F.col("url"), F.col("chunk_number"))
+        .limit(match_count)
+    )
+
+
+def available_sources(store: DataFrame, limit: int = 1000) -> DataFrame:
+    """Distinct non-null sources, sorted, capped — reference
+    get_available_sources (src/crawl4ai_mcp.py:1096-1112)."""
+    return (
+        store.select("source")
+        .where(F.col("source").isNotNull())
+        .distinct()
+        .orderBy("source")
+        .limit(limit)
+    )

@@ -1,0 +1,111 @@
+"""Dedup operators: exact fingerprint, MinHash+LSH, SimHash.
+
+Differential strategy: each Spark result is checked against a plain-Python
+oracle implementing the same published algorithm over the same md5-derived
+hashes (functions/hashing.py guarantees hash parity across engines)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from mcp_crawl4ai_rag_spark.functions.hashing import md5int64, py_md5int64
+from mcp_crawl4ai_rag_spark.operators.dedup import (
+    MINHASH_PERMS,
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash_docs,
+    simhash_pairs,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bend"),
+    (2, "completely different words about spark partitions and shuffles here"),
+    (3, "the quick brown fox jumps over the lazy dog near the river bank"),  # dup of 0
+    (4, "words about spark partitions and shuffles here but reordered text"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _py_tokens(text):
+    return text.lower().split()
+
+
+def _py_shingles(text, k=3):
+    w = _py_tokens(text)
+    idx = range(0, max(len(w) - k, 0) + 1)
+    return list(dict.fromkeys(" ".join(w[i : i + k]) for i in idx))
+
+
+def test_md5int64_parity(spark):
+    df = spark.createDataFrame([("abc",), ("",), ("héllo wörld",)], "s string")
+    got = {r["s"]: r["h"] for r in df.select("s", md5int64(F.col("s")).alias("h")).collect()}
+    for s, h in got.items():
+        assert h == py_md5int64(s)
+        assert h == int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_exact_dedup_groups(docs_df):
+    rows = {r["canonical_id"]: r["n_docs"] for r in exact_dedup_groups(docs_df).collect()}
+    assert rows[0] == 2  # docs 0 and 3 identical
+    assert 3 not in rows  # represented by canonical 0
+    assert rows[1] == 1 and rows[2] == 1 and rows[4] == 1
+
+
+def test_minhash_signature_matches_python_oracle(docs_df):
+    sigs = {r["doc_id"]: r for r in minhash_signatures(docs_df).collect()}
+    for doc_id, text in DOCS:
+        sh = _py_shingles(text)
+        for p in range(MINHASH_PERMS):
+            expected = min(py_md5int64(f"mh{p}:{s}") for s in sh)
+            assert sigs[doc_id][f"m{p}"] == expected, (doc_id, p)
+
+
+def test_minhash_lsh_finds_dups_with_exact_jaccard(docs_df):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in minhash_lsh_pairs(docs_df).collect()}
+    # identical docs always collide in every band, jaccard 1.0
+    assert pairs[(0, 3)] == 1.0
+    # near-identical docs (one word changed) collide with high jaccard
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.7
+    # jaccard values are the exact set jaccard
+    for (a, b), j in pairs.items():
+        sa, sb = set(_py_shingles(dict(DOCS)[a])), set(_py_shingles(dict(DOCS)[b]))
+        assert j == round(len(sa & sb) / len(sa | sb), 4)
+
+
+def _py_simhash(text, bits=32):
+    toks = list(dict.fromkeys(_py_tokens(text)))
+    val = 0
+    for k in range(bits):
+        s = sum(1 if (py_md5int64(f"sh:{t}") >> k) & 1 else -1 for t in toks)
+        if s > 0:
+            val |= 1 << k
+    return val
+
+
+def test_simhash_matches_python_oracle(docs_df):
+    got = {r["doc_id"]: r["simhash"] for r in simhash_docs(docs_df).collect()}
+    for doc_id, text in DOCS:
+        assert got[doc_id] == _py_simhash(text), doc_id
+
+
+def test_simhash_pairs_equals_bruteforce(docs_df):
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(docs_df).collect()}
+    sims = {d: _py_simhash(t) for d, t in DOCS}
+    expected = {}
+    ids = sorted(sims)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin(sims[a] ^ sims[b]).count("1")
+            if h <= 3:
+                expected[(a, b)] = h
+    assert got == expected
+    assert got[(0, 3)] == 0  # identical docs

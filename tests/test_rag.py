@@ -1,0 +1,80 @@
+"""RAG store/query plan: chunk → embed → upsert → top-k retrieve
+(reference add_documents_to_supabase / search_documents semantics)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mcp_crawl4ai_rag_spark.functions.embedding import embed_query, embed_text
+from mcp_crawl4ai_rag_spark.plans.rag import (
+    available_sources,
+    build_chunks,
+    search_documents,
+    store_documents,
+)
+from mcp_crawl4ai_rag_spark.functions.embedding import with_embeddings
+
+DIM = 32
+
+
+@pytest.fixture(scope="module")
+def store(spark):
+    docs = spark.createDataFrame(
+        [
+            ("https://a.example.com/x", "alpha content about spark joins. " * 30),
+            ("https://a.example.com/y", "beta content about python udfs. " * 30),
+            ("https://b.example.com/z", "gamma content about bloom filters. " * 30),
+        ],
+        "url string, markdown string",
+    )
+    chunks = build_chunks(docs, chunk_size=300)
+    return store_documents(None, with_embeddings(chunks, text_col="content", dim=DIM))
+
+
+def test_chunks_have_reference_metadata(store):
+    cols = set(store.columns)
+    assert {"url", "chunk_number", "content", "source", "headers",
+            "char_count", "word_count", "crawl_type", "embedding"} <= cols
+    r = store.where(F.col("chunk_number") == 0).head()
+    assert r["source"] in ("a.example.com", "b.example.com")
+    assert len(r["embedding"]) == DIM
+
+
+def test_upsert_replaces_on_key(store, spark):
+    replacement = store.limit(1).withColumn("content", F.lit("REPLACED"))
+    merged = store_documents(store, replacement)
+    assert merged.count() == store.count()  # same keys, no growth
+    key = replacement.select("url", "chunk_number").head()
+    got = merged.where(
+        (F.col("url") == key["url"]) & (F.col("chunk_number") == key["chunk_number"])
+    ).collect()
+    assert len(got) == 1 and got[0]["content"] == "REPLACED"
+
+
+def test_search_topk_and_source_filter(store):
+    # query identical to stored content → its chunk must rank first with sim 1.0
+    target = store.orderBy("url", "chunk_number").head()
+    hits = search_documents(
+        store, target["content"], match_count=3, dim=DIM
+    ).collect()
+    assert hits[0]["url"] == target["url"]
+    assert hits[0]["chunk_number"] == target["chunk_number"]
+    assert hits[0]["similarity"] == 1.0
+
+    only_b = search_documents(
+        store, "anything", match_count=10, source_filter="b.example.com", dim=DIM
+    ).collect()
+    assert only_b and all(h["source"] == "b.example.com" for h in only_b)
+
+
+def test_contextual_query_prefix_changes_embedding():
+    assert embed_query("q", contextual=True, dim=DIM) != embed_query(
+        "q", contextual=False, dim=DIM
+    )
+    assert embed_query("q", dim=DIM) == list(embed_text("q", DIM))
+
+
+def test_available_sources_sorted_distinct(store):
+    got = [r["source"] for r in available_sources(store).collect()]
+    assert got == ["a.example.com", "b.example.com"]

@@ -1,0 +1,85 @@
+"""Similarity search: brute-force cosine top-k, LSH-bucketed ANN, near-dup
+pairs. Numpy is the arithmetic oracle (float64, rounded like the engine)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mcp_crawl4ai_rag_spark.operators.similarity import (
+    brute_topk,
+    bucket_expr,
+    cosine_pairs,
+    hyperplane,
+)
+
+DIM = 16
+N = 50
+
+
+def _vecs():
+    rng = np.random.Generator(np.random.PCG64(7))
+    return rng.standard_normal((N, DIM)).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    v = _vecs()
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v[i]]) for i in range(N)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def _np_cos(a, b):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+def test_brute_topk_matches_numpy(embs):
+    v = _vecs()
+    q = [float(x) for x in v[0]]
+    got = [(r["vec_id"], r["sim"]) for r in brute_topk(embs, q, 5).collect()]
+    sims = sorted(
+        ((i, round(_np_cos(v[i], q), 4)) for i in range(N)),
+        key=lambda t: (-t[1], t[0]),
+    )[:5]
+    assert got == sims
+    assert got[0] == (0, 1.0)  # query is row 0 itself
+
+
+def test_bucket_expr_matches_python(embs):
+    v = _vecs()
+    got = {
+        r["vec_id"]: r["b"]
+        for r in embs.select(
+            "vec_id", bucket_expr(F.col("embedding"), DIM, 4).alias("b")
+        ).collect()
+    }
+    for i in range(N):
+        expected = 0
+        for p in range(4):
+            plane = np.asarray(hyperplane(p, DIM), np.float64)
+            # same left-fold order as the engine: sequential sum
+            acc = 0.0
+            for x, w in zip(v[i], plane):
+                acc += float(x) * w
+            if acc > 0:
+                expected |= 1 << p
+        assert got[i] == expected, i
+
+
+def test_cosine_pairs_threshold(embs, spark):
+    # add an exact duplicate of vec 7 → sim 1.0 pair must surface
+    v = _vecs()
+    dup = spark.createDataFrame(
+        [(999, [float(x) for x in v[7]])], "vec_id long, embedding array<float>"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in cosine_pairs(embs.unionByName(dup), 0.99, id_col="vec_id").collect()
+    }
+    assert pairs[(7, 999)] == 1.0
+    # no random 16-dim pair from N(0,1) reaches 0.99
+    assert all(a == 7 and b == 999 for (a, b) in pairs)
