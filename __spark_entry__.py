@@ -68,13 +68,16 @@ from mcp_crawl4ai_rag_spark.plans.rag import (
     search_documents,
     store_documents,
 )
+from mcp_crawl4ai_rag_spark.plans.smart import smart_crawl
 from mcp_crawl4ai_rag_spark.sources import corpus as C
 from mcp_crawl4ai_rag_spark.sources.corpus import (
     gen_images,
     gen_pages,
     gen_robots,
     gen_seeds,
+    gen_sitemaps,
 )
+from mcp_crawl4ai_rag_spark.sources.sitemap import expand_sitemaps
 from mcp_crawl4ai_rag_spark.functions.images import verify_images
 
 # ---------------------------------------------------------------------------
@@ -263,6 +266,29 @@ def q_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
         is_binary_url(F.col("url")).cast("int").alias("is_binary"),
         classify_url(F.col("url")).alias("url_class"),
     )
+
+
+def q_sitemap_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: recursive sitemap-index expansion (gzip + XML inside Arrow
+    batches) — flattened page-URL set of host 1's sitemap tree."""
+    n = _lineitem_count(spark, sf_dir)
+    return expand_sitemaps(
+        spark, gen_sitemaps(spark, n), ["https://h1.example.com/sitemap_index.xml"]
+    ).select(F.col("url").alias("canonical_url"))
+
+
+def q_smart_crawl_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship dispatch (smart_crawl_url): sitemap classify → expand →
+    prefix filter → robots-gated batch fetch; returns fetched page URLs."""
+    n = _lineitem_count(spark, sf_dir)
+    res = smart_crawl(
+        spark,
+        "https://h1.example.com/sitemap_index.xml",
+        pages=gen_pages(spark, n),
+        sitemaps=gen_sitemaps(spark, n),
+        robots=gen_robots(spark),
+    )
+    return res.fetched.select("canonical_url")
 
 
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -509,6 +535,25 @@ SELECT id,
             WHEN id % 5 = 3 THEN 'sitemap'
             ELSE 'webpage' END AS url_class
 FROM (SELECT unnest(generate_series(0, 1999)) AS id)
+"""
+
+
+def _oracle_sitemap_expand() -> str:
+    # host(i)=1 ⇔ i%HOT_HOST_MOD≠0 AND i%N_HOSTS=1; the sitemap tree of host
+    # h flattens to exactly that host's page set (corpus.gen_sitemaps).
+    return f"""
+SELECT {C.oracle_url_sql('i')} AS canonical_url
+FROM (SELECT unnest(generate_series(0, {N_SQL} - 1)) AS i)
+WHERE i % {C.HOT_HOST_MOD} <> 0 AND i % {C.N_HOSTS} = 1
+"""
+
+
+def _oracle_smart_crawl_sitemap() -> str:
+    return f"""
+SELECT {C.oracle_url_sql('i')} AS canonical_url
+FROM (SELECT unnest(generate_series(0, {N_SQL} - 1)) AS i)
+WHERE i % {C.HOT_HOST_MOD} <> 0 AND i % {C.N_HOSTS} = 1
+  AND {C.oracle_expandable_sql('i')}
 """
 
 
@@ -800,6 +845,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_budgets": q_politeness_budgets,
         "urlseen_antijoin": q_urlseen_antijoin,
         "url_kernels": q_url_kernels,
+        "sitemap_expand": q_sitemap_expand,
+        "smart_crawl_sitemap": q_smart_crawl_sitemap,
         "chunk_documents": q_chunk_documents,
         "doc_token_stats": q_doc_token_stats,
         "lang_id": q_lang_id,
@@ -825,6 +872,8 @@ def oracle_sql() -> dict[str, str]:
         "politeness_budgets": _oracle_politeness_budgets(),
         "urlseen_antijoin": _oracle_urlseen_antijoin(),
         "url_kernels": _oracle_url_kernels(),
+        "sitemap_expand": _oracle_sitemap_expand(),
+        "smart_crawl_sitemap": _oracle_smart_crawl_sitemap(),
         "chunk_documents": _oracle_chunk_documents(),
         "doc_token_stats": _oracle_doc_token_stats(),
         "lang_id": _oracle_lang_id(),

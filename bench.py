@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-FRONTIER_N = int(os.environ.get("SPARK_GRAFT_FRONTIER_N", "24000000"))
+FRONTIER_N = int(os.environ.get("SPARK_GRAFT_FRONTIER_N", "16000000"))
 # One shuffle-partition count for BOTH parallelism levels: on a real cluster
 # the partitioning is fixed by the data, only the executor count varies.
 SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "128"))
@@ -141,22 +141,61 @@ def frontier_epoch(spark, n: int, pop_fraction: float = 0.4) -> tuple[int, float
     return n, elapsed
 
 
-def best_frontier_time(spark, n: int, reps: int = 3) -> float:
+def best_frontier_time(spark, n: int, reps: int = 2) -> float:
     """Warm up (JIT/codegen), then take the best of ``reps`` runs — the
     steady-state time, least polluted by GC/page-cache noise."""
     frontier_epoch(spark, max(n // 8, 100_000))
     return min(frontier_epoch(spark, n)[1] for _ in range(reps))
 
 
+def kernel_scan_time(spark, n: int, reps: int = 2) -> float:
+    """Compute-bound scaling probe: URL canonicalize + classify + binary
+    filter + hash over n generated URLs, whole-stage codegen, no shuffle.
+    Separates CPU scaling from the shuffle/memory-bandwidth-bound profile of
+    the full epoch (single-node local mode shares one memory bus; a real
+    cluster adds bandwidth with every executor node)."""
+    from pyspark.sql import functions as F
+
+    from mcp_crawl4ai_rag_spark.functions.urls import (
+        canonical_url,
+        classify_url,
+        is_binary_url,
+        url_hash,
+    )
+
+    def job():
+        i = F.col("id")
+        u = F.concat(
+            F.lit("https://h"), (i % 997).cast("string"), F.lit(".example.com/p/"),
+            i.cast("string"),
+            F.when(i % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        )
+        df = spark.range(0, n, 1, SHUFFLE_PARTITIONS).select(u.alias("url"))
+        c = canonical_url(F.col("url"))
+        t0 = time.time()
+        df.where(~is_binary_url(F.col("url"))).select(
+            F.pmod(url_hash(c), F.lit(1000)).alias("h"),
+            classify_url(c).alias("k"),
+        ).groupBy("k").agg(F.sum("h")).collect()
+        return time.time() - t0
+
+    job()  # warm
+    return min(job() for _ in range(reps))
+
+
 def main() -> None:
+    kernel_n = FRONTIER_N * 4
+
     spark = _mk_spark(CPUS)
     qtimes = run_queries(spark)
     t_hi = best_frontier_time(spark, FRONTIER_N)
+    k_hi = kernel_scan_time(spark, kernel_n)
     spark.stop()
 
     lo_cores = max(CPUS // 4, 1)
     spark_lo = _mk_spark(lo_cores)
     t_lo = best_frontier_time(spark_lo, FRONTIER_N)
+    k_lo = kernel_scan_time(spark_lo, kernel_n)
     spark_lo.stop()
     n_hi = n_lo = FRONTIER_N
 
@@ -183,6 +222,11 @@ def main() -> None:
                     "urls_per_sec_hi": round(thr_hi, 1),
                     "speedup": round(speedup, 3),
                     "efficiency_vs_4x": round(efficiency, 3),
+                    "kernel_scan_urls": kernel_n,
+                    "kernel_sec_lo": round(k_lo, 2),
+                    "kernel_sec_hi": round(k_hi, 2),
+                    "kernel_speedup": round(k_lo / k_hi, 3),
+                    "kernel_efficiency_vs_4x": round(k_lo / k_hi / (CPUS / lo_cores), 3),
                 },
             }
         )

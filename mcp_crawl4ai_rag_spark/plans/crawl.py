@@ -186,6 +186,10 @@ class CrawlEngine:
         found = pages.join(F.broadcast(batch), "canonical_url", "inner").withColumn(
             "success", F.col("success") & F.col("markdown").isNotNull()
         )
+        # found is batch-bounded (≤ popped rows, ≪ corpus): checkpoint it so
+        # the corpus is scanned ONCE per epoch — without this, the not-found
+        # recovery below re-derives `found` and re-scans the corpus.
+        found = found.localCheckpoint(eager=True)
         missing = batch.join(
             F.broadcast(found.select("canonical_url")), "canonical_url", "left_anti"
         ).select(

@@ -232,6 +232,81 @@ def gen_images(spark: SparkSession, n: int, partitions: int = 32) -> DataFrame:
     return base.mapInPandas(gen, schema=IMAGES_SCHEMA)
 
 
+SITEMAPS_PER_HOST = 3
+
+
+def gen_sitemaps(spark: SparkSession, n: int, partitions: int = 32) -> DataFrame:
+    """Sitemap corpus (url, body binary): per host, one ``sitemap_index.xml``
+    pointing at SITEMAPS_PER_HOST gzipped ``sitemap_{k}.xml.gz`` files, which
+    list the host's pages with ``i % SITEMAPS_PER_HOST == k``. The flattened
+    expansion of host h's index is therefore exactly {url(i) : host(i) = h} —
+    SQL-reproducible without XML (the oracle's contract)."""
+    from pyspark.sql.types import BinaryType
+
+    i = F.col("id")
+    host = _host_expr(i)
+    entries = spark.range(0, n, 1, partitions).select(
+        host.alias("h"),
+        (i % SITEMAPS_PER_HOST).alias("k"),
+        i.alias("id"),
+        F.concat(F.lit("<url><loc>"), _url_expr(i), F.lit("</loc></url>")).alias("e"),
+    )
+    urlsets = entries.groupBy("h", "k").agg(
+        F.concat(
+            F.lit('<?xml version="1.0"?><urlset>'),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("id", "e"))), lambda s: s["e"]
+                ),
+                "",
+            ),
+            F.lit("</urlset>"),
+        ).alias("xml")
+    )
+
+    @F.pandas_udf(BinaryType())
+    def _gz(xmls: pd.Series) -> pd.Series:
+        import gzip
+
+        return xmls.map(lambda x: gzip.compress(x.encode("utf-8"), 6))
+
+    sub = urlsets.select(
+        F.concat(
+            F.lit("https://h"), F.col("h").cast("string"),
+            F.lit(".example.com/sitemap_"), F.col("k").cast("string"), F.lit(".xml.gz"),
+        ).alias("url"),
+        _gz(F.col("xml")).alias("body"),
+    )
+
+    hosts = spark.range(0, N_HOSTS).select(F.col("id").alias("h"))
+    idx_entries = F.concat_ws(
+        "",
+        F.array(
+            *[
+                F.concat(
+                    F.lit("<sitemap><loc>https://h"), F.col("h").cast("string"),
+                    F.lit(f".example.com/sitemap_{k}.xml.gz</loc></sitemap>"),
+                )
+                for k in range(SITEMAPS_PER_HOST)
+            ]
+        ),
+    )
+    index = hosts.select(
+        F.concat(
+            F.lit("https://h"), F.col("h").cast("string"),
+            F.lit(".example.com/sitemap_index.xml"),
+        ).alias("url"),
+        F.encode(
+            F.concat(
+                F.lit('<?xml version="1.0"?><sitemapindex>'), idx_entries,
+                F.lit("</sitemapindex>"),
+            ),
+            "utf-8",
+        ).alias("body"),
+    )
+    return sub.unionByName(index)
+
+
 def gen_seeds(spark: SparkSession, n: int, n_hosts: int = N_HOSTS) -> DataFrame:
     rows = [
         (url_of(s, n_hosts), 0, 0, k) for k, s in enumerate(SEED_IDS) if s < n

@@ -1,0 +1,104 @@
+"""Sitemap source: recursive sitemap-index expansion (SURVEY.md §2.1 S3).
+
+Re-expresses the reference's ``parse_sitemap`` (src/crawl4ai_mcp.py:175-229):
+fetch a sitemap URL, gunzip ``.xml.gz`` payloads (:200-205), XML-parse
+(:207), recurse into ``<sitemap>`` index entries depth-capped at
+SITEMAP_MAX_DEPTH=2 (:43,210-217), collect ``<loc>`` page URLs (:220).
+
+Spark shape: a driver-side loop of at most SITEMAP_MAX_DEPTH+1 levels; each
+level joins the pending sitemap URLs against the sitemap corpus (broadcast —
+the pending set is tiny vs the corpus scan, mirroring the page fetch-join)
+and parses the fetched bodies in one Arrow-batched ``mapInPandas`` stage
+(gzip + ElementTree per body, never per row crossing into Python
+individually). At real scale the join body swaps for an HTTP fetch stage
+with the identical schema.
+"""
+
+from __future__ import annotations
+
+import gzip
+import xml.etree.ElementTree as ET
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import SITEMAP_MAX_DEPTH
+
+ENTRY_SCHEMA = "sitemap_url string, kind string, loc string"
+
+
+def parse_sitemap_bodies(fetched: DataFrame) -> DataFrame:
+    """(url, body binary) → one row per ``<loc>`` entry with kind
+    'sitemap' (index entry) or 'url' (page entry). Gzip-sniffs the payload
+    like the reference does for ``.xml.gz`` (src/crawl4ai_mcp.py:200-205);
+    malformed XML yields no entries (reference swallows parse errors)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, body in zip(pdf["url"], pdf["body"]):
+                data = bytes(body)
+                if data[:2] == b"\x1f\x8b":
+                    data = gzip.decompress(data)
+                try:
+                    root = ET.fromstring(data)
+                except ET.ParseError:
+                    continue
+                for child in root:
+                    tag = child.tag.rsplit("}", 1)[-1]
+                    loc = child.find("loc")
+                    if loc is None:
+                        # namespaced children
+                        for sub in child:
+                            if sub.tag.rsplit("}", 1)[-1] == "loc":
+                                loc = sub
+                                break
+                    if loc is not None and loc.text:
+                        rows.append(
+                            (url, "sitemap" if tag == "sitemap" else "url", loc.text.strip())
+                        )
+            yield pd.DataFrame(rows, columns=["sitemap_url", "kind", "loc"])
+
+    return fetched.select("url", "body").mapInPandas(gen, schema=ENTRY_SCHEMA)
+
+
+def expand_sitemaps(
+    spark: SparkSession,
+    sitemap_corpus: DataFrame,
+    seed_sitemap_urls: list[str],
+    max_depth: int = SITEMAP_MAX_DEPTH,
+) -> DataFrame:
+    """Recursively expand sitemap URLs to the distinct page-URL set.
+
+    ``sitemap_corpus``: (url, body binary) — what fetching a sitemap URL
+    returns. Depth semantics follow the reference exactly: entries found in
+    a sitemap fetched at depth d recurse only while d < max_depth
+    (src/crawl4ai_mcp.py:210-217); page ``<loc>`` entries are collected at
+    every depth.
+    """
+    pending = spark.createDataFrame(
+        [(u,) for u in seed_sitemap_urls], "url string"
+    ).dropDuplicates(["url"])
+    page_parts: list[DataFrame] = []
+    for depth in range(max_depth + 1):
+        if pending.isEmpty():
+            break
+        fetched = sitemap_corpus.join(F.broadcast(pending), "url", "inner")
+        entries = parse_sitemap_bodies(fetched).localCheckpoint(eager=True)
+        page_parts.append(entries.where(F.col("kind") == "url").select(F.col("loc")))
+        if depth < max_depth:
+            pending = (
+                entries.where(F.col("kind") == "sitemap")
+                .select(F.col("loc").alias("url"))
+                .dropDuplicates(["url"])
+            )
+        else:
+            pending = pending.limit(0)
+    if not page_parts:
+        return spark.createDataFrame([], "loc string").select(F.col("loc").alias("url"))
+    out = page_parts[0]
+    for p in page_parts[1:]:
+        out = out.unionByName(p)
+    return out.select(F.col("loc").alias("url")).dropDuplicates(["url"])

@@ -1,0 +1,112 @@
+"""Sitemap source (S3) + smart-crawl dispatch differential tests.
+
+Oracle: the corpus formulas (sources/corpus.py) — host h's sitemap tree
+flattens to exactly {url(i) : host(i)=h}; the smart sitemap crawl fetches
+the expandable subset of it."""
+
+from __future__ import annotations
+
+import pytest
+
+from mcp_crawl4ai_rag_spark.plans.smart import smart_crawl
+from mcp_crawl4ai_rag_spark.sources.corpus import (
+    gen_pages,
+    gen_robots,
+    gen_sitemaps,
+    host_of,
+    status_of,
+    url_of,
+)
+from mcp_crawl4ai_rag_spark.sources.sitemap import expand_sitemaps
+
+N = 400
+
+
+@pytest.fixture(scope="module")
+def sitemaps(spark):
+    return gen_sitemaps(spark, N, partitions=8).localCheckpoint(eager=True)
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return gen_pages(spark, N, partitions=8).localCheckpoint(eager=True)
+
+
+def test_expand_matches_formula(spark, sitemaps):
+    got = {
+        r["url"]
+        for r in expand_sitemaps(
+            spark, sitemaps, ["https://h3.example.com/sitemap_index.xml"]
+        ).collect()
+    }
+    expected = {url_of(i) for i in range(N) if host_of(i) == 3}
+    assert got == expected and got
+
+
+def test_expand_depth_cap(spark, sitemaps):
+    # depth cap 0: the index is fetched but its sub-sitemaps are not
+    got = expand_sitemaps(
+        spark, sitemaps, ["https://h3.example.com/sitemap_index.xml"], max_depth=0
+    ).collect()
+    assert got == []  # index contains only <sitemap> entries, no page urls
+
+
+def test_expand_direct_urlset(spark, sitemaps):
+    # seeding a leaf sitemap yields only its own partition of the host pages
+    got = {
+        r["url"]
+        for r in expand_sitemaps(
+            spark, sitemaps, ["https://h3.example.com/sitemap_1.xml.gz"]
+        ).collect()
+    }
+    expected = {url_of(i) for i in range(N) if host_of(i) == 3 and i % 3 == 1}
+    assert got == expected and got
+
+
+def test_smart_crawl_sitemap_fetches_expandable_hostset(spark, pages, sitemaps):
+    res = smart_crawl(
+        spark,
+        "https://h2.example.com/sitemap_index.xml",
+        pages=pages,
+        sitemaps=sitemaps,
+        robots=gen_robots(spark),
+    )
+    got = {r["canonical_url"] for r in res.fetched.collect()}
+    expected = {
+        url_of(i)
+        for i in range(N)
+        if host_of(i) == 2 and status_of(i) == 200 and i % 41 != 0
+    }
+    assert got == expected and got
+    # robots-denied and failed URLs were still consumed (url_seen ⊇ fetched)
+    seen = {r["canonical_url"] for r in res.url_seen.collect()}
+    assert seen == {url_of(i) for i in range(N) if host_of(i) == 2}
+
+
+def test_smart_crawl_txt_single_fetch(spark, sitemaps):
+    # a .txt corpus entry: single fetch, no link following
+    from pyspark.sql import functions as F
+
+    txt_pages = spark.createDataFrame(
+        [
+            (
+                "https://h0.example.com/readme.txt",
+                "h0.example.com",
+                "/readme.txt",
+                "plain text body",
+                ["https://h0.example.com/p/1"],  # must NOT be followed
+                [],
+                200,
+                True,
+            )
+        ],
+        "url string, host string, path string, markdown string, "
+        "out_links array<string>, image_ids array<string>, status int, success boolean",
+    )
+    res = smart_crawl(
+        spark, "https://h0.example.com/readme.txt", pages=txt_pages, sitemaps=sitemaps
+    )
+    assert [r["canonical_url"] for r in res.fetched.collect()] == [
+        "https://h0.example.com/readme.txt"
+    ]
+    assert res.url_seen.count() == 1  # the linked page was never scheduled
