@@ -75,7 +75,12 @@ def embed_texts_mapinpandas(
     """mapInPandas variant — the shape a remote-API embedder needs (one
     client per partition, batched requests; reference EMBEDDING_BATCH_SIZE
     twins ``spark.sql.execution.arrow.maxRecordsPerBatch``)."""
-    schema_out = df.schema.add(out_col, ArrayType(FloatType()))
+    from pyspark.sql.types import StructField, StructType
+
+    # copy — StructType.add mutates the DataFrame's cached schema object
+    schema_out = StructType(
+        df.schema.fields + [StructField(out_col, ArrayType(FloatType()))]
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -91,3 +96,109 @@ def embed_query(query: str, contextual: bool = False, dim: int = EMBEDDING_DIM) 
     search prompt (src/utils.py:552-561)."""
     text = (QUERY_CONTEXT_PREFIX + query) if contextual else query
     return embed_text(text[:MAX_DOCUMENT_LENGTH], dim).tolist()
+
+
+# ---------------------------------------------------------------------------
+# E3: contextual embedding enrichment (reference src/utils.py:227-325)
+# ---------------------------------------------------------------------------
+
+CONTEXT_DOC_PREFIX_CHARS = 150  # stand-in context = document head
+
+
+def _situating_context(full_document: str, chunk: str) -> str:
+    # Deterministic stand-in for the reference's LLM-written situating
+    # context (src/utils.py:268-303): the document head identifies the doc.
+    head = " ".join(full_document[:CONTEXT_DOC_PREFIX_CHARS].split())
+    return f"Context: {head}"
+
+
+def with_contextual_text(
+    df: DataFrame,
+    doc_col: str = "markdown",
+    chunk_col: str = "content",
+    out_col: str = "contextual_content",
+    enabled: bool | None = None,
+) -> DataFrame:
+    """Optional contextual-enrichment stage: ``out_col`` =
+    ``f"{context}\\n---\\n{chunk}"`` (reference src/utils.py:217,319), the
+    text that then feeds the embedder instead of the raw chunk.
+
+    Env-gated exactly like the reference (``MODEL_CHOICE``,
+    src/utils.py:237-241): disabled → ``out_col`` = the raw chunk (the
+    reference's fallback path). The enrich body is a mapInPandas batch stage
+    — swapping the stub for a real LLM call touches only
+    ``_situating_context``.
+    """
+    import os as _os
+
+    if enabled is None:
+        enabled = bool(_os.environ.get("MODEL_CHOICE"))
+    if not enabled:
+        return df.withColumn(out_col, F.col(chunk_col))
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    # NB: StructType.add mutates in place — never call it on df.schema (the
+    # DataFrame caches that object); build a copy instead.
+    schema_out = StructType(df.schema.fields + [StructField(out_col, StringType())])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf[out_col] = [
+                f"{_situating_context(doc or '', ch or '')}\n---\n{ch or ''}"
+                for doc, ch in zip(pdf[doc_col], pdf[chunk_col])
+            ]
+            yield pdf
+
+    return df.mapInPandas(gen, schema=schema_out)
+
+
+# ---------------------------------------------------------------------------
+# E5: retry with exponential backoff (reference src/utils.py:56-131)
+# ---------------------------------------------------------------------------
+
+# Substrings that mark an error as non-retryable (reference classification,
+# src/utils.py:56-76: auth failures and invalid-model errors fail fast).
+CRITICAL_ERROR_MARKERS = (
+    "401", "403", "invalid_api_key", "model_not_found", "invalid model",
+    "authentication", "permission",
+)
+RETRY_MAX_RETRIES = 3
+RETRY_BASE_DELAY = 1.0
+RETRY_JITTER_FRAC = 0.1
+
+
+def is_critical_error(exc: Exception) -> bool:
+    msg = str(exc).lower()
+    return any(m in msg for m in CRITICAL_ERROR_MARKERS)
+
+
+def retry_with_backoff(
+    fn,
+    *args,
+    max_retries: int = RETRY_MAX_RETRIES,
+    base_delay: float = RETRY_BASE_DELAY,
+    sleep=None,
+    **kwargs,
+):
+    """Call ``fn`` with the reference's retry policy: up to ``max_retries``
+    retries, delay base_delay × 2^attempt + 10% deterministic jitter;
+    critical errors (auth / invalid model) are never retried and re-raise
+    immediately. ``sleep`` is injectable for tests. Runs INSIDE UDF bodies
+    (per Arrow batch), layered under Spark's own ``spark.task.maxFailures``.
+    """
+    import time as _time
+
+    do_sleep = sleep if sleep is not None else _time.sleep
+    attempt = 0
+    while True:
+        try:
+            return fn(*args, **kwargs)
+        except Exception as exc:
+            if is_critical_error(exc) or attempt >= max_retries:
+                raise
+            delay = base_delay * (2**attempt)
+            # deterministic jitter: seeded by attempt, not wall clock
+            delay += delay * RETRY_JITTER_FRAC * ((attempt * 2654435761 % 100) / 100)
+            do_sleep(delay)
+            attempt += 1

@@ -121,7 +121,10 @@ def minhash_lsh_pairs(
     verified with the exact shingle-set Jaccard (computed only on candidates).
     id_a < id_b; jaccard rounded to 4dp for cross-engine comparison."""
     rows_per_band = num_perms // bands
+    # signatures are one compact row per doc — materialize them so the band
+    # self-join below doesn't recompute the whole shingle+hash pipeline twice
     sigs = minhash_signatures(docs, text_col, id_col, num_perms, shingle_k)
+    sigs = sigs.localCheckpoint(eager=True)
     bk = lsh_band_keys(sigs, id_col, bands, rows_per_band)
 
     left = bk.select(
@@ -139,7 +142,7 @@ def minhash_lsh_pairs(
 
     sets = docs.select(
         F.col(id_col), word_shingles_expr(F.col(text_col), shingle_k).alias("sh")
-    )
+    ).localCheckpoint(eager=True)  # reused by both sides of the pair join
     out = (
         cand.join(sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
@@ -205,7 +208,9 @@ def simhash_pairs(
     chunk_bits = bits // n_chunks
     mask = (1 << chunk_bits) - 1
 
-    sims = simhash_docs(docs, text_col, id_col, bits)
+    # one compact row per doc; materialize so the chunk self-join below
+    # doesn't recompute the token+hash aggregation on both sides
+    sims = simhash_docs(docs, text_col, id_col, bits).localCheckpoint(eager=True)
     chunks = sims.select(
         F.col(id_col),
         "simhash",

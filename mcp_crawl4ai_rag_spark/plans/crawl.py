@@ -46,7 +46,7 @@ from urllib.parse import urlparse
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..config import DEFAULT_SALT_LANES
+from ..config import BLOOM_MIN_SEEN, DEFAULT_SALT_LANES
 from ..functions.urls import (
     canonical_url,
     comparison_normalize,
@@ -315,10 +315,12 @@ class CrawlEngine:
                 break  # reference early exit :1006-1008
 
             # J1: visited membership — bloom prefilter + exact anti-join.
+            # The bloom only pays once the seen side is large (BLOOM_MIN_SEEN);
+            # below that the exact anti-join alone is cheaper.
             seen_count = url_seen.count()
             bloom = (
                 build_bloom(url_seen, "url_hash", expected=max(seen_count, 1))
-                if (self.use_bloom and seen_count > 0)
+                if (self.use_bloom and seen_count >= BLOOM_MIN_SEEN)
                 else None
             )
             cand_count = frontier.count()

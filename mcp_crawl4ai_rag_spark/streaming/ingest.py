@@ -1,0 +1,103 @@
+"""Structured Streaming frontier feed (SURVEY.md §2.11 stretch surface).
+
+The reference is strictly batch/level-synchronous (src/crawl4ai_mcp.py:993),
+so streaming has no reference counterpart; this module adds the streaming
+shape a production crawler needs around the same engine kernels:
+
+- :func:`stream_fetch_results` — ``readStream`` over the append-only fetched
+  log (one parquet dir per epoch, exactly what CheckpointManager writes);
+- :func:`crawl_metrics_stream` — event-time tumbling-window fetch metrics
+  with a watermark bounding late fetch results (the D6 heartbeat/progress
+  analog, late-data-safe);
+- :func:`chunk_store_stream` — ``foreachBatch`` sink that runs the SAME
+  batch chunk→embed→upsert path per micro-batch, writing an idempotent
+  keyed parquet store (Iceberg MERGE in production).
+
+All transformations are the batch kernels reused verbatim — the engine's
+operators are streaming-safe because they are expressed as stateless column
+expressions + keyed aggregations.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.embedding import with_embeddings
+from ..plans.rag import build_chunks
+
+FETCH_SCHEMA = (
+    "canonical_url string, host string, depth int, seq long, markdown string, "
+    "fetched_at timestamp"
+)
+
+
+def stream_fetch_results(
+    spark: SparkSession, dir_path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming source over an append-only directory of fetch-result
+    parquet files.
+
+    NOTE: FileStreamSource does not recurse — when each epoch writes its own
+    subdirectory (CheckpointManager layout ``fetched/ep_N/``), pass a glob
+    (``.../fetched/*``) as ``dir_path``."""
+    reader = spark.readStream.schema(FETCH_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(dir_path)
+
+
+def crawl_metrics_stream(
+    fetched: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Per-(window, host) fetch throughput with late-data bound: results
+    arriving more than ``watermark`` behind the max observed event time are
+    dropped and their window finalized — the streaming twin of the batch
+    lineage metrics (S7)."""
+    return (
+        fetched.withWatermark("fetched_at", watermark)
+        .groupBy(F.window("fetched_at", window).alias("w"), "host")
+        .agg(
+            F.count("*").alias("pages_fetched"),
+            F.max("depth").alias("max_depth"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "host",
+            "pages_fetched",
+            "max_depth",
+        )
+    )
+
+
+def chunk_store_stream(
+    fetched: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    chunk_size: int = 800,
+    embed_dim: int = 64,
+):
+    """foreachBatch sink: per micro-batch, chunk → embed → append to the
+    keyed parquet store, idempotently (dedup on (url, chunk_number) within
+    the batch; cross-batch idempotence comes from the streaming engine's
+    exactly-once file-sink semantics + checkpoint)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        docs = batch_df.select(
+            F.col("canonical_url").alias("url"), "markdown"
+        )
+        chunks = build_chunks(docs, chunk_size=chunk_size)
+        out = with_embeddings(chunks, text_col="content", dim=embed_dim)
+        out = out.dropDuplicates(["url", "chunk_number"])
+        out.write.mode("append").parquet(os.path.join(out_dir, f"batch_{batch_id}"))
+
+    return (
+        fetched.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )

@@ -1,0 +1,109 @@
+"""Structured Streaming surface: windowed metrics with watermark/late-data
+semantics, and the foreachBatch chunk→embed→store sink.
+
+Emission semantics pinned here (verified against Spark 4.1 behavior):
+append-mode windows emit once the watermark (max event time - delay) passes
+the window end; rows arriving behind the watermark are dropped for good."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+from mcp_crawl4ai_rag_spark.streaming.ingest import (
+    FETCH_SCHEMA,
+    chunk_store_stream,
+    crawl_metrics_stream,
+    stream_fetch_results,
+)
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+ROWS_T0 = [
+    ("https://h1.example.com/p/1", "h1.example.com", 0, 1, "# doc one body", _ts("2024-01-01 10:00:10")),
+    ("https://h1.example.com/p/2", "h1.example.com", 0, 2, "# doc two body", _ts("2024-01-01 10:00:40")),
+    ("https://h2.example.com/p/3", "h2.example.com", 1, 3, "# doc three body", _ts("2024-01-01 10:05:30")),
+]
+LATE_ROW = [
+    ("https://h1.example.com/p/9", "h1.example.com", 1, 9, "# late doc", _ts("2024-01-01 10:00:50")),
+]
+ADVANCER = [
+    ("https://h3.example.com/p/10", "h3.example.com", 1, 10, "# fresh doc", _ts("2024-01-01 10:20:00")),
+]
+
+
+def _write_fetch(spark, dir_path, rows, name):
+    spark.createDataFrame(rows, FETCH_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(dir_path, name))
+
+
+def test_windowed_metrics_and_late_data_drop(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            crawl_metrics_stream(
+                stream_fetch_results(spark, src + "/*"),
+                window="1 minute",
+                watermark="2 minutes",
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (str(r["window_start"]), r["host"]): r["pages_fetched"]
+            for r in spark.read.parquet(out).collect()
+        }
+
+    _write_fetch(spark, src, ROWS_T0, "f0")
+    got = run_once()
+    # watermark reached 10:03:30 → the 10:00 window closed and emitted
+    assert got == {("2024-01-01 10:00:00", "h1.example.com"): 2}
+
+    _write_fetch(spark, src, LATE_ROW, "f1")
+    got = run_once()
+    # the late row (10:00:50, behind the watermark) was DROPPED — the closed
+    # window is not re-emitted or updated
+    assert got == {("2024-01-01 10:00:00", "h1.example.com"): 2}
+
+    _write_fetch(spark, src, ADVANCER, "f2")
+    got = run_once()
+    # fresh data advanced the watermark → the 10:05 window closed too
+    assert got == {
+        ("2024-01-01 10:00:00", "h1.example.com"): 2,
+        ("2024-01-01 10:05:00", "h2.example.com"): 1,
+    }
+
+
+def test_foreach_batch_chunk_store(spark, tmp_path):
+    src = str(tmp_path / "src2")
+    out = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt2")
+    _write_fetch(spark, src, ROWS_T0, "f0")
+
+    q = (
+        chunk_store_stream(
+            stream_fetch_results(spark, src + "/*"), out, ckpt,
+            chunk_size=200, embed_dim=16,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    stored = spark.read.parquet(os.path.join(out, "*"))
+    rows = stored.collect()
+    assert {r["url"] for r in rows} == {u for (u, *_rest) in ROWS_T0}
+    assert all(len(r["embedding"]) == 16 for r in rows)
+    assert all(r["headers"].startswith("#") for r in rows)  # section info ran
