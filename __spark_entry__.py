@@ -59,6 +59,7 @@ from mcp_crawl4ai_rag_spark.operators.similarity import (
     bucket_expr,
     cosine_pairs,
     hyperplane,
+    ivf_topk,
 )
 from mcp_crawl4ai_rag_spark.operators.urlseen import anti_join_seen, build_bloom
 from mcp_crawl4ai_rag_spark.plans.crawl import CrawlEngine
@@ -369,6 +370,22 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q_bucket = bucketed.where(F.col("vec_id") == 0).select("__bucket").head()[0]
     return brute_topk(bucketed.where(F.col("__bucket") == q_bucket), q, 5)
+
+
+_IVF_K_CENTROIDS = 8
+_IVF_N_PROBE = 2
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: nearest-centroid inverted lists, probe 2 of 8, exact cosine
+    within the probed lists. Codebook = embeddings of vec_id < 8
+    (deterministic 'training' so the SQL oracle reproduces it)."""
+    embs = _embs(spark, sf_dir)
+    centroids = embs.where(F.col("vec_id") < _IVF_K_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    q = list(embs.where(F.col("vec_id") == 0).select("embedding").head()[0])
+    return ivf_topk(embs, centroids, q, 5, n_probe=_IVF_N_PROBE)
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -762,6 +779,39 @@ LIMIT 5
 """
 
 
+def _sql_l2sq(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        f"x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * "
+        f"(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (acc, v) -> acc + v)"
+    )
+
+
+def _oracle_ann_ivf_topk() -> str:
+    cos = _sql_cosine("s.embedding", "q.qe")
+    return f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+      WHERE vec_id < {_IVF_K_CENTROIDS}),
+probe AS (
+    SELECT c.cid FROM c CROSS JOIN q
+    ORDER BY {_sql_l2sq('c.ce', 'q.qe')} ASC, c.cid ASC
+    LIMIT {_IVF_N_PROBE}
+),
+assign AS (
+    SELECT e.vec_id, e.embedding, c.cid,
+           {_sql_l2sq('e.embedding', 'c.ce')} AS d
+    FROM embeddings e CROSS JOIN c
+    QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY d ASC, c.cid ASC) = 1
+),
+s AS (SELECT a.vec_id, a.embedding FROM assign a JOIN probe p ON a.cid = p.cid)
+SELECT s.vec_id, round({cos}, 4) AS sim
+FROM s CROSS JOIN q
+ORDER BY sim DESC, s.vec_id
+LIMIT 5
+"""
+
+
 def _oracle_embedding_neardup() -> str:
     cos = _sql_cosine("a.embedding", "b.embedding")
     bucket_terms = " + ".join(
@@ -857,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "embedding_topk": q_embedding_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
@@ -884,6 +935,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _oracle_simhash_pairs(),
         "embedding_topk": _oracle_embedding_topk(),
         "ann_lsh_topk": _oracle_ann_lsh_topk(),
+        "ann_ivf_topk": _oracle_ann_ivf_topk(),
         "embedding_neardup": _oracle_embedding_neardup(),
         "events_hourly": _oracle_events_hourly(),
         "events_sessionize": _oracle_events_sessionize(),

@@ -106,6 +106,70 @@ def lsh_bucket_ann(
     )
 
 
+def l2sq_expr(a, b):
+    """Squared L2 distance as a left fold in float64 (order-stable)."""
+    return F.aggregate(
+        F.zip_with(
+            a, b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_assign(
+    embs: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (squared-L2 argmin, ties
+    broken by lowest centroid id): (id, vec, cid).
+
+    ``centroids``: (cid, ce) — small, broadcast. The cross join is N×K rows
+    with K tiny; the argmin is a per-vector window rank. At write time the
+    assignment becomes a partition column → IVF probe = partition-pruned
+    scan of n_probe inverted lists, never a full-corpus pass."""
+    from pyspark.sql import Window
+
+    joined = embs.crossJoin(F.broadcast(centroids)).withColumn(
+        "__d", l2sq_expr(F.col(vec_col), F.col("ce"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__d").asc(), F.col("cid").asc())
+    return (
+        joined.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .select(id_col, vec_col, "cid")
+    )
+
+
+def ivf_topk(
+    embs: DataFrame,
+    centroids: DataFrame,
+    query_vec: list[float],
+    k: int,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``n_probe`` centroids nearest the
+    query, exact cosine only within their inverted lists. ``centroids`` is
+    the trained codebook — deterministic here (tests/oracles pass fixed
+    rows); at scale it comes from k-means over a sample."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    probe = (
+        centroids.withColumn("__d", l2sq_expr(F.col("ce"), q))
+        .orderBy(F.col("__d").asc(), F.col("cid").asc())
+        .limit(n_probe)
+        .select("cid")
+    )
+    assigned = ivf_assign(embs, centroids, id_col, vec_col)
+    survivors = assigned.join(F.broadcast(probe), "cid").select(id_col, vec_col)
+    return brute_topk(survivors, query_vec, k, id_col, vec_col)
+
+
 def cosine_pairs(
     embs: DataFrame,
     min_sim: float,

@@ -70,6 +70,35 @@ def test_bucket_expr_matches_python(embs):
         assert got[i] == expected, i
 
 
+def test_ivf_assign_and_topk(embs, spark):
+    from pyspark.sql import functions as F
+
+    from mcp_crawl4ai_rag_spark.operators.similarity import ivf_assign, ivf_topk
+
+    v = _vecs()
+    centroids = embs.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    got = {
+        r["vec_id"]: r["cid"] for r in ivf_assign(embs, centroids).collect()
+    }
+    for i in range(N):
+        dists = [
+            (sum((float(a) - float(b)) ** 2 for a, b in zip(v[i], v[c])), c)
+            for c in range(4)
+        ]
+        assert got[i] == min(dists)[1], i
+    # a centroid row is assigned to itself (distance 0)
+    assert got[2] == 2
+
+    q = [float(x) for x in v[0]]
+    hits = ivf_topk(embs, centroids, q, 3, n_probe=1).collect()
+    # query = vec 0 = centroid 0 → its own list is probed, vec 0 ranks first
+    assert hits[0]["vec_id"] == 0 and hits[0]["sim"] == 1.0
+    probed = {i for i, c in got.items() if c == 0}
+    assert all(r["vec_id"] in probed for r in hits)
+
+
 def test_cosine_pairs_threshold(embs, spark):
     # add an exact duplicate of vec 7 → sim 1.0 pair must surface
     v = _vecs()
