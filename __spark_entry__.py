@@ -221,6 +221,33 @@ def q_crawl_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DRAIN_M = 6000  # hot host gets 1800 URLs > the 1500 budget → spills to epoch 1
+_DRAIN_EPOCH_SECONDS = 3000.0  # budget 1500/host at the 2.0s delay midpoint
+
+
+def q_politeness_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3+J4 under the gate: politeness-budgeted multi-epoch drain of a flat
+    5000-URL frontier. Per host, URLs pop in seq order at ≤ budget/epoch;
+    any 429 in an epoch doubles the host's delay for the next (backoff).
+    Only the hot host overflows epoch 0 under these knobs, so the schedule
+    is closed-form: epoch_seen = 1 iff host 0 rank ≥ 1500."""
+    seeds = spark.range(0, _DRAIN_M, 1, 16).select(
+        C._url_expr(F.col("id")).alias("url"),
+        F.lit(0).alias("priority"),
+        F.lit(0).alias("depth"),
+        F.col("id").alias("seq"),
+    )
+    pages = gen_pages(spark, _DRAIN_M)
+    engine = CrawlEngine(
+        spark, pages, robots=None, allowed_host_suffix=".example.com",
+        use_bloom=True, epoch_seconds=_DRAIN_EPOCH_SECONDS,
+    )
+    res = engine.run(seeds, max_depth=1, politeness=True, max_epochs=4)
+    return res.url_seen.select(
+        "canonical_url", F.col("epoch_seen").cast("long").alias("epoch_seen")
+    )
+
+
 def q_politeness_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3: per-host epoch budgets under crawl-delay + exponential backoff."""
     hosts = spark.createDataFrame(
@@ -273,8 +300,11 @@ def q_sitemap_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3: recursive sitemap-index expansion (gzip + XML inside Arrow
     batches) — flattened page-URL set of host 1's sitemap tree."""
     n = _lineitem_count(spark, sf_dir)
+    # materialize: the per-level expansion joins would regenerate the
+    # synthetic corpus (groupBy + gzip) once per depth level otherwise
+    sitemaps = gen_sitemaps(spark, n).localCheckpoint(eager=True)
     return expand_sitemaps(
-        spark, gen_sitemaps(spark, n), ["https://h1.example.com/sitemap_index.xml"]
+        spark, sitemaps, ["https://h1.example.com/sitemap_index.xml"]
     ).select(F.col("url").alias("canonical_url"))
 
 
@@ -285,8 +315,8 @@ def q_smart_crawl_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = smart_crawl(
         spark,
         "https://h1.example.com/sitemap_index.xml",
-        pages=gen_pages(spark, n),
-        sitemaps=gen_sitemaps(spark, n),
+        pages=gen_pages(spark, n).persist(),
+        sitemaps=gen_sitemaps(spark, n).localCheckpoint(eager=True),
         robots=gen_robots(spark),
     )
     return res.fetched.select("canonical_url")
@@ -507,6 +537,25 @@ SELECT CAST(l.depth AS BIGINT) AS epoch,
        CAST(COALESCE((SELECT x.urls_scheduled FROM lv x WHERE x.depth = l.depth + 1), 0)
             AS BIGINT) AS urls_discovered
 FROM lv l
+"""
+
+
+def _oracle_politeness_drain() -> str:
+    # closed-form schedule: per-host seq-order ranks; only the hot host
+    # exceeds the epoch-0 budget (1800 > 1500); its overflow pops at epoch 1
+    # (backoff-halved budget 750 ≥ 300 overflow rows).
+    host = f"(CASE WHEN i % {C.HOT_HOST_MOD} = 0 THEN 0 ELSE i % {C.N_HOSTS} END)"
+    return f"""
+WITH u AS (
+    SELECT i, {host} AS h
+    FROM (SELECT unnest(generate_series(0, {_DRAIN_M - 1})) AS i)
+),
+r AS (
+    SELECT i, h, row_number() OVER (PARTITION BY h ORDER BY i) - 1 AS rk FROM u
+)
+SELECT {C.oracle_url_sql('i')} AS canonical_url,
+       CAST(CASE WHEN h = 0 AND rk >= 1500 THEN 1 ELSE 0 END AS BIGINT) AS epoch_seen
+FROM r
 """
 
 
@@ -893,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_bfs_visited": q_crawl_bfs_visited,
         "crawl_lineage": q_crawl_lineage,
         "politeness_budgets": q_politeness_budgets,
+        "politeness_drain": q_politeness_drain,
         "urlseen_antijoin": q_urlseen_antijoin,
         "url_kernels": q_url_kernels,
         "sitemap_expand": q_sitemap_expand,
@@ -921,6 +971,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_bfs_visited": _oracle_crawl_bfs_visited(),
         "crawl_lineage": _oracle_crawl_lineage(),
         "politeness_budgets": _oracle_politeness_budgets(),
+        "politeness_drain": _oracle_politeness_drain(),
         "urlseen_antijoin": _oracle_urlseen_antijoin(),
         "url_kernels": _oracle_url_kernels(),
         "sitemap_expand": _oracle_sitemap_expand(),

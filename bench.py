@@ -32,6 +32,8 @@ SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "128")
 
 BENCH_QUERIES = [
     "crawl_bfs_visited",
+    "smart_crawl_sitemap",
+    "sitemap_expand",
     "urlseen_antijoin",
     "url_kernels",
     "chunk_documents",
@@ -42,6 +44,7 @@ BENCH_QUERIES = [
     "simhash_pairs",
     "embedding_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "embedding_neardup",
     "events_hourly",
     "events_sessionize",
@@ -188,9 +191,15 @@ def main() -> None:
 
     spark = _mk_spark(CPUS)
     qtimes = run_queries(spark)
-    t_hi = best_frontier_time(spark, FRONTIER_N)
-    k_hi = kernel_scan_time(spark, kernel_n)
     spark.stop()
+
+    # scaling phases each get a FRESH session: the query phase accumulates
+    # checkpoint blocks/heap garbage that would bias whichever level ran in
+    # the same JVM.
+    spark_hi = _mk_spark(CPUS)
+    t_hi = best_frontier_time(spark_hi, FRONTIER_N)
+    k_hi = kernel_scan_time(spark_hi, kernel_n)
+    spark_hi.stop()
 
     lo_cores = max(CPUS // 4, 1)
     spark_lo = _mk_spark(lo_cores)

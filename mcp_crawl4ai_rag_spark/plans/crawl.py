@@ -257,16 +257,34 @@ class CrawlEngine:
             F.col("k.link_pos").alias("__disc_pos"),
         )
 
-    def _assign_seq(self, discovered: DataFrame, seq_offset: int) -> DataFrame:
-        """Deterministic discovery sequence: rank by (first-discoverer seq,
-        link position, url) — the §7.0 ordering contract.
+    # Above this many discovered rows the global row_number window (a
+    # single-task sort) is replaced by the distributed range-partitioned
+    # rank — identical output, scales with partitions.
+    SEQ_WINDOW_MAX_ROWS = 100_000
 
-        NOTE (scale): row_number over an unpartitioned window is a
-        single-task sort of the *discovered batch* (politeness-bounded, not
-        corpus-sized). The distributed variant — range-partitioned sort with
-        per-partition offsets — is a planned optimization; determinism first.
-        """
-        w = Window.orderBy("__disc_seq", "__disc_pos", "canonical_url")
+    def _assign_seq(
+        self, discovered: DataFrame, seq_offset: int, n_rows: int | None = None
+    ) -> DataFrame:
+        """Deterministic discovery sequence: rank by (first-discoverer seq,
+        link position, url) — the §7.0 ordering contract. The sort key ends
+        in canonical_url (unique) so the order is total.
+
+        Small batches use one row_number window (cheapest); large batches the
+        distributed rank (operators/ordering.py) — equality of the two paths
+        is pinned in tests/test_ordering.py."""
+        order = ["__disc_seq", "__disc_pos", "canonical_url"]
+        if n_rows is not None and n_rows > self.SEQ_WINDOW_MAX_ROWS:
+            from ..operators.ordering import distributed_rank
+
+            ranked = distributed_rank(
+                discovered, order, out_col="__rank", offset=seq_offset + 1
+            )
+            return (
+                ranked.withColumn("seq", F.col("__rank").cast("long"))
+                .drop("__rank", "__disc_seq", "__disc_pos")
+                .select(*_FRONTIER_COLS)
+            )
+        w = Window.orderBy(*order)
         return (
             discovered.withColumn(
                 "seq", (F.row_number().over(w) + F.lit(seq_offset)).cast("long")
@@ -378,9 +396,9 @@ class CrawlEngine:
             discovered = self._expand(fetched_ok, prefix)
             discovered = discovered.where(F.col("depth") <= max_depth - 1)
             discovered = anti_join_seen(discovered, url_seen, None)  # J2 exact
-            discovered = self._assign_seq(discovered, seq_offset)
             discovered = discovered.localCheckpoint(eager=True)
             n_disc = discovered.count()
+            discovered = self._assign_seq(discovered, seq_offset, n_rows=n_disc)
             seq_offset += n_disc
 
             frontier = self._dedup_frontier(
