@@ -316,12 +316,25 @@ class CrawlEngine:
         spark = self.spark
         limit = max_epochs if max_epochs is not None else (max_depth if not politeness else 4 * max_depth)
 
+        # Action economy: every .count()/.isEmpty() is a full Spark job; at a
+        # politeness-bounded epoch the data is tiny and job overhead IS the
+        # epoch cost. Counts that are derivable are tracked in Python:
+        #   seen_count     += n_popped            (url_seen grows by popped)
+        #   frontier_count  = n_disc (+deferred)  (politeness-off: exact)
+        # so an epoch runs 4-6 jobs instead of ~14.
         if _resume_state is not None:
             frontier, url_seen, seq_offset, backoff = _resume_state
+            seen_count = url_seen.count()
+            frontier_count = frontier.count()
         else:
             frontier = self._seed_frontier(seeds)
             url_seen = spark.createDataFrame([], _URL_SEEN_SCHEMA)
-            seq_offset = (frontier.agg(F.max("seq")).collect()[0][0] or 0) + 1
+            row = frontier.agg(
+                F.max("seq").alias("mx"), F.count("*").alias("n")
+            ).collect()[0]
+            seq_offset = (row["mx"] or 0) + 1
+            frontier_count = row["n"]
+            seen_count = 0
             backoff = None
 
         fetched_parts: list[DataFrame] = []
@@ -329,19 +342,18 @@ class CrawlEngine:
         epochs_run = start_epoch
 
         for epoch in range(start_epoch, limit):
-            if frontier.isEmpty():
+            if frontier_count == 0:
                 break  # reference early exit :1006-1008
 
             # J1: visited membership — bloom prefilter + exact anti-join.
             # The bloom only pays once the seen side is large (BLOOM_MIN_SEEN);
             # below that the exact anti-join alone is cheaper.
-            seen_count = url_seen.count()
             bloom = (
                 build_bloom(url_seen, "url_hash", expected=max(seen_count, 1))
                 if (self.use_bloom and seen_count >= BLOOM_MIN_SEEN)
                 else None
             )
-            cand_count = frontier.count()
+            cand_count = frontier_count
             new_urls = anti_join_seen(frontier, url_seen, bloom)
 
             # J4: politeness pop — schedule-time budget per host.
@@ -356,6 +368,8 @@ class CrawlEngine:
             else:
                 popped, deferred = new_urls, new_urls.limit(0)
             popped = popped.localCheckpoint(eager=True)
+            n_popped = popped.count()
+            seen_count += n_popped
 
             # mark visited at SCHEDULE time (reference :1000-1004)
             url_seen = url_seen.unionByName(
@@ -374,8 +388,14 @@ class CrawlEngine:
                 denied = popped.limit(0)
                 allowed = popped
 
-            # S1/S2: fetch
+            # S1/S2: fetch — one agg job yields allowed + success counts
             fetch = self._fetch_batch(allowed).localCheckpoint(eager=True)
+            frow = fetch.agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("success").cast("int")).alias("ok"),
+            ).collect()[0]
+            n_allowed, n_fetched_ok = frow["n"], int(frow["ok"] or 0)
+            n_denied = n_popped - n_allowed
             fetched_ok = fetch.where(F.col("success"))
             fetched_parts.append(
                 fetched_ok.select(
@@ -401,21 +421,29 @@ class CrawlEngine:
             discovered = self._assign_seq(discovered, seq_offset, n_rows=n_disc)
             seq_offset += n_disc
 
-            frontier = self._dedup_frontier(
-                deferred.select(*_FRONTIER_COLS).unionByName(discovered)
-            )
+            if politeness:
+                n_deferred = deferred.count()
+                frontier = self._dedup_frontier(
+                    deferred.select(*_FRONTIER_COLS).unionByName(discovered)
+                )
+                # deferred ∪ discovered may overlap → exact count needed
+                frontier_count = frontier.count()
+            else:
+                n_deferred = 0
+                frontier = discovered
+                frontier_count = n_disc
 
-            # S7: lineage metrics
-            n_deferred = deferred.count()
+            # S7: lineage metrics — all counts already known, no extra jobs
+            n_dedup_hits = cand_count - (n_popped + n_deferred)
             lineage_parts.append(
                 spark.createDataFrame(
                     [
                         (
                             epoch,
-                            int(popped.count()),
-                            int(fetched_ok.count()),
-                            int(cand_count - new_urls.count()),
-                            int(denied.count()),
+                            int(n_popped),
+                            int(n_fetched_ok),
+                            int(n_dedup_hits),
+                            int(n_denied),
                             int(n_deferred),
                             int(n_disc),
                         )
