@@ -485,6 +485,23 @@ def q_image_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction (rows-only: binary decode is not
+    SQL-expressible): decode → luminance/edge stats → grid embedding, then
+    aggregate per format."""
+    from mcp_crawl4ai_rag_spark.functions.images import extract_image_features
+
+    imgs = gen_images(spark, 500).localCheckpoint(eager=True)
+    feats = extract_image_features(imgs)
+    joined = feats.join(imgs.select("image_id", "fmt"), "image_id")
+    return joined.groupBy("fmt").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg("mean_lum"), 3).alias("avg_lum"),
+        F.round(F.avg("edge_density"), 3).alias("avg_edge_density"),
+        F.min(F.size("features")).cast("long").alias("feat_dim"),
+    )
+
+
 def q_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full RAG path (rows-only: seeded embedder isn't SQL-expressible):
     chunk → embed → upsert-store → top-5 retrieval with source filter."""
@@ -962,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "image_verify": q_image_verify,
+        "image_features": q_image_features,
         "rag_pipeline": q_rag_pipeline,
     }
 

@@ -29,8 +29,12 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
     BooleanType,
     DoubleType,
+    FloatType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -106,6 +110,86 @@ def phash64(pixels: np.ndarray) -> int:
     for bit in bits:
         v = (v << 1) | int(bit)
     return int(np.uint64(v).astype(np.int64))
+
+
+def resize_pixels(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize — deterministic, numpy-only (the PIL-backed
+    bilinear path swaps in here when the real codec lands)."""
+    h, w = pixels.shape
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return pixels[ys[:, None], xs[None, :]]
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("bytes", BinaryType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("fmt", StringType()),
+    ]
+)
+
+
+def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Batch image resize: decode → nearest-neighbor resample → re-encode,
+    one numpy pipeline per Arrow batch (mapInPandas; no per-row Python at
+    the DataFrame boundary). Output keeps the corpus payload shape."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid, blob, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                _, px = decode_image(bytes(blob))
+                out = resize_pixels(px, out_w, out_h)
+                rows.append((iid, encode_image(out, fmt), out_w, out_h, fmt))
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        gen, schema=RESIZED_SCHEMA
+    )
+
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("mean_lum", DoubleType()),
+        StructField("std_lum", DoubleType()),
+        StructField("edge_density", DoubleType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def extract_image_features(images: DataFrame, grid: int = 4) -> DataFrame:
+    """Deterministic image feature extraction: luminance stats, gradient
+    edge density, and a grid-of-block-means embedding (grid² floats, unit
+    scale) — the shape a CLIP-style encoder slot would fill. Arrow-batched
+    numpy; the `features` column is join-compatible with the similarity
+    operators (operators/similarity.py)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid, blob in zip(pdf["image_id"], pdf["bytes"]):
+                _, px = decode_image(bytes(blob))
+                f = px.astype(np.float64)
+                gy, gx = np.gradient(f)
+                edges = float(np.mean(np.hypot(gx, gy) > 8.0))
+                blocks = resize_pixels(px, grid, grid).astype(np.float32) / 255.0
+                rows.append(
+                    (
+                        iid,
+                        float(f.mean()),
+                        float(f.std()),
+                        edges,
+                        [float(x) for x in blocks.flatten()],
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in FEATURES_SCHEMA.fields])
+
+    return images.select("image_id", "bytes").mapInPandas(gen, schema=FEATURES_SCHEMA)
 
 
 VERIFY_SCHEMA = StructType(

@@ -94,6 +94,35 @@ def search_documents(
     )
 
 
+BATCH_FAILURE_THRESHOLD = 0.5  # reference src/utils.py:23
+
+
+def check_batch_failures(n_failed: int, n_total: int) -> None:
+    """A4 failure-rate gate (reference src/utils.py:506-516): abort the run
+    when more than half the store batches failed."""
+    if n_total > 0 and n_failed / n_total > BATCH_FAILURE_THRESHOLD:
+        raise RuntimeError(
+            f"batch failure rate {n_failed}/{n_total} exceeds "
+            f"{BATCH_FAILURE_THRESHOLD:.0%} — aborting storage"
+        )
+
+
+def validate_crawl_params(
+    max_depth: int = 3, max_concurrent: int = 10, chunk_size: int = 5000
+) -> tuple[int, int, int]:
+    """F10 parameter clamps (reference src/crawl4ai_mcp.py:642-657):
+    max_depth∈[0,10], max_concurrent∈[1,50], chunk_size>0 required."""
+    from ..config import DEFAULT_CHUNK_SIZE, MAX_CONCURRENT_CAP, MAX_DEPTH_CAP
+
+    max_depth = max(0, min(int(max_depth), MAX_DEPTH_CAP))
+    max_concurrent = max(1, min(int(max_concurrent), MAX_CONCURRENT_CAP))
+    if chunk_size is None:
+        chunk_size = DEFAULT_CHUNK_SIZE
+    if int(chunk_size) <= 0:
+        raise ValueError(f"Invalid chunk_size: {chunk_size}")
+    return max_depth, max_concurrent, int(chunk_size)
+
+
 def available_sources(store: DataFrame, limit: int = 1000) -> DataFrame:
     """Distinct non-null sources, sorted, capped — reference
     get_available_sources (src/crawl4ai_mcp.py:1096-1112)."""

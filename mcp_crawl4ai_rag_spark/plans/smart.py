@@ -55,6 +55,9 @@ def smart_crawl(
 ) -> CrawlRunResult:
     """Classify ``url`` and run the matching crawl plan; returns the engine's
     :class:`CrawlRunResult` (fetched docs + url_seen + lineage)."""
+    from .rag import validate_crawl_params
+
+    max_depth, _, _ = validate_crawl_params(max_depth)  # F10 clamps
     if prefix is None:
         prefix = py_derive_prefix(url)  # reference :663-680
 

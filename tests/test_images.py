@@ -60,3 +60,53 @@ def test_verify_images_all_pass(spark):
     assert v.where(~F.col("caption_ok")).count() == 0
     assert v.where((F.col("fmt") == "jpeg") & (F.col("psnr_db") < 40.0)).count() == 0
     v.unpersist()
+
+
+def test_resize_images_roundtrip(spark):
+    from mcp_crawl4ai_rag_spark.functions.images import (
+        decode_image,
+        gen_pixels,
+        resize_images,
+        resize_pixels,
+    )
+    from mcp_crawl4ai_rag_spark.sources.corpus import gen_images
+
+    imgs = gen_images(spark, 20, partitions=4)
+    out = {r["image_id"]: r for r in resize_images(imgs, 16, 24).collect()}
+    assert len(out) == 20
+    for iid, r in list(out.items())[:5]:
+        assert (r["w"], r["h"]) == (16, 24)
+        fmt, px = decode_image(bytes(r["bytes"]))
+        assert px.shape == (24, 16)
+        if fmt == "png":  # lossless: resize of reference pixels matches exactly
+            src = gen_pixels(iid, *_wh(iid))
+            import numpy as np
+
+            assert np.array_equal(px, resize_pixels(src, 16, 24))
+
+
+def _wh(image_id):
+    # mirror corpus.gen_images geometry: w=32+(i%5)*8, h=32+(i%3)*16
+    i = int(image_id.split("_")[1])
+    return 32 + (i % 5) * 8, 32 + (i % 3) * 16
+
+
+def test_extract_image_features_deterministic(spark):
+    import numpy as np
+
+    from mcp_crawl4ai_rag_spark.functions.images import (
+        decode_image,
+        extract_image_features,
+    )
+    from mcp_crawl4ai_rag_spark.sources.corpus import gen_images
+
+    imgs = gen_images(spark, 10, partitions=2).localCheckpoint(eager=True)
+    blobs = {r["image_id"]: bytes(r["bytes"]) for r in imgs.collect()}
+    feats = {r["image_id"]: r for r in extract_image_features(imgs).collect()}
+    assert len(feats) == 10
+    for iid, r in feats.items():
+        _, px = decode_image(blobs[iid])
+        assert abs(r["mean_lum"] - float(px.mean())) < 1e-9
+        assert len(r["features"]) == 16
+        assert 0.0 <= r["edge_density"] <= 1.0
+        assert all(0.0 <= x <= 1.0 for x in r["features"])

@@ -78,3 +78,25 @@ def test_contextual_query_prefix_changes_embedding():
 def test_available_sources_sorted_distinct(store):
     got = [r["source"] for r in available_sources(store).collect()]
     assert got == ["a.example.com", "b.example.com"]
+
+
+def test_batch_failure_gate():
+    import pytest as _pytest
+
+    from mcp_crawl4ai_rag_spark.plans.rag import check_batch_failures
+
+    check_batch_failures(1, 2)  # exactly 50% passes (strict >)
+    check_batch_failures(0, 0)
+    with _pytest.raises(RuntimeError):
+        check_batch_failures(2, 3)
+
+
+def test_validate_crawl_params_clamps():
+    import pytest as _pytest
+
+    from mcp_crawl4ai_rag_spark.plans.rag import validate_crawl_params
+
+    assert validate_crawl_params(99, 99, 100) == (10, 50, 100)
+    assert validate_crawl_params(-5, 0, 5000) == (0, 1, 5000)
+    with _pytest.raises(ValueError):
+        validate_crawl_params(3, 10, 0)
