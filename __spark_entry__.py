@@ -322,6 +322,24 @@ def q_smart_crawl_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.fetched.select("canonical_url")
 
 
+def q_smart_crawl_webpage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Webpage dispatch path: recursive internal-link crawl bounded by an
+    explicit prefix (F4) — all of host 0 under '/p', private paths scheduled
+    (they match the prefix) but robots-denied at fetch."""
+    n = _lineitem_count(spark, sf_dir)
+    res = smart_crawl(
+        spark,
+        "https://h0.example.com/p/4",
+        pages=gen_pages(spark, n).persist(),
+        robots=gen_robots(spark),
+        max_depth=CRAWL_DEPTH,
+        prefix="https://h0.example.com/p",
+    )
+    return res.url_seen.select(
+        "canonical_url", F.col("depth").cast("long").alias("depth")
+    )
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1/K2: greedy chunker (200-char windows) + per-chunk section stats."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
@@ -637,6 +655,30 @@ SELECT {C.oracle_url_sql('i')} AS canonical_url
 FROM (SELECT unnest(generate_series(0, {N_SQL} - 1)) AS i)
 WHERE i % {C.HOT_HOST_MOD} <> 0 AND i % {C.N_HOSTS} = 1
   AND {C.oracle_expandable_sql('i')}
+"""
+
+
+def _oracle_smart_crawl_webpage() -> str:
+    # accepted targets = host 0 (prefix 'h0.example.com/p' matches both /p/
+    # and /private/p/ paths); expansion only from fetched+robots-allowed.
+    return f"""
+WITH RECURSIVE walk(id, depth) AS (
+    SELECT 4, 0
+    UNION ALL
+    SELECT tt.t, w.depth + 1
+    FROM walk w
+    CROSS JOIN (VALUES {_EDGE_JS}) j(j)
+    CROSS JOIN LATERAL (
+        SELECT ({C.EDGE_A} * w.id + {C.EDGE_B} * j.j + {C.EDGE_C}) % {N_SQL} AS t
+    ) tt
+    WHERE w.depth < {CRAWL_DEPTH - 1}
+      AND {C.oracle_expandable_sql('w.id')}
+      AND (tt.t % {C.HOT_HOST_MOD} = 0 OR tt.t % {C.N_HOSTS} = 0)
+)
+SELECT {C.oracle_url_sql('id')} AS canonical_url,
+       CAST(MIN(depth) AS BIGINT) AS depth
+FROM walk
+GROUP BY 1
 """
 
 
@@ -964,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_kernels": q_url_kernels,
         "sitemap_expand": q_sitemap_expand,
         "smart_crawl_sitemap": q_smart_crawl_sitemap,
+        "smart_crawl_webpage": q_smart_crawl_webpage,
         "chunk_documents": q_chunk_documents,
         "doc_token_stats": q_doc_token_stats,
         "lang_id": q_lang_id,
@@ -994,6 +1037,7 @@ def oracle_sql() -> dict[str, str]:
         "url_kernels": _oracle_url_kernels(),
         "sitemap_expand": _oracle_sitemap_expand(),
         "smart_crawl_sitemap": _oracle_smart_crawl_sitemap(),
+        "smart_crawl_webpage": _oracle_smart_crawl_webpage(),
         "chunk_documents": _oracle_chunk_documents(),
         "doc_token_stats": _oracle_doc_token_stats(),
         "lang_id": _oracle_lang_id(),
