@@ -33,7 +33,9 @@ SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "128")
 BENCH_QUERIES = [
     "crawl_bfs_visited",
     "smart_crawl_sitemap",
+    "smart_crawl_webpage",
     "sitemap_expand",
+    "politeness_drain",
     "urlseen_antijoin",
     "url_kernels",
     "chunk_documents",
@@ -49,6 +51,7 @@ BENCH_QUERIES = [
     "events_hourly",
     "events_sessionize",
     "image_verify",
+    "image_features",
     "rag_pipeline",
 ]
 
