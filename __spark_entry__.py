@@ -694,7 +694,7 @@ SELECT d.doc_id,
        CAST(length({piece}) AS BIGINT) AS char_count,
        CAST(len(regexp_extract_all({piece}, '{_WS_RE}')) AS BIGINT) AS word_count
 FROM documents d
-JOIN (SELECT unnest(generate_series(0, 499)) AS k) ks
+JOIN (SELECT unnest(generate_series(0, (SELECT CAST((max(length(text)) - 1) // 200 AS BIGINT) FROM documents))) AS k) ks
   ON ks.k <= (length(d.text) - 1) // 200
 WHERE length(d.text) > 0
 """

@@ -49,13 +49,21 @@ def embed_chunks(chunks: DataFrame) -> DataFrame:
 
 def store_documents(existing: DataFrame | None, batch: DataFrame) -> DataFrame:
     """Idempotent upsert on (url, chunk_number) — reference src/utils.py:
-    493-500. New batch rows replace existing rows with the same key."""
+    493-500. New batch rows replace existing rows with the same key; ties
+    within a generation (a batch carrying duplicate keys) break on the row
+    fingerprint so the winner is deterministic, not partition-order luck."""
     if existing is None:
-        return batch.dropDuplicates(["url", "chunk_number"])
-    keyed = existing.withColumn("__gen", F.lit(0)).unionByName(
-        batch.withColumn("__gen", F.lit(1))
+        keyed = batch.withColumn("__gen", F.lit(1))
+    else:
+        keyed = existing.withColumn("__gen", F.lit(0)).unionByName(
+            batch.withColumn("__gen", F.lit(1))
+        )
+    tiebreak = F.md5(
+        F.to_json(F.struct(*[F.col(c) for c in keyed.columns if c != "__gen"]))
     )
-    w = Window.partitionBy("url", "chunk_number").orderBy(F.desc("__gen"))
+    w = Window.partitionBy("url", "chunk_number").orderBy(
+        F.desc("__gen"), tiebreak.asc()
+    )
     return (
         keyed.withColumn("__rk", F.row_number().over(w))
         .where(F.col("__rk") == 1)
@@ -111,15 +119,24 @@ def validate_crawl_params(
     max_depth: int = 3, max_concurrent: int = 10, chunk_size: int = 5000
 ) -> tuple[int, int, int]:
     """F10 parameter clamps (reference src/crawl4ai_mcp.py:642-657):
-    max_depth∈[0,10], max_concurrent∈[1,50], chunk_size>0 required."""
-    from ..config import DEFAULT_CHUNK_SIZE, MAX_CONCURRENT_CAP, MAX_DEPTH_CAP
+    max_depth clamped to [0,10]; max_concurrent<=0 resets to the default 10,
+    >50 caps at 50; chunk_size<=0 (or None) resets to the default 5000 —
+    warn-and-continue semantics, never raise."""
+    from ..config import (
+        DEFAULT_CHUNK_SIZE,
+        DEFAULT_MAX_CONCURRENT,
+        MAX_CONCURRENT_CAP,
+        MAX_DEPTH_CAP,
+    )
 
     max_depth = max(0, min(int(max_depth), MAX_DEPTH_CAP))
-    max_concurrent = max(1, min(int(max_concurrent), MAX_CONCURRENT_CAP))
-    if chunk_size is None:
+    max_concurrent = int(max_concurrent)
+    if max_concurrent <= 0:
+        max_concurrent = DEFAULT_MAX_CONCURRENT
+    elif max_concurrent > MAX_CONCURRENT_CAP:
+        max_concurrent = MAX_CONCURRENT_CAP
+    if chunk_size is None or int(chunk_size) <= 0:
         chunk_size = DEFAULT_CHUNK_SIZE
-    if int(chunk_size) <= 0:
-        raise ValueError(f"Invalid chunk_size: {chunk_size}")
     return max_depth, max_concurrent, int(chunk_size)
 
 

@@ -82,10 +82,13 @@ def chunk_store_stream(
     chunk_size: int = 800,
     embed_dim: int = 64,
 ):
-    """foreachBatch sink: per micro-batch, chunk → embed → append to the
-    keyed parquet store, idempotently (dedup on (url, chunk_number) within
-    the batch; cross-batch idempotence comes from the streaming engine's
-    exactly-once file-sink semantics + checkpoint)."""
+    """foreachBatch sink: per micro-batch, chunk → embed → write the keyed
+    parquet store, idempotently. foreachBatch user writes are only
+    AT-LEAST-ONCE (exactly-once applies to the built-in file sink, not code
+    inside foreachBatch): a micro-batch that fails after a partial write is
+    replayed with the SAME batch_id, so the write must be a deterministic
+    overwrite of the per-batch_id directory — replay rewrites the same dir
+    instead of duplicating rows."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         docs = batch_df.select(
@@ -94,7 +97,9 @@ def chunk_store_stream(
         chunks = build_chunks(docs, chunk_size=chunk_size)
         out = with_embeddings(chunks, text_col="content", dim=embed_dim)
         out = out.dropDuplicates(["url", "chunk_number"])
-        out.write.mode("append").parquet(os.path.join(out_dir, f"batch_{batch_id}"))
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_{batch_id}")
+        )
 
     return (
         fetched.writeStream.foreachBatch(process)

@@ -92,11 +92,11 @@ def test_batch_failure_gate():
 
 
 def test_validate_crawl_params_clamps():
-    import pytest as _pytest
-
     from mcp_crawl4ai_rag_spark.plans.rag import validate_crawl_params
 
+    # reference src/crawl4ai_mcp.py:642-657: warn-and-continue — invalid
+    # (<=0) max_concurrent/chunk_size reset to their defaults, never raise
     assert validate_crawl_params(99, 99, 100) == (10, 50, 100)
-    assert validate_crawl_params(-5, 0, 5000) == (0, 1, 5000)
-    with _pytest.raises(ValueError):
-        validate_crawl_params(3, 10, 0)
+    assert validate_crawl_params(-5, 0, 5000) == (0, 10, 5000)
+    assert validate_crawl_params(3, 10, 0) == (3, 10, 5000)
+    assert validate_crawl_params(3, -7, None) == (3, 10, 5000)
