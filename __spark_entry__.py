@@ -261,7 +261,12 @@ def q_politeness_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_urlseen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1: bloom-prefiltered anti-join membership over n synthetic URLs."""
+    """J1: bloom-prefiltered anti-join membership over n synthetic URLs —
+    running the SHARDED bloom build+probe (the 10^10-key deployment shape,
+    operators/urlseen.py ShardedBloom); lossless, so the oracle is the same
+    exact set difference."""
+    from mcp_crawl4ai_rag_spark.operators.urlseen import build_bloom_sharded
+
     n = _lineitem_count(spark, sf_dir)
 
     def urls_of(ids: DataFrame) -> DataFrame:
@@ -270,7 +275,7 @@ def q_urlseen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cands = urls_of(spark.range(0, n, 1, 32))
     seen = urls_of(spark.range(0, n, 3, 32))
-    bloom = build_bloom(seen, "url_hash", expected=seen.count())
+    bloom = build_bloom_sharded(seen, "url_hash", n_shards=8, expected=seen.count())
     return anti_join_seen(cands, seen, bloom).select("canonical_url")
 
 

@@ -128,20 +128,32 @@ def ivf_assign(
     """Assign every vector to its nearest centroid (squared-L2 argmin, ties
     broken by lowest centroid id): (id, vec, cid).
 
-    ``centroids``: (cid, ce) — small, broadcast. The cross join is N×K rows
-    with K tiny; the argmin is a per-vector window rank. At write time the
-    assignment becomes a partition column → IVF probe = partition-pruned
-    scan of n_probe inverted lists, never a full-corpus pass."""
-    from pyspark.sql import Window
-
-    joined = embs.crossJoin(F.broadcast(centroids)).withColumn(
-        "__d", l2sq_expr(F.col(vec_col), F.col("ce"))
+    ``centroids``: (cid, ce) — the codebook, O(K×dim) small by construction,
+    collected to the driver and inlined as literals. The argmin is then a
+    single per-row projection: an array of K distances + ``array_position``
+    of its min — zero shuffle, zero data movement beyond the scan itself
+    (the earlier crossJoin+window shape moved N×K full vectors through an
+    exchange; at 10^9 vectors × 1024 centroids that plan is dead). At write
+    time the assignment becomes a partition column → IVF probe =
+    partition-pruned scan of n_probe inverted lists, never a full-corpus
+    pass."""
+    rows = sorted(
+        centroids.select("cid", "ce").collect(), key=lambda r: r["cid"]
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("__d").asc(), F.col("cid").asc())
-    return (
-        joined.withColumn("__rk", F.row_number().over(w))
-        .where(F.col("__rk") == 1)
-        .select(id_col, vec_col, "cid")
+    dists = F.array(
+        *[
+            l2sq_expr(
+                F.col(vec_col), F.array(*[F.lit(float(x)) for x in r["ce"]])
+            )
+            for r in rows
+        ]
+    )
+    cid_arr = F.array(*[F.lit(r["cid"]) for r in rows])
+    # cids sorted ascending → array_position's first match IS the lowest-cid
+    # tie winner; min compares the exact doubles the array holds.
+    idx = F.array_position(dists, F.array_min(dists)).cast("int")
+    return embs.select(
+        id_col, vec_col, F.element_at(cid_arr, idx).alias("cid")
     )
 
 

@@ -9,11 +9,12 @@ remains the authority — the Bloom filter has zero false negatives by
 construction (property-tested), so the split is lossless.
 
 Scale notes (10^10 URLs): a monolithic 1%-FPP bloom for 1e10 keys is ~12 GB —
-too big to broadcast. The intended deployment shards the bitset by
-``pmod(url_hash, n_shards)`` so each executor holds one shard (the
-``shard_bits`` hook below), or raises FPP for the pre-filter role (a 10% FPP
-filter is 5x smaller and still removes 90% of the join traffic). The exact
-anti-join stays bucketed on ``url_hash`` so state and probes co-locate.
+too big to broadcast. :func:`build_bloom_sharded` is the deployment shape:
+the bitset is sharded by ``pmod(url_hash, n_shards)`` so each fold task and
+each probing executor holds one m/S-bit shard (see :class:`ShardedBloom`).
+Raising FPP for the pre-filter role also helps (a 10% FPP filter is 5x
+smaller and still removes 90% of the join traffic). The exact anti-join
+stays bucketed on ``url_hash`` so state and probes co-locate.
 """
 
 from __future__ import annotations
@@ -89,9 +90,9 @@ def build_bloom(
     task carries a FULL m-bit bitset, so cost (alloc + driver collect) is
     O(partitions × m) while the hashing itself is cheap — coalescing to ~16
     folds is a ~10x win over folding on 64+ scan partitions. At 10^10-key
-    scale a single bitset stops fitting the driver: shard the bit space by
-    ``pmod(hash, S)`` (repartition by shard, one m/S-bit bitset per shard)
-    so the collect stays O(m) total — same fold body, sharded layout."""
+    scale a single bitset stops fitting the driver — use
+    :func:`build_bloom_sharded`, which repartitions by ``pmod(hash, S)`` and
+    keeps the collect O(m) total across S shard-sized bitsets."""
     if expected is None:
         expected = df.count()
     proto = BloomFilter.sized_for(expected, fpp)
@@ -116,8 +117,108 @@ def build_bloom(
     return out
 
 
-def bloom_maybe_contains(bloom: BloomFilter, hash_col: Column) -> Column:
-    """Arrow-batched membership probe column (broadcast via task closure)."""
+@dataclass
+class ShardedBloom:
+    """Bit-space-sharded bloom: shard ``s`` holds only hashes with
+    ``pmod(hash, n_shards) == s``, each in its own m/S-bit bitset.
+
+    This is the 10^10-key deployment shape promised in the module notes: a
+    monolithic 1%-FPP bloom over 1e10 keys is ~12 GB — too big to collect or
+    broadcast — but S=1024 shards are ~12 MB each, built by repartitioning
+    the seen-set on the shard key so every fold task allocates exactly one
+    shard-sized bitset and the driver collect stays O(m) total. On a real
+    cluster the frontier is bucketed by ``pmod(url_hash, B)`` with S | B, so
+    probes are shard-aligned: each executor needs only its own shard. In
+    local mode the probe closure carries all shards (equivalent, since one
+    machine holds everything anyway)."""
+
+    shards: list[BloomFilter]
+    n_shards: int
+
+    def contains_hashes(self, hashes: np.ndarray) -> np.ndarray:
+        h = hashes.astype(np.int64)
+        # numpy's floored mod == Spark pmod for positive modulus
+        shard_of = np.mod(h, self.n_shards)
+        out = np.zeros(len(h), dtype=bool)
+        for s in np.unique(shard_of):
+            mask = shard_of == s
+            out[mask] = self.shards[int(s)].contains_hashes(h[mask])
+        return out
+
+
+def build_bloom_sharded(
+    df: DataFrame,
+    hash_col: str,
+    n_shards: int = 8,
+    expected: int | None = None,
+    fpp: float = BLOOM_FPP,
+) -> ShardedBloom:
+    """Distributed sharded build: repartition the seen-set on
+    ``pmod(hash, n_shards)`` so each task sees (mostly) one shard, fold each
+    shard's hashes into its own m/S-bit bitset, OR same-shard bitsets on the
+    driver. Lossless per shard (same zero-false-negative property as the
+    monolithic build — property-tested)."""
+    if expected is None:
+        expected = df.count()
+    per_shard = max(expected // n_shards + 1, 1)
+    proto = BloomFilter.sized_for(per_shard, fpp)
+    m, k = proto.m, proto.k
+
+    sharded = df.select(
+        F.col(hash_col).alias("h"),
+        F.pmod(F.col(hash_col), F.lit(n_shards)).cast("int").alias("__shard"),
+    ).repartition(n_shards, "__shard")
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local: dict[int, BloomFilter] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            h = pdf["h"].to_numpy(dtype=np.int64)
+            for s in np.unique(pdf["__shard"].to_numpy()):
+                bf = local.setdefault(
+                    int(s),
+                    BloomFilter(
+                        bits=np.zeros((m + 7) // 8, dtype=np.uint8), m=m, k=k
+                    ),
+                )
+                bf.add_hashes(h[pdf["__shard"].to_numpy() == s])
+        for s, bf in local.items():
+            yield pd.DataFrame({"shard": [s], "bits": [bf.bits.tobytes()]})
+
+    parts = sharded.mapInPandas(fold, schema="shard int, bits binary").collect()
+    shards = [
+        BloomFilter(bits=np.zeros((m + 7) // 8, dtype=np.uint8), m=m, k=k)
+        for _ in range(n_shards)
+    ]
+    for row in parts:
+        shards[row["shard"]].bits |= np.frombuffer(row["bits"], dtype=np.uint8)
+    return ShardedBloom(shards=shards, n_shards=n_shards)
+
+
+def bloom_maybe_contains(bloom: "BloomFilter | ShardedBloom", hash_col: Column) -> Column:
+    """Arrow-batched membership probe column (broadcast via task closure).
+    Accepts the monolithic filter or the sharded one (probe routes each hash
+    to its shard's bitset)."""
+    if isinstance(bloom, ShardedBloom):
+        payload = [bf.bits.tobytes() for bf in bloom.shards]
+        m, k, n_shards = bloom.shards[0].m, bloom.shards[0].k, bloom.n_shards
+
+        @F.pandas_udf(BooleanType())
+        def _probe_sharded(h: pd.Series) -> pd.Series:
+            sb = ShardedBloom(
+                shards=[
+                    BloomFilter(
+                        bits=np.frombuffer(b, dtype=np.uint8), m=m, k=k
+                    )
+                    for b in payload
+                ],
+                n_shards=n_shards,
+            )
+            return pd.Series(sb.contains_hashes(h.to_numpy(dtype=np.int64)))
+
+        return _probe_sharded(hash_col)
+
     bits, m, k = bloom.bits, bloom.m, bloom.k
 
     @F.pandas_udf(BooleanType())
@@ -131,7 +232,7 @@ def bloom_maybe_contains(bloom: BloomFilter, hash_col: Column) -> Column:
 def anti_join_seen(
     candidates: DataFrame,
     url_seen: DataFrame,
-    bloom: BloomFilter | None = None,
+    bloom: "BloomFilter | ShardedBloom | None" = None,
 ) -> DataFrame:
     """Rows of ``candidates`` whose (url_hash, canonical_url) is NOT in
     ``url_seen`` — the J1/J2 visited-membership kernel (SURVEY.md §2.3).

@@ -30,15 +30,33 @@ from ..sources.sitemap import expand_sitemaps
 from .crawl import CrawlEngine, CrawlRunResult
 
 
-def _seed_df(spark: SparkSession, urls_df: DataFrame) -> DataFrame:
+def _seed_df(
+    spark: SparkSession, urls_df: DataFrame, n_rows: int | None = None
+) -> DataFrame:
     """URL list → seed frontier rows with the deterministic seq contract
     (alphabetical — the sitemap document order is already encoded in the
-    corpus; ties don't exist after dedup)."""
+    corpus; ties don't exist after dedup).
+
+    A global ``row_number`` window funnels every row through one task —
+    fine for a handful of seeds, fatal for a 50M-URL sitemap index. Above
+    the same threshold the crawl path uses (CrawlEngine.SEQ_WINDOW_MAX_ROWS)
+    the rank is computed distributed via operators/ordering.distributed_rank
+    (range-partition + per-partition offsets — identical output, pinned
+    equal in tests/test_ordering.py)."""
+    base = urls_df.select(
+        "url", F.lit(0).alias("priority"), F.lit(0).alias("depth")
+    )
+    if n_rows is not None and n_rows > CrawlEngine.SEQ_WINDOW_MAX_ROWS:
+        from ..operators.ordering import distributed_rank
+
+        return distributed_rank(base, ["url"], out_col="seq").select(
+            "url", "priority", "depth", F.col("seq").cast("long").alias("seq")
+        )
     w = Window.orderBy("url")
-    return urls_df.select(
+    return base.select(
         "url",
-        F.lit(0).alias("priority"),
-        F.lit(0).alias("depth"),
+        "priority",
+        "depth",
         (F.row_number().over(w) - 1).cast("long").alias("seq"),
     )
 
@@ -73,7 +91,9 @@ def smart_crawl(
         page_urls = page_urls.where(  # prefix filter, reference :726-739
             comparison_normalize(F.col("url")).startswith(F.lit(norm_prefix))
         )
-        seeds = _seed_df(spark, page_urls)
+        # count to pick the seq-assignment strategy (window vs distributed
+        # rank); cheap — the expansion levels are already localCheckpointed
+        seeds = _seed_df(spark, page_urls, n_rows=page_urls.count())
         engine = CrawlEngine(spark, pages, robots=robots)
         return engine.run(seeds, max_depth=1)  # batch fetch, no link follow
 

@@ -66,3 +66,20 @@ def test_assign_seq_paths_agree(spark):
         for r in eng._assign_seq(disc, 41, n_rows=10**9).collect()  # distributed
     }
     assert small == big
+
+
+def test_seed_df_paths_agree(spark):
+    """smart._seed_df: the >threshold distributed-rank path must produce the
+    exact seq the small-batch window path produces (mirrors _assign_seq)."""
+    from mcp_crawl4ai_rag_spark.plans.smart import _seed_df
+
+    urls = spark.range(0, 2000, 1, 8).select(
+        F.concat(
+            F.lit("https://h"), (F.col("id") * 2654435761 % 97),
+            F.lit(".x/s/"), F.col("id"),
+        ).alias("url")
+    )
+    small = {r["url"]: r["seq"] for r in _seed_df(spark, urls, n_rows=5).collect()}
+    big = {r["url"]: r["seq"] for r in _seed_df(spark, urls, n_rows=10**9).collect()}
+    assert small == big
+    assert sorted(small.values()) == list(range(2000))

@@ -91,3 +91,50 @@ def test_cuckoo_insert_contains_delete():
 def test_cuckoo_capacity_power_of_two(cap):
     cf = CuckooFilter(capacity=cap)
     assert cf.n_buckets & (cf.n_buckets - 1) == 0
+
+
+def test_sharded_bloom_zero_false_negatives_across_shards():
+    from mcp_crawl4ai_rag_spark.operators.urlseen import ShardedBloom
+
+    rng = np.random.default_rng(7)
+    xs = rng.integers(-(2**62), 2**62, 4000, dtype=np.int64)
+    S = 8
+    per = BloomFilter.sized_for(len(xs) // S + 1, 0.01)
+    sb = ShardedBloom(
+        shards=[
+            BloomFilter(bits=np.zeros_like(per.bits), m=per.m, k=per.k)
+            for _ in range(S)
+        ],
+        n_shards=S,
+    )
+    shard_of = np.mod(xs, S)
+    for s in range(S):
+        sb.shards[s].add_hashes(xs[shard_of == s])
+    assert sb.contains_hashes(xs).all()  # no false negative crosses a shard
+    # and membership is shard-local: a hash added to shard s must not be
+    # reported present when routed (its own mod decides — sanity of routing)
+    others = np.setdiff1d(rng.integers(-(2**62), 2**62, 20000, dtype=np.int64), xs)
+    assert sb.contains_hashes(others).mean() < 0.03
+
+
+def test_sharded_build_probe_and_antijoin(spark):
+    from mcp_crawl4ai_rag_spark.operators.urlseen import build_bloom_sharded
+
+    cand = spark.range(0, 1000, 1, 4).select(
+        F.concat(F.lit("u"), F.col("id")).alias("canonical_url"),
+        F.xxhash64(F.concat(F.lit("u"), F.col("id"))).alias("url_hash"),
+    )
+    seen = spark.range(0, 500, 1, 4).select(
+        F.concat(F.lit("u"), (F.col("id") * 2)).alias("canonical_url"),
+        F.xxhash64(F.concat(F.lit("u"), (F.col("id") * 2))).alias("url_hash"),
+    )
+    sb = build_bloom_sharded(seen, "url_hash", n_shards=8, expected=500)
+    hits = seen.withColumn("hit", bloom_maybe_contains(sb, F.col("url_hash")))
+    assert hits.where(~F.col("hit")).count() == 0  # zero false negatives
+    exact = set(
+        r[0] for r in anti_join_seen(cand, seen, None).select("canonical_url").collect()
+    )
+    with_sharded = set(
+        r[0] for r in anti_join_seen(cand, seen, sb).select("canonical_url").collect()
+    )
+    assert exact == with_sharded and len(exact) == 500
