@@ -974,6 +974,62 @@ FROM x GROUP BY user_id
 """
 
 
+def q_crawl_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6+T3+A5: the reference tool-response JSON (src/crawl4ai_mcp.py:
+    841-862) — counts, 5-URL preview + "...", partial-failures block with
+    the success-rate percentage — over a deterministic fetched-shaped set
+    derived from the documents table."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    fetched = docs.select(
+        F.concat(
+            F.lit("https://d.example.com/doc/"), F.col("doc_id").cast("string")
+        ).alias("canonical_url"),
+        (F.col("doc_id") % 3).cast("int").alias("depth"),
+        F.lit(0).alias("priority"),
+        F.col("doc_id").cast("long").alias("seq"),
+    )
+    from mcp_crawl4ai_rag_spark.plans.crawl import crawl_report
+
+    return crawl_report(
+        "https://d.example.com/",
+        "webpage",
+        fetched,
+        2 * n,
+        2 * n - 7,
+        storage_errors=7,
+        failed_batches=1,
+        total_batches=(n + 9) // 10,
+    )
+
+
+def _oracle_crawl_report() -> str:
+    # byte-identical twin of Spark's to_json output (compact, struct field
+    # order, "..." appended past 5 URLs) assembled by string concatenation
+    return """
+WITH n AS (SELECT COUNT(*) AS n FROM documents),
+prev AS (
+  SELECT (list('https://d.example.com/doc/' || CAST(doc_id AS VARCHAR)
+               ORDER BY doc_id % 3, doc_id))[1:5] AS urls
+  FROM documents
+)
+SELECT '{"success":true,"url":"https://d.example.com/","crawl_type":"webpage","pages_crawled":'
+       || n.n || ',"pages_processed":' || n.n
+       || ',"chunks_prepared":' || (2 * n.n)
+       || ',"chunks_stored":' || (2 * n.n - 7)
+       || ',"urls_crawled":['
+       || list_aggregate(list_transform(prev.urls, x -> '"' || x || '"'),
+                         'string_agg', ',')
+       || CASE WHEN n.n > 5 THEN ',"..."' ELSE '' END
+       || '],"partial_failures":{"storage_errors":7,"failed_batches":1,"total_batches":'
+       || CAST((n.n + 9) // 10 AS VARCHAR)
+       || ',"success_rate":"'
+       || printf('%.1f', (2.0 * n.n - 7) / (2 * n.n) * 100)
+       || '%"}}' AS report
+FROM n, prev
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
@@ -1029,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_verify": q_image_verify,
         "image_features": q_image_features,
         "rag_pipeline": q_rag_pipeline,
+        "crawl_report": q_crawl_report,
     }
 
 
@@ -1057,6 +1114,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _oracle_embedding_neardup(),
         "events_hourly": _oracle_events_hourly(),
         "events_sessionize": _oracle_events_sessionize(),
+        "crawl_report": _oracle_crawl_report(),
         # image_verify / rag_pipeline: intentionally no oracle (binary decode
         # and the seeded embedder are not SQL-expressible) → rows-only check.
     }

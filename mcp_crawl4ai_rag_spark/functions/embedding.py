@@ -9,9 +9,11 @@ size); swapping in a real API client touches only ``_embed_batch``.
 
 Truncation reproduces the reference's two guards:
 - MAX_DOCUMENT_LENGTH char cap (src/utils.py:258-259)
-- token cap — the reference uses tiktoken (≤8191 tokens, src/utils.py:
-  167-185); tiktoken is not installed here, so the stand-in caps on the same
-  regex token stream used by functions/text.py (documented deviation).
+- token cap ≤8191 (src/utils.py:167-185) via functions/tokenizer.py: the
+  tiktoken adapter when importable (reference-faithful), else a
+  prefix-preserving regex tokenizer behind the SAME interface — the swap
+  point is explicit and conformance-tested, so changing vocabulary never
+  silently changes truncation semantics.
 """
 
 from __future__ import annotations
@@ -26,8 +28,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, FloatType
 
 from ..config import EMBEDDING_DIM, MAX_DOCUMENT_LENGTH, QUERY_CONTEXT_PREFIX
+from .tokenizer import MAX_EMBED_TOKENS, get_tokenizer
 
-MAX_EMBED_TOKENS = 8191  # reference src/utils.py:167
+
+def _clip_series(texts: pd.Series, max_tokens: int = MAX_EMBED_TOKENS) -> list[str]:
+    """The reference's two pre-embedding guards in order (src/utils.py:
+    258-259 char cap, :167-185 token cap) over one Arrow batch."""
+    tok = get_tokenizer()
+    clipped = texts.fillna("").str.slice(0, MAX_DOCUMENT_LENGTH)
+    return [tok.truncate(t, max_tokens) for t in clipped]
 
 
 def embed_text(text: str, dim: int = EMBEDDING_DIM) -> np.ndarray:
@@ -51,8 +60,7 @@ def embed_udf(dim: int = EMBEDDING_DIM):
 
     @F.pandas_udf(ArrayType(FloatType()))
     def _embed(texts: pd.Series) -> pd.Series:
-        clipped = texts.fillna("").str.slice(0, MAX_DOCUMENT_LENGTH)
-        return pd.Series(_embed_batch(clipped.tolist(), dim))
+        return pd.Series(_embed_batch(_clip_series(texts), dim))
 
     return _embed
 
@@ -84,8 +92,7 @@ def embed_texts_mapinpandas(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            texts = pdf[text_col].fillna("").str.slice(0, MAX_DOCUMENT_LENGTH)
-            pdf[out_col] = _embed_batch(texts.tolist(), dim)
+            pdf[out_col] = _embed_batch(_clip_series(pdf[text_col]), dim)
             yield pdf
 
     return df.mapInPandas(gen, schema=schema_out)
@@ -95,7 +102,8 @@ def embed_query(query: str, contextual: bool = False, dim: int = EMBEDDING_DIM) 
     """Query-side embedding; when ``contextual`` the reference prepends a
     search prompt (src/utils.py:552-561)."""
     text = (QUERY_CONTEXT_PREFIX + query) if contextual else query
-    return embed_text(text[:MAX_DOCUMENT_LENGTH], dim).tolist()
+    text = get_tokenizer().truncate(text[:MAX_DOCUMENT_LENGTH])
+    return embed_text(text, dim).tolist()
 
 
 # ---------------------------------------------------------------------------

@@ -43,7 +43,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from urllib.parse import urlparse
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import BLOOM_MIN_SEEN, DEFAULT_SALT_LANES
@@ -339,6 +339,7 @@ class CrawlEngine:
 
         fetched_parts: list[DataFrame] = []
         lineage_parts: list[DataFrame] = []
+        observed_fetch: dict[int, dict[str, int]] = {}
         epochs_run = start_epoch
 
         for epoch in range(start_epoch, limit):
@@ -388,13 +389,29 @@ class CrawlEngine:
                 denied = popped.limit(0)
                 allowed = popped
 
-            # S1/S2: fetch — one agg job yields allowed + success counts
-            fetch = self._fetch_batch(allowed).localCheckpoint(eager=True)
-            frow = fetch.agg(
-                F.count("*").alias("n"),
-                F.sum(F.col("success").cast("int")).alias("ok"),
-            ).collect()[0]
-            n_allowed, n_fetched_ok = frow["n"], int(frow["ok"] or 0)
+            # S1/S2: fetch. D6 in-flight metrics: an Observation on the
+            # fetch stage (reference heartbeat/report_progress,
+            # src/crawl4ai_mcp.py:541-559,789-797) — CollectMetrics
+            # accumulates while the checkpoint job materializes the batch,
+            # so allowed+success counts cost ZERO extra jobs (previously a
+            # separate agg action per epoch).
+            obs = Observation(f"fetch_epoch_{epoch}")
+            fetch = (
+                self._fetch_batch(allowed)
+                .observe(
+                    obs,
+                    F.count(F.lit(1)).alias("fetch_attempted"),
+                    F.sum(F.col("success").cast("long")).alias("fetch_succeeded"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            m = obs.get
+            n_allowed = int(m["fetch_attempted"])
+            n_fetched_ok = int(m["fetch_succeeded"] or 0)
+            observed_fetch[epoch] = {
+                "fetch_attempted": n_allowed,
+                "fetch_succeeded": n_fetched_ok,
+            }
             n_denied = n_popped - n_allowed
             fetched_ok = fetch.where(F.col("success"))
             fetched_parts.append(
@@ -475,6 +492,7 @@ class CrawlEngine:
             lineage=_union_all(spark, lineage_parts, _LINEAGE_SCHEMA),
             frontier_remaining=frontier,
             epochs_run=epochs_run,
+            stats={"observed_fetch": observed_fetch},
         )
 
     def resume(
@@ -507,3 +525,72 @@ class CrawlEngine:
         result.fetched = self.ckpt.read_fetched(upto)
         result.lineage = self.ckpt.read_lineage(upto)
         return result
+
+
+def crawl_report(
+    url: str,
+    crawl_type: str,
+    fetched: DataFrame,
+    chunks_prepared: int,
+    chunks_stored: int,
+    *,
+    storage_errors: int = 0,
+    failed_batches: int = 0,
+    total_batches: int = 1,
+) -> DataFrame:
+    """C6+T3+A5: the reference's tool-response JSON (src/crawl4ai_mcp.py:
+    841-862) as a one-row DataFrame with a ``report`` JSON-string column —
+    counts, first-5-URL preview (+"..." when truncated, :849), and the
+    partial-failures block with the A5 success-rate percentage (:853-859).
+
+    Scale shape: the preview is ``orderBy(depth, priority, seq).limit(5)``
+    — Spark plans TakeOrderedAndProject, so no global sort and the
+    collect_list aggregates at most 5 rows regardless of crawl size.
+    """
+    # the §7.0 total order, restricted to the columns the input carries
+    # (CrawlRunResult.fetched has no priority column — it is constant
+    # within an epoch and dropped from the fetch log)
+    order = [c for c in ("depth", "priority", "seq") if c in fetched.columns]
+    cnt = fetched.agg(F.count(F.lit(1)).alias("pages_crawled"))
+    prev = (
+        fetched.orderBy(*order)
+        .limit(5)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(*order, F.col("canonical_url").alias("u"))
+                )
+            ).alias("__ord")
+        )
+    )
+    one = cnt.crossJoin(prev)
+    preview = F.transform(F.col("__ord"), lambda s: s["u"])
+    urls_crawled = F.when(
+        F.col("pages_crawled") > 5, F.concat(preview, F.array(F.lit("...")))
+    ).otherwise(preview)
+
+    fields = [
+        F.lit(True).alias("success"),
+        F.lit(url).alias("url"),
+        F.lit(crawl_type).alias("crawl_type"),
+        F.col("pages_crawled").alias("pages_crawled"),
+        F.col("pages_crawled").alias("pages_processed"),
+        F.lit(chunks_prepared).cast("long").alias("chunks_prepared"),
+        F.lit(chunks_stored).cast("long").alias("chunks_stored"),
+        urls_crawled.alias("urls_crawled"),
+    ]
+    if storage_errors > 0 or failed_batches > 0:
+        rate = (
+            f"{chunks_stored / chunks_prepared * 100:.1f}%"
+            if chunks_prepared > 0
+            else "0%"
+        )
+        fields.append(
+            F.struct(
+                F.lit(storage_errors).cast("long").alias("storage_errors"),
+                F.lit(failed_batches).cast("long").alias("failed_batches"),
+                F.lit(total_batches).cast("long").alias("total_batches"),
+                F.lit(rate).alias("success_rate"),
+            ).alias("partial_failures")
+        )
+    return one.select(F.to_json(F.struct(*fields)).alias("report"))

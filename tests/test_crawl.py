@@ -165,3 +165,49 @@ def test_lineage_schema_and_counts(spark, corpus):
     assert [r["epoch"] for r in rows] == list(range(res.epochs_run))
     total_sched = sum(r["urls_scheduled"] for r in rows)
     assert total_sched == res.url_seen.count()
+
+
+def test_observed_fetch_metrics_match_lineage(spark, corpus):
+    """D6: the Observation on the fetch stage must agree with the lineage
+    counters — fetch_succeeded == pages_fetched and fetch_attempted ==
+    urls_scheduled - robots_denials, every epoch."""
+    eng = CrawlEngine(
+        spark, corpus, robots=gen_robots(spark), allowed_host_suffix=".example.com"
+    )
+    res = eng.run(gen_seeds(spark, N), max_depth=DEPTH)
+    lin = {r["epoch"]: r for r in res.lineage.collect()}
+    obs = res.stats["observed_fetch"]
+    assert set(obs) == set(lin) and len(obs) == res.epochs_run
+    for ep, m in obs.items():
+        assert m["fetch_succeeded"] == lin[ep]["pages_fetched"]
+        assert (
+            m["fetch_attempted"]
+            == lin[ep]["urls_scheduled"] - lin[ep]["robots_denials"]
+        )
+
+
+def test_crawl_report_shape(spark, corpus):
+    """C6/T3/A5: JSON report — preview capped at 5 + '...', success rate."""
+    import json
+
+    from mcp_crawl4ai_rag_spark.plans.crawl import crawl_report
+
+    eng = CrawlEngine(
+        spark, corpus, robots=gen_robots(spark), allowed_host_suffix=".example.com"
+    )
+    res = eng.run(gen_seeds(spark, N), max_depth=DEPTH)
+    n_fetched = res.fetched.count()
+    rep = json.loads(
+        crawl_report(
+            "https://h0.example.com/", "webpage", res.fetched, 100, 97,
+            storage_errors=3, failed_batches=1, total_batches=11,
+        ).collect()[0]["report"]
+    )
+    assert rep["success"] is True and rep["pages_crawled"] == n_fetched
+    assert rep["urls_crawled"][-1] == "..." and len(rep["urls_crawled"]) == 6
+    first5 = [
+        r["canonical_url"]
+        for r in res.fetched.orderBy("depth", "seq").limit(5).collect()
+    ]
+    assert rep["urls_crawled"][:5] == first5
+    assert rep["partial_failures"]["success_rate"] == "97.0%"

@@ -67,3 +67,69 @@ def test_critical_errors_fail_fast():
     assert calls["n"] == 1  # never retried
     assert is_critical_error(RuntimeError("model_not_found: gpt-x"))
     assert not is_critical_error(RuntimeError("429 too many requests"))
+
+
+# ---------------------------------------------------------------------------
+# C9: tokenizer truncation conformance (functions/tokenizer.py)
+# ---------------------------------------------------------------------------
+
+
+def test_tokenizer_truncation_contract():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mcp_crawl4ai_rag_spark.functions.tokenizer import RegexTokenizer
+
+    tok = RegexTokenizer()
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=300), st.integers(min_value=0, max_value=50))
+    def check(text, k):
+        out = tok.truncate(text, k)
+        assert text.startswith(out)            # prefix property
+        assert tok.count(out) <= k             # bound holds
+        assert tok.truncate(out, k) == out     # idempotent
+
+    check()
+
+
+def test_tokenizer_truncation_boundary():
+    from mcp_crawl4ai_rag_spark.functions.tokenizer import (
+        MAX_EMBED_TOKENS,
+        RegexTokenizer,
+        get_tokenizer,
+    )
+
+    tok = RegexTokenizer()
+    text = "word " * 10  # 10 tokens, trailing space
+    assert tok.count(text) == 10
+    assert tok.truncate(text, 10) == text      # exactly k tokens: unchanged
+    assert tok.truncate(text, 9) == "word " * 8 + "word"  # cut at token end
+    assert tok.truncate(text, 0) == ""
+    # punctuation splits: "a.b" = 3 tokens
+    assert tok.count("a.b") == 3 and tok.truncate("a.b", 2) == "a."
+    # the default cap is the reference's 8191
+    assert MAX_EMBED_TOKENS == 8191
+    # active tokenizer honors the same contract on a long text
+    active = get_tokenizer()
+    long = "tok " * (MAX_EMBED_TOKENS + 50)
+    cut = active.truncate(long)
+    assert active.count(cut) <= MAX_EMBED_TOKENS < active.count(long)
+
+
+def test_embedder_applies_token_cap():
+    import numpy as np
+
+    from mcp_crawl4ai_rag_spark.functions.embedding import (
+        _clip_series,
+        embed_text,
+    )
+    from mcp_crawl4ai_rag_spark.functions.tokenizer import get_tokenizer
+    import pandas as pd
+
+    tok = get_tokenizer()
+    long = "w " * 9000  # 9000 tokens, under the 25k char cap
+    [clipped] = _clip_series(pd.Series([long]))
+    assert tok.count(clipped) == 8191
+    # truncation changes the embedded payload (the cap is actually applied)
+    assert not np.allclose(embed_text(clipped, 16), embed_text(long, 16))
