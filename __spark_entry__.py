@@ -495,8 +495,12 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_image_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C13 (rows-only): image payload invariants — decode, PSNR, phash,
-    caption — aggregated per format. Binary decode is not SQL-expressible."""
+    """C13: image payload invariants — decode, PSNR≥40dB (inside pixel_ok),
+    phash recompute, caption equality — counted per format. The corpus
+    construction guarantees every image verifies, so the per-fmt counts are
+    closed-form and the DuckDB oracle checks them exactly (the binary decode
+    itself is exercised on the Spark side; raw PSNR values are pinned in
+    tests/test_images.py)."""
     imgs = gen_images(spark, 1000)
     v = verify_images(imgs)
     return v.groupBy("fmt").agg(
@@ -504,8 +508,21 @@ def q_image_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("pixel_ok").cast("int")).cast("long").alias("n_pixel_ok"),
         F.sum(F.col("phash_ok").cast("int")).cast("long").alias("n_phash_ok"),
         F.sum(F.col("caption_ok").cast("int")).cast("long").alias("n_caption_ok"),
-        F.round(F.min("psnr_db"), 2).alias("min_psnr_db"),
     )
+
+
+def _oracle_image_verify() -> str:
+    # fmt alternates png/jpeg on image index (sources/corpus.py gen_images);
+    # all invariants hold by construction → every count equals the fmt count
+    return """
+SELECT CASE WHEN i % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_pixel_ok,
+       CAST(count(*) AS BIGINT) AS n_phash_ok,
+       CAST(count(*) AS BIGINT) AS n_caption_ok
+FROM (SELECT unnest(generate_series(0, 999)) AS i)
+GROUP BY 1
+"""
 
 
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -974,6 +991,189 @@ FROM x GROUP BY user_id
 """
 
 
+# S4: text-file dispatch — one .txt seed, single fetch, no link following
+# (reference crawl_markdown_file, src/crawl4ai_mcp.py:892-913), then the
+# chunk pipeline. Body is a closed-form token stream so the chunker
+# degenerates to exact 300-char slices the SQL oracle can reproduce.
+_TXT_URL = "https://h1.example.com/guides/llms.txt"
+_TXT_BODY = "".join(f"word{i:04d} " for i in range(120))  # 1080 chars
+_TXT_CHUNK = 300
+
+_PAGES_SCHEMA = (
+    "url string, host string, path string, markdown string, "
+    "out_links array<string>, image_ids array<string>, status int, success boolean"
+)
+
+
+def q_smart_crawl_txt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = spark.createDataFrame(
+        [
+            (
+                _TXT_URL, "h1.example.com", "/guides/llms.txt", _TXT_BODY,
+                [], [], 200, True,
+            )
+        ],
+        _PAGES_SCHEMA,
+    )
+    res = smart_crawl(spark, _TXT_URL, pages=pages)
+    docs = res.fetched.select(F.col("canonical_url").alias("url"), "markdown")
+    chunks = build_chunks(
+        docs, chunk_size=_TXT_CHUNK, crawl_type="text_file"
+    )
+    return chunks.select(
+        "url",
+        F.col("chunk_number").cast("long").alias("chunk_number"),
+        "content",
+        F.col("char_count").cast("long").alias("char_count"),
+        F.col("word_count").cast("long").alias("word_count"),
+        "source",
+        "crawl_type",
+    )
+
+
+def _oracle_smart_crawl_txt() -> str:
+    n_chunks = (len(_TXT_BODY) + _TXT_CHUNK - 1) // _TXT_CHUNK
+    piece = f"trim(substr(b.body, CAST(ks.k * {_TXT_CHUNK} + 1 AS INTEGER), {_TXT_CHUNK}))"
+    return f"""
+WITH b AS (SELECT '{_TXT_BODY}' AS body)
+SELECT '{_TXT_URL}' AS url,
+       CAST(ks.k AS BIGINT) AS chunk_number,
+       {piece} AS content,
+       CAST(length({piece}) AS BIGINT) AS char_count,
+       CAST(len(regexp_extract_all({piece}, '\\S+')) AS BIGINT) AS word_count,
+       'h1.example.com' AS source,
+       'text_file' AS crawl_type
+FROM b, (SELECT unnest(generate_series(0, {n_chunks - 1})) AS k) ks
+"""
+
+
+def q_upsert_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: keyed last-writer-wins upsert (reference on_conflict
+    'url,chunk_number', src/utils.py:493-500) — existing store from the
+    documents table, a batch overwriting every doc_id%3==0 key and adding
+    doc_id%7==0 new keys; output the merged store."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    key_url = F.concat(F.lit("u"), (F.col("doc_id") % 100).cast("string"))
+    key_chunk = F.floor(F.col("doc_id") / 100).cast("long")
+    existing = docs.select(
+        key_url.alias("url"),
+        key_chunk.alias("chunk_number"),
+        F.concat(F.lit("v0:"), F.col("doc_id").cast("string")).alias("content"),
+    )
+    batch = (
+        docs.where(F.col("doc_id") % 3 == 0)
+        .select(
+            key_url.alias("url"),
+            key_chunk.alias("chunk_number"),
+            F.concat(F.lit("v1:"), F.col("doc_id").cast("string")).alias("content"),
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 7 == 0).select(
+                F.concat(F.lit("new"), F.col("doc_id").cast("string")).alias("url"),
+                F.lit(0).cast("long").alias("chunk_number"),
+                F.concat(F.lit("vn:"), F.col("doc_id").cast("string")).alias("content"),
+            )
+        )
+    )
+    return store_documents(existing, batch)
+
+
+def _oracle_upsert_store() -> str:
+    return """
+WITH existing AS (
+  SELECT 'u' || CAST(doc_id % 100 AS VARCHAR) AS url,
+         CAST(doc_id // 100 AS BIGINT) AS chunk_number,
+         'v0:' || CAST(doc_id AS VARCHAR) AS content
+  FROM documents
+),
+batch AS (
+  SELECT 'u' || CAST(doc_id % 100 AS VARCHAR) AS url,
+         CAST(doc_id // 100 AS BIGINT) AS chunk_number,
+         'v1:' || CAST(doc_id AS VARCHAR) AS content
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT 'new' || CAST(doc_id AS VARCHAR), 0, 'vn:' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 7 = 0
+),
+u AS (
+  SELECT *, 0 AS g FROM existing
+  UNION ALL
+  SELECT *, 1 AS g FROM batch
+)
+SELECT url, chunk_number, content
+FROM u
+QUALIFY row_number() OVER (PARTITION BY url, chunk_number ORDER BY g DESC) = 1
+"""
+
+
+def q_crawl_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10+A4: parameter clamps (reference src/crawl4ai_mcp.py:642-657) and
+    the batch-failure gate (src/utils.py:506-516) over a sweep of inputs —
+    the driver-side validators surfaced as data the oracle can re-derive."""
+    from mcp_crawl4ai_rag_spark.plans.rag import (
+        check_batch_failures,
+        validate_crawl_params,
+    )
+
+    rows = []
+    for i in range(50):
+        d, c, s = validate_crawl_params(i - 20, i - 5, (i - 3) * 100)
+        try:
+            check_batch_failures(i % 5, 4)
+            abort = 0
+        except RuntimeError:
+            abort = 1
+        rows.append((i, d, c, s, abort))
+    return spark.createDataFrame(
+        rows, "i long, max_depth long, max_concurrent long, chunk_size long, abort long"
+    )
+
+
+def _oracle_crawl_params() -> str:
+    return """
+SELECT CAST(i AS BIGINT) AS i,
+       CAST(LEAST(GREATEST(i - 20, 0), 10) AS BIGINT) AS max_depth,
+       CAST(CASE WHEN i - 5 <= 0 THEN 10
+                 WHEN i - 5 > 50 THEN 50
+                 ELSE i - 5 END AS BIGINT) AS max_concurrent,
+       CAST(CASE WHEN (i - 3) * 100 <= 0 THEN 5000
+                 ELSE (i - 3) * 100 END AS BIGINT) AS chunk_size,
+       CAST(CASE WHEN (i % 5) / 4.0 > 0.5 THEN 1 ELSE 0 END AS BIGINT) AS abort
+FROM (SELECT unnest(generate_series(0, 49)) AS i)
+"""
+
+
+def q_contextual_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3/C5: contextual-enrichment concat (reference src/utils.py:217,319)
+    with the deterministic situating-context stand-in — document head,
+    whitespace-normalized, joined to the chunk with the \\n---\\n separator."""
+    from mcp_crawl4ai_rag_spark.functions.embedding import with_contextual_text
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    df = docs.select(
+        "doc_id",
+        F.col("text").alias("markdown"),
+        F.substring("text", 201, 120).alias("content"),
+    )
+    out = with_contextual_text(
+        df, doc_col="markdown", chunk_col="content", enabled=True
+    )
+    return out.select("doc_id", "contextual_content")
+
+
+def _oracle_contextual_concat() -> str:
+    head = (
+        "regexp_replace(regexp_replace(substr(text, 1, 150), "
+        "'^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g')"
+    )
+    return f"""
+SELECT doc_id,
+       'Context: ' || {head} || chr(10) || '---' || chr(10)
+       || substr(text, 201, 120) AS contextual_content
+FROM documents
+"""
+
+
 def q_crawl_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6+T3+A5: the reference tool-response JSON (src/crawl4ai_mcp.py:
     841-862) — counts, 5-URL preview + "...", partial-failures block with
@@ -1086,6 +1286,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         "rag_pipeline": q_rag_pipeline,
         "crawl_report": q_crawl_report,
+        "smart_crawl_txt": q_smart_crawl_txt,
+        "upsert_store": q_upsert_store,
+        "crawl_params": q_crawl_params,
+        "contextual_concat": q_contextual_concat,
     }
 
 
@@ -1115,6 +1319,12 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": _oracle_events_hourly(),
         "events_sessionize": _oracle_events_sessionize(),
         "crawl_report": _oracle_crawl_report(),
-        # image_verify / rag_pipeline: intentionally no oracle (binary decode
-        # and the seeded embedder are not SQL-expressible) → rows-only check.
+        "smart_crawl_txt": _oracle_smart_crawl_txt(),
+        "upsert_store": _oracle_upsert_store(),
+        "crawl_params": _oracle_crawl_params(),
+        "contextual_concat": _oracle_contextual_concat(),
+        "image_verify": _oracle_image_verify(),
+        # image_features / rag_pipeline: intentionally no oracle (binary
+        # feature extraction and the seeded embedder are not SQL-expressible)
+        # → rows-only check.
     }

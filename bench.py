@@ -53,6 +53,11 @@ BENCH_QUERIES = [
     "image_verify",
     "image_features",
     "rag_pipeline",
+    "crawl_report",
+    "smart_crawl_txt",
+    "upsert_store",
+    "crawl_params",
+    "contextual_concat",
 ]
 
 
