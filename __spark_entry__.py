@@ -1174,6 +1174,100 @@ FROM documents
 """
 
 
+# IVF with a TRAINED codebook: deterministic k-means over a bounded sample
+# (operators/similarity.py train_centroids). The corpus is closed-form
+# (md5-derived doubles) so the pure-Python twin can re-train the identical
+# centroids at oracle-build time and inline them as SQL literals — the gate
+# therefore checks the distributed trainer itself: any drift in sample draw,
+# assignment tie-break, or summation order changes the centroids, the
+# assignment, and the top-k hash.
+_KM_N, _KM_DIM, _KM_K = 2000, 8, 8
+_KM_ITERS, _KM_SAMPLE = 2, 128
+
+
+def _km_emb_expr(i):
+    from mcp_crawl4ai_rag_spark.functions.hashing import md5int64
+
+    return F.array(
+        *[
+            F.pmod(
+                md5int64(
+                    F.concat(F.lit("kv:"), i.cast("string"), F.lit(f":{d}"))
+                ),
+                F.lit(1000),
+            )
+            / 1000.0
+            for d in range(_KM_DIM)
+        ]
+    )
+
+
+def _km_py_vec(i: int) -> list[float]:
+    from mcp_crawl4ai_rag_spark.functions.hashing import py_md5int64
+
+    return [
+        (py_md5int64(f"kv:{i}:{d}") % 1000) / 1000.0 for d in range(_KM_DIM)
+    ]
+
+
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mcp_crawl4ai_rag_spark.operators.similarity import train_centroids
+
+    i = F.col("id")
+    embs = spark.range(_KM_N).select(
+        i.alias("vec_id"), _km_emb_expr(i).alias("embedding")
+    )
+    cents = train_centroids(embs, _KM_K, iters=_KM_ITERS, sample_n=_KM_SAMPLE)
+    return ivf_topk(embs, cents, _km_py_vec(0), 5, n_probe=_IVF_N_PROBE)
+
+
+def _oracle_ann_ivf_trained() -> str:
+    from mcp_crawl4ai_rag_spark.operators.similarity import py_train_centroids
+
+    cents = py_train_centroids(
+        [(i, _km_py_vec(i)) for i in range(_KM_N)],
+        _KM_K,
+        iters=_KM_ITERS,
+        sample_n=_KM_SAMPLE,
+    )
+    cent_rows = ",\n       ".join(
+        "({}, [{}])".format(cid, ", ".join(repr(x) for x in ce))
+        for cid, ce in cents
+    )
+    def dim_expr(d: int) -> str:
+        src = f"'kv:' || CAST(i AS VARCHAR) || ':{d}'"
+        return f"(({_sql_md5int64(src)}) % 1000) / 1000.0"
+
+    emb = "[" + ", ".join(dim_expr(d) for d in range(_KM_DIM)) + "]"
+    qvec = "[" + ", ".join(repr(x) for x in _km_py_vec(0)) + "]"
+    cos = _sql_cosine("s.embedding", f"{qvec}")
+    return f"""
+WITH e AS (
+  SELECT i AS vec_id, {emb} AS embedding
+  FROM (SELECT unnest(generate_series(0, {_KM_N - 1})) AS i)
+),
+c(cid, ce) AS (
+  VALUES {cent_rows}
+),
+probe AS (
+  SELECT c.cid FROM c
+  ORDER BY {_sql_l2sq('c.ce', qvec)} ASC, c.cid ASC
+  LIMIT {_IVF_N_PROBE}
+),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         {_sql_l2sq('e.embedding', 'c.ce')} AS d
+  FROM e CROSS JOIN c
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY d ASC, c.cid ASC) = 1
+),
+s AS (SELECT a.vec_id, a.embedding FROM assign a JOIN probe p ON a.cid = p.cid)
+SELECT s.vec_id, round({cos}, 4) AS sim
+FROM s
+ORDER BY sim DESC, s.vec_id
+LIMIT 5
+"""
+
+
 def q_crawl_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6+T3+A5: the reference tool-response JSON (src/crawl4ai_mcp.py:
     841-862) — counts, 5-URL preview + "...", partial-failures block with
@@ -1290,6 +1384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_store": q_upsert_store,
         "crawl_params": q_crawl_params,
         "contextual_concat": q_contextual_concat,
+        "ann_ivf_trained": q_ann_ivf_trained,
     }
 
 
@@ -1324,6 +1419,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_params": _oracle_crawl_params(),
         "contextual_concat": _oracle_contextual_concat(),
         "image_verify": _oracle_image_verify(),
+        "ann_ivf_trained": _oracle_ann_ivf_trained(),
         # image_features / rag_pipeline: intentionally no oracle (binary
         # feature extraction and the seeded embedder are not SQL-expressible)
         # → rows-only check.

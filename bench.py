@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "upsert_store",
     "crawl_params",
     "contextual_concat",
+    "ann_ivf_trained",
 ]
 
 

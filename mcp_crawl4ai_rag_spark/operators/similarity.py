@@ -217,3 +217,125 @@ def cosine_pairs(
         "id_b",
         F.round(cosine_expr(F.col("va"), F.col("vb")), 4).alias("sim"),
     ).where(F.col("sim") >= min_sim)
+
+
+# ---------------------------------------------------------------------------
+# IVF codebook training: deterministic k-means over a bounded sample
+# ---------------------------------------------------------------------------
+
+KM_SAMPLE_SALT = "kmsample:"
+
+
+def _km_sample_key(id_val: str) -> int:
+    from ..functions.hashing import py_md5int64
+
+    return py_md5int64(f"{KM_SAMPLE_SALT}{id_val}")
+
+
+def train_centroids(
+    embs: DataFrame,
+    k: int,
+    iters: int = 2,
+    sample_n: int = 128,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic k-means-over-sample codebook trainer: (cid, ce).
+
+    Scale shape: the trainer never touches the full corpus — a bounded
+    pseudo-random sample (the ``sample_n`` lowest md5-salted ids — a fixed,
+    engine-independent draw) feeds Lloyd iterations expressed as DataFrame
+    ops: assignment is the shuffle-free per-row argmin of :func:`ivf_assign`,
+    the update is a per-(cid, dim) mean whose sum folds in ascending-id
+    order (``array_sort(collect_list(struct(id, val)))`` + ``F.aggregate``)
+    so the result is BIT-IDENTICAL to the pure-Python twin
+    :func:`py_train_centroids` — which is what lets the DuckDB gate oracle
+    receive the trained centroids as literals and still catch a trainer
+    regression. Per iteration only K×dim doubles cross to the driver.
+    Empty clusters keep their previous centroid (standard Lloyd fallback).
+    """
+    from ..functions.hashing import md5int64
+
+    spark = embs.sparkSession
+    h = md5int64(
+        F.concat(F.lit(KM_SAMPLE_SALT), F.col(id_col).cast("string"))
+    )
+    sample = (
+        embs.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+            h.alias("__h"),
+        )
+        .orderBy("__h", "__id")
+        .limit(sample_n)
+        .localCheckpoint(eager=True)
+    )
+    seed_rows = sorted(sample.collect(), key=lambda r: (r["__h"], r["__id"]))[:k]
+    cents: list[tuple[int, list[float]]] = [
+        (j, list(r["__v"])) for j, r in enumerate(seed_rows)
+    ]
+    dim = len(cents[0][1])
+
+    body = sample.select("__id", "__v")
+    for _ in range(iters):
+        cents_df = spark.createDataFrame(cents, "cid int, ce array<double>")
+        assigned = ivf_assign(body, cents_df, id_col="__id", vec_col="__v")
+        sums = (
+            assigned.select(
+                "cid", "__id", F.posexplode(F.col("__v")).alias("d", "val")
+            )
+            .groupBy("cid", "d")
+            .agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("__id", "val"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["val"],
+                ).alias("s"),
+                F.count("*").alias("n"),
+            )
+        )
+        means: dict[int, list[float]] = {}
+        for r in sums.collect():
+            means.setdefault(int(r["cid"]), [0.0] * dim)[int(r["d"])] = (
+                r["s"] / r["n"]
+            )
+        cents = [
+            (cid, means.get(cid, old)) for cid, old in cents
+        ]
+    return spark.createDataFrame(cents, "cid int, ce array<double>")
+
+
+def py_train_centroids(
+    items: list[tuple, ],
+    k: int,
+    iters: int = 2,
+    sample_n: int = 128,
+) -> list[tuple[int, list[float]]]:
+    """Pure-Python twin of :func:`train_centroids` — identical sample draw,
+    assignment tie-break, and ascending-id summation order, so outputs match
+    the Spark trainer bit-for-bit. Used to inline trained centroids into the
+    SQL gate oracle."""
+    ordered = sorted(items, key=lambda t: (_km_sample_key(str(t[0])), t[0]))
+    sample = [(i, [float(x) for x in v]) for i, v in ordered[:sample_n]]
+    cents = [list(v) for _, v in sample[:k]]
+    dim = len(cents[0])
+
+    for _ in range(iters):
+        sums = [[0.0] * dim for _ in range(k)]
+        counts = [0] * k
+        for _id, v in sorted(sample, key=lambda t: t[0]):
+            best, best_d = 0, None
+            for cid in range(k):
+                acc = 0.0
+                for d in range(dim):
+                    diff = v[d] - cents[cid][d]
+                    acc += diff * diff
+                if best_d is None or acc < best_d:
+                    best, best_d = cid, acc
+            counts[best] += 1
+            for d in range(dim):
+                sums[best][d] += v[d]
+        for cid in range(k):
+            if counts[cid]:
+                cents[cid] = [sums[cid][d] / counts[cid] for d in range(dim)]
+    return [(cid, cents[cid]) for cid in range(k)]

@@ -109,3 +109,55 @@ def test_simhash_pairs_equals_bruteforce(docs_df):
                 expected[(a, b)] = h
     assert got == expected
     assert got[(0, 3)] == 0  # identical docs
+
+
+def test_minhash_lsh_hot_band_skew(spark):
+    """Boilerplate skew stress: one band key holds 25% of the corpus (100
+    identical docs → every band collides). The banded candidate join must
+    stay an equi-join (never a cartesian/nested-loop product), complete
+    under AQE with broadcast disabled (the 10^9-doc plan shape), and
+    produce exactly C(100,2) jaccard-1.0 pairs for the hot group."""
+    from pyspark.sql import functions as F
+
+    from mcp_crawl4ai_rag_spark.operators.dedup import minhash_lsh_pairs
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        boiler = "the quick brown fox jumps over the lazy dog again and again"
+        docs = spark.range(0, 400, 1, 8).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 4 == 0, F.lit(boiler))
+            .otherwise(
+                F.concat(
+                    F.lit("unique document number "),
+                    F.col("id").cast("string"),
+                    F.lit(" with distinct trailing words alpha beta gamma "),
+                    (F.col("id") * 7919).cast("string"),
+                )
+            )
+            .alias("text"),
+        )
+        pairs = minhash_lsh_pairs(docs, min_jaccard=0.99)
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        hot = pairs.where(
+            (F.col("id_a") % 4 == 0) & (F.col("id_b") % 4 == 0)
+        ).count()
+        assert hot == 100 * 99 // 2  # all boilerplate pairs found, once each
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)

@@ -112,3 +112,59 @@ def test_cosine_pairs_threshold(embs, spark):
     assert pairs[(7, 999)] == 1.0
     # no random 16-dim pair from N(0,1) reaches 0.99
     assert all(a == 7 and b == 999 for (a, b) in pairs)
+
+
+def test_train_centroids_matches_python_twin(spark):
+    """Distributed k-means trainer must equal the pure-Python twin
+    bit-for-bit (the property the ann_ivf_trained gate oracle relies on)."""
+    from pyspark.sql import functions as F
+
+    from mcp_crawl4ai_rag_spark.functions.hashing import md5int64, py_md5int64
+    from mcp_crawl4ai_rag_spark.operators.similarity import (
+        py_train_centroids,
+        train_centroids,
+    )
+
+    N, DIM, K = 300, 6, 5
+
+    def pyvec(i):
+        return [(py_md5int64(f"kv:{i}:{d}") % 1000) / 1000.0 for d in range(DIM)]
+
+    i = F.col("id")
+    emb = F.array(
+        *[
+            F.pmod(
+                md5int64(F.concat(F.lit("kv:"), i.cast("string"), F.lit(f":{d}"))),
+                F.lit(1000),
+            )
+            / 1000.0
+            for d in range(DIM)
+        ]
+    )
+    embs = spark.range(N).select(i.alias("vec_id"), emb.alias("embedding"))
+    got = {
+        r["cid"]: list(r["ce"])
+        for r in train_centroids(embs, K, iters=2, sample_n=64).collect()
+    }
+    want = dict(
+        py_train_centroids([(j, pyvec(j)) for j in range(N)], K, iters=2, sample_n=64)
+    )
+    assert got == want  # exact float equality, not approx
+
+
+def test_train_centroids_empty_cluster_keeps_old(spark):
+    """A centroid that attracts no sample points must survive unchanged."""
+    from mcp_crawl4ai_rag_spark.operators.similarity import (
+        py_train_centroids,
+        train_centroids,
+    )
+
+    # two tight blobs + k=3: one centroid inevitably starves
+    rows = [(i, [float(i % 2) * 100.0, 0.0]) for i in range(40)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["cid"]: list(r["ce"])
+        for r in train_centroids(embs, 3, iters=2, sample_n=40).collect()
+    }
+    want = dict(py_train_centroids(rows, 3, iters=2, sample_n=40))
+    assert got == want and len(got) == 3
