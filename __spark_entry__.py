@@ -1174,6 +1174,56 @@ FROM documents
 """
 
 
+_CHUNK_META_TS = "2026-01-01T00:00:00+00:00"
+
+
+def q_chunk_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3+C4+C7: full chunk metadata assembly (reference src/crawl4ai_mcp.py:
+    396-402 + store-time fields src/utils.py:473-483) — chunk_index, url,
+    source, crawl_type, fixed crawl_time, section info — through the same
+    build_chunks plan the RAG store uses, over url-shaped documents rows."""
+    docs = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("https://d"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/doc/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.col("text").alias("markdown"),
+    )
+    chunks = build_chunks(
+        docs, chunk_size=200, crawl_type="webpage", crawl_time=_CHUNK_META_TS
+    )
+    return chunks.select(
+        "url",
+        F.col("chunk_number").cast("long").alias("chunk_number"),
+        F.col("char_count").cast("long").alias("char_count"),
+        "headers",
+        "source",
+        "crawl_type",
+        "crawl_time",
+    )
+
+
+def _oracle_chunk_metadata() -> str:
+    # documents.text degenerates to exact 200-char slices (no '\n\n'/'```'/
+    # '. ' — same invariant the chunk_documents oracle relies on); headers
+    # are empty for the same reason (no '#' lines in the corpus text)
+    piece = "trim(substr(d.text, CAST(ks.k * 200 + 1 AS INTEGER), 200))"
+    return f"""
+SELECT 'https://d' || CAST(d.doc_id % 7 AS VARCHAR) || '.example.com/doc/'
+         || CAST(d.doc_id AS VARCHAR) AS url,
+       CAST(ks.k AS BIGINT) AS chunk_number,
+       CAST(length({piece}) AS BIGINT) AS char_count,
+       '' AS headers,
+       'd' || CAST(d.doc_id % 7 AS VARCHAR) || '.example.com' AS source,
+       'webpage' AS crawl_type,
+       '{_CHUNK_META_TS}' AS crawl_time
+FROM documents d
+JOIN (SELECT unnest(generate_series(0, (SELECT CAST((max(length(text)) - 1) // 200 AS BIGINT) FROM documents))) AS k) ks
+  ON ks.k <= (length(d.text) - 1) // 200
+WHERE length(d.text) > 0
+"""
+
+
 # IVF with a TRAINED codebook: deterministic k-means over a bounded sample
 # (operators/similarity.py train_centroids). The corpus is closed-form
 # (md5-derived doubles) so the pure-Python twin can re-train the identical
@@ -1385,6 +1435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_params": q_crawl_params,
         "contextual_concat": q_contextual_concat,
         "ann_ivf_trained": q_ann_ivf_trained,
+        "chunk_metadata": q_chunk_metadata,
     }
 
 
@@ -1420,6 +1471,7 @@ def oracle_sql() -> dict[str, str]:
         "contextual_concat": _oracle_contextual_concat(),
         "image_verify": _oracle_image_verify(),
         "ann_ivf_trained": _oracle_ann_ivf_trained(),
+        "chunk_metadata": _oracle_chunk_metadata(),
         # image_features / rag_pipeline: intentionally no oracle (binary
         # feature extraction and the seeded embedder are not SQL-expressible)
         # → rows-only check.

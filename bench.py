@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "crawl_params",
     "contextual_concat",
     "ann_ivf_trained",
+    "chunk_metadata",
 ]
 
 
@@ -91,7 +92,10 @@ def run_queries(spark) -> dict[str, float]:
     for name in BENCH_QUERIES:
         t0 = time.time()
         df = qs[name](spark, SF_DIR)
-        df.count()  # materialize the full result
+        # noop sink: materializes EVERY output column. A count() here lets
+        # Catalyst prune computed projections, so scalar-kernel queries
+        # would time a parquet metadata row-count instead of the kernel.
+        df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 2)
     return times
 
@@ -202,19 +206,29 @@ def main() -> None:
     qtimes = run_queries(spark)
     spark.stop()
 
-    # scaling phases each get a FRESH session: the query phase accumulates
-    # checkpoint blocks/heap garbage that would bias whichever level ran in
-    # the same JVM.
+    # One FRESH JVM per (phase, parallelism) cell. Round-1 lesson: the
+    # kernel scan sharing a JVM with the 16M-row frontier runs inherits its
+    # heap garbage and localCheckpoint blocks — at 32 cores that cost the
+    # kernel ~2x (BENCH_r01 measured 17.9s vs 8.1s in a clean JVM) and made
+    # the committed scaling numbers contradict BASELINE.md's. Isolating each
+    # cell removes the order effect entirely.
+    lo_cores = max(CPUS // 4, 1)
+
     spark_hi = _mk_spark(CPUS)
     t_hi = best_frontier_time(spark_hi, FRONTIER_N)
-    k_hi = kernel_scan_time(spark_hi, kernel_n)
     spark_hi.stop()
 
-    lo_cores = max(CPUS // 4, 1)
     spark_lo = _mk_spark(lo_cores)
     t_lo = best_frontier_time(spark_lo, FRONTIER_N)
-    k_lo = kernel_scan_time(spark_lo, kernel_n)
     spark_lo.stop()
+
+    spark_khi = _mk_spark(CPUS)
+    k_hi = kernel_scan_time(spark_khi, kernel_n)
+    spark_khi.stop()
+
+    spark_klo = _mk_spark(lo_cores)
+    k_lo = kernel_scan_time(spark_klo, kernel_n)
+    spark_klo.stop()
     n_hi = n_lo = FRONTIER_N
 
     thr_hi = n_hi / t_hi

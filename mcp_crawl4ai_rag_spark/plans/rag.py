@@ -32,14 +32,27 @@ def build_chunks(
     text_col: str = "markdown",
     chunk_size: int = 5000,
     crawl_type: str = "webpage",
+    crawl_time: str | None = None,
 ) -> DataFrame:
     """Documents → one row per chunk with the reference's metadata columns
-    (src/crawl4ai_mcp.py:396-402: chunk_index, url, source, crawl_type +
-    section info)."""
+    (src/crawl4ai_mcp.py:396-402: chunk_index, url, source, crawl_type,
+    crawl_time + section info).
+
+    ``crawl_time``: C4 crawl timestamp — the reference stamps
+    ``datetime.now(timezone.utc).isoformat()`` (src/crawl4ai_mcp.py:401);
+    pass a fixed ISO string for deterministic tests/oracles, or None to
+    stamp ``current_timestamp()`` like the reference."""
     chunks = explode_chunks(docs, text_col=text_col, chunk_size=chunk_size)
     chunks = with_section_info(chunks, "content")
-    return chunks.withColumn("source", url_host(F.col(url_col))).withColumn(
-        "crawl_type", F.lit(crawl_type)
+    ts = (
+        F.date_format(F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ssXXX")
+        if crawl_time is None
+        else F.lit(crawl_time)
+    )
+    return (
+        chunks.withColumn("source", url_host(F.col(url_col)))
+        .withColumn("crawl_type", F.lit(crawl_type))
+        .withColumn("crawl_time", ts)
     )
 
 

@@ -35,7 +35,8 @@ def store(spark):
 def test_chunks_have_reference_metadata(store):
     cols = set(store.columns)
     assert {"url", "chunk_number", "content", "source", "headers",
-            "char_count", "word_count", "crawl_type", "embedding"} <= cols
+            "char_count", "word_count", "crawl_type", "crawl_time",
+            "embedding"} <= cols
     r = store.where(F.col("chunk_number") == 0).head()
     assert r["source"] in ("a.example.com", "b.example.com")
     assert len(r["embedding"]) == DIM
