@@ -114,6 +114,27 @@ def main():
         [("LeftAnti", "anti-join strategy chosen by planner")],
     ))
 
+    # 6. IVF centroid assignment: zero shuffle between scan and argmin
+    from mcp_crawl4ai_rag_spark.operators.similarity import ivf_assign
+
+    cents = embs.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    assign = ivf_assign(embs, cents)
+    assign_plan = formatted(assign)
+    sections.append((
+        "IVF centroid assignment (per-row K-distance argmin)",
+        assign_plan,
+        [("Project", "assignment is a pure projection over the scan")],
+    ))
+    # negative check: the plan must contain NO Exchange at all
+    if "Exchange" in assign_plan:
+        sections.append((
+            "IVF assignment NEGATIVE CHECK",
+            "Exchange found in ivf_assign plan — the N×K shuffle is back",
+            [("never", "this section only renders on regression")],
+        ))
+
     out = ["# Physical-plan audit (auto-generated by tools/explain_plans.py)",
            "", f"sf_dir: {sf_dir}", ""]
     n_fail = 0
