@@ -807,8 +807,13 @@ def _sql_shingles(text_expr: str, k: int = 3) -> str:
 
 
 def _oracle_minhash_lsh_pairs() -> str:
+    # Kirsch-Mitzenmacher permutations: two 56-bit md5 draws per shingle,
+    # perm p = (h1 + p*h2) % 2^56 — mirrors operators/dedup.py exactly
+    from mcp_crawl4ai_rag_spark.functions.hashing import sql_md5int56
+    from mcp_crawl4ai_rag_spark.operators.dedup import MINHASH_MOD
+
     mh_cols = ",\n           ".join(
-        "MIN({h}) AS m{p}".format(h=_sql_md5int64(f"'mh{p}:' || shingle"), p=p)
+        f"MIN((h1 + {p} * h2) % {MINHASH_MOD}) AS m{p}"
         for p in range(_N_PERMS)
     )
     band_selects = []
@@ -823,7 +828,10 @@ def _oracle_minhash_lsh_pairs() -> str:
     return f"""
 WITH {_DOCS2_SQL.strip()},
 shl AS (SELECT doc_id, {_sql_shingles('text')} AS sh FROM docs2),
-sh AS (SELECT doc_id, unnest(sh) AS shingle FROM shl),
+sh AS (SELECT doc_id,
+              {sql_md5int56("'mhA:' || shingle")} AS h1,
+              {sql_md5int56("'mhB:' || shingle")} AS h2
+       FROM (SELECT doc_id, unnest(sh) AS shingle FROM shl)),
 mh AS (
     SELECT doc_id,
            {mh_cols}

@@ -33,3 +33,22 @@ def sql_md5int64(expr: str) -> str:
 def py_md5int64(s: str) -> int:
     """Python twin (for constants shared between Spark plans and SQL)."""
     return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+# 56-bit variant: leaves headroom for Kirsch-Mitzenmacher combination
+# (h1 + p*h2 with p<=15 stays under 2^60, no BIGINT overflow in any engine).
+
+
+def md5int56(c: Column) -> Column:
+    """First 56 bits of md5(c) as a non-negative bigint (Spark side)."""
+    return F.conv(F.substring(F.md5(c), 1, 14), 16, 10).cast("long")
+
+
+def sql_md5int56(expr: str) -> str:
+    """DuckDB twin of :func:`md5int56`."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 14)) AS BIGINT)"
+
+
+def py_md5int56(s: str) -> int:
+    """Python twin (for constants shared between Spark plans and SQL)."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:14], 16)

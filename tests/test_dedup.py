@@ -61,11 +61,15 @@ def test_exact_dedup_groups(docs_df):
 
 
 def test_minhash_signature_matches_python_oracle(docs_df):
+    from mcp_crawl4ai_rag_spark.functions.hashing import py_md5int56
+    from mcp_crawl4ai_rag_spark.operators.dedup import MINHASH_MOD
+
     sigs = {r["doc_id"]: r for r in minhash_signatures(docs_df).collect()}
     for doc_id, text in DOCS:
         sh = _py_shingles(text)
+        draws = [(py_md5int56(f"mhA:{s}"), py_md5int56(f"mhB:{s}")) for s in sh]
         for p in range(MINHASH_PERMS):
-            expected = min(py_md5int64(f"mh{p}:{s}") for s in sh)
+            expected = min((h1 + p * h2) % MINHASH_MOD for h1, h2 in draws)
             assert sigs[doc_id][f"m{p}"] == expected, (doc_id, p)
 
 
