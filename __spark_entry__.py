@@ -1182,6 +1182,65 @@ FROM documents
 """
 
 
+def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 streaming THROUGH the streaming engine (not a batch twin): a
+    real Structured Streaming query — FileStreamSource over the events
+    parquet, event-time watermark, tumbling 1h window agg, memory sink —
+    run to completion with Trigger.availableNow. One micro-batch processes
+    everything, so no window is late-dropped and the result is the
+    deterministic windowed aggregate the SQL oracle states. Complete output
+    mode emits every window at termination (append mode would hold back
+    windows newer than the final watermark)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    _utc(spark)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    # FileStreamSource requires a directory; stage the single-file table
+    stage = tempfile.mkdtemp(prefix="stream_events_")
+    src = f"{sf_dir}/events.parquet"
+    if os.path.isdir(src):
+        stage = src
+    else:
+        shutil.copy(src, os.path.join(stage, "events.parquet"))
+    stream = spark.readStream.schema(schema).parquet(stage)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    out = agg.select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+    )
+    name = f"stream_win_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def _oracle_streaming_window() -> str:
+    return """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY 1, 2
+"""
+
+
 _CHUNK_META_TS = "2026-01-01T00:00:00+00:00"
 
 
@@ -1444,6 +1503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contextual_concat": q_contextual_concat,
         "ann_ivf_trained": q_ann_ivf_trained,
         "chunk_metadata": q_chunk_metadata,
+        "streaming_window": q_streaming_window,
     }
 
 
@@ -1480,6 +1540,7 @@ def oracle_sql() -> dict[str, str]:
         "image_verify": _oracle_image_verify(),
         "ann_ivf_trained": _oracle_ann_ivf_trained(),
         "chunk_metadata": _oracle_chunk_metadata(),
+        "streaming_window": _oracle_streaming_window(),
         # image_features / rag_pipeline: intentionally no oracle (binary
         # feature extraction and the seeded embedder are not SQL-expressible)
         # → rows-only check.

@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "contextual_concat",
     "ann_ivf_trained",
     "chunk_metadata",
+    "streaming_window",
 ]
 
 
