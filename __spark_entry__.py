@@ -1182,6 +1182,48 @@ FROM documents
 """
 
 
+def q_contextual_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3+E3: chunk rows (document text already dropped by the chunker)
+    re-joined to their full documents via the broadcast lookup join, then
+    contextual-concat — the reference's url_to_full_document dict handed to
+    the contextual embedder, as a join the Catalyst way."""
+    from mcp_crawl4ai_rag_spark.functions.embedding import with_contextual_text
+    from mcp_crawl4ai_rag_spark.plans.rag import enrich_chunks_with_documents
+
+    docs = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://d.example.com/doc/"), F.col("doc_id").cast("string")).alias("url"),
+        F.col("text").alias("markdown"),
+    )
+    chunks = build_chunks(docs, chunk_size=200, crawl_time=_CHUNK_META_TS)
+    joined = enrich_chunks_with_documents(chunks, docs)
+    out = with_contextual_text(
+        joined, doc_col="markdown", chunk_col="content", enabled=True
+    )
+    return out.select(
+        "url",
+        F.col("chunk_number").cast("long").alias("chunk_number"),
+        "contextual_content",
+    )
+
+
+def _oracle_contextual_join() -> str:
+    piece = "trim(substr(d.text, CAST(ks.k * 200 + 1 AS INTEGER), 200))"
+    head = (
+        "regexp_replace(regexp_replace(substr(d.text, 1, 150), "
+        "'^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g')"
+    )
+    return f"""
+SELECT 'https://d.example.com/doc/' || CAST(d.doc_id AS VARCHAR) AS url,
+       CAST(ks.k AS BIGINT) AS chunk_number,
+       'Context: ' || {head} || chr(10) || '---' || chr(10) || {piece}
+         AS contextual_content
+FROM documents d
+JOIN (SELECT unnest(generate_series(0, (SELECT CAST((max(length(text)) - 1) // 200 AS BIGINT) FROM documents))) AS k) ks
+  ON ks.k <= (length(d.text) - 1) // 200
+WHERE length(d.text) > 0
+"""
+
+
 def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 streaming THROUGH the streaming engine (not a batch twin): a
     real Structured Streaming query — FileStreamSource over the events
@@ -1504,6 +1546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained": q_ann_ivf_trained,
         "chunk_metadata": q_chunk_metadata,
         "streaming_window": q_streaming_window,
+        "contextual_join": q_contextual_join,
     }
 
 
@@ -1541,6 +1584,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_trained": _oracle_ann_ivf_trained(),
         "chunk_metadata": _oracle_chunk_metadata(),
         "streaming_window": _oracle_streaming_window(),
+        "contextual_join": _oracle_contextual_join(),
         # image_features / rag_pipeline: intentionally no oracle (binary
         # feature extraction and the seeded embedder are not SQL-expressible)
         # → rows-only check.

@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "ann_ivf_trained",
     "chunk_metadata",
     "streaming_window",
+    "contextual_join",
 ]
 
 

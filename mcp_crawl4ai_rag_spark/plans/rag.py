@@ -60,6 +60,23 @@ def embed_chunks(chunks: DataFrame) -> DataFrame:
     return with_embeddings(chunks, text_col="content", out_col="embedding")
 
 
+def enrich_chunks_with_documents(
+    chunks: DataFrame,
+    docs: DataFrame,
+    url_col: str = "url",
+    doc_text_col: str = "markdown",
+) -> DataFrame:
+    """J3: chunk→full-document lookup as a broadcast hash join — the
+    reference's ``url_to_full_document`` dict handed to the contextual
+    embedder (src/crawl4ai_mcp.py:377-388, src/utils.py:425-426). The
+    document set of one store batch is DOCUMENT_BATCH_SIZE-bounded (≪ the
+    chunk fan-out), so the build side broadcasts and the chunk stream never
+    shuffles. Feeds functions/embedding.with_contextual_text."""
+    return chunks.join(
+        F.broadcast(docs.select(url_col, doc_text_col)), url_col, "left"
+    )
+
+
 def store_documents(existing: DataFrame | None, batch: DataFrame) -> DataFrame:
     """Idempotent upsert on (url, chunk_number) — reference src/utils.py:
     493-500. New batch rows replace existing rows with the same key; ties
