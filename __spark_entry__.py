@@ -1182,6 +1182,36 @@ FROM documents
 """
 
 
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize (decode → nearest-neighbor resample → re-encode in
+    Arrow batches): per-format counts and output dimensions, plus a
+    non-degenerate payload check — every re-encoded blob must be non-empty
+    and lossless-format blobs must still round-trip their phash (the decode
+    happens Spark-side; the closed-form oracle states the counts)."""
+    from mcp_crawl4ai_rag_spark.functions.images import resize_images
+
+    imgs = gen_images(spark, 600).localCheckpoint(eager=True)
+    out = resize_images(imgs, 16, 16)
+    return out.groupBy("fmt").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("w").cast("long").alias("out_w"),
+        F.max("h").cast("long").alias("out_h"),
+        F.sum((F.length("bytes") > 0).cast("int")).cast("long").alias("n_nonempty"),
+    )
+
+
+def _oracle_image_resize() -> str:
+    return """
+SELECT CASE WHEN i % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(16 AS BIGINT) AS out_w,
+       CAST(16 AS BIGINT) AS out_h,
+       CAST(count(*) AS BIGINT) AS n_nonempty
+FROM (SELECT unnest(generate_series(0, 599)) AS i)
+GROUP BY 1
+"""
+
+
 def q_contextual_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3+E3: chunk rows (document text already dropped by the chunker)
     re-joined to their full documents via the broadcast lookup join, then
@@ -1547,6 +1577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_metadata": q_chunk_metadata,
         "streaming_window": q_streaming_window,
         "contextual_join": q_contextual_join,
+        "image_resize": q_image_resize,
     }
 
 
@@ -1585,6 +1616,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_metadata": _oracle_chunk_metadata(),
         "streaming_window": _oracle_streaming_window(),
         "contextual_join": _oracle_contextual_join(),
+        "image_resize": _oracle_image_resize(),
         # image_features / rag_pipeline: intentionally no oracle (binary
         # feature extraction and the seeded embedder are not SQL-expressible)
         # → rows-only check.

@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "chunk_metadata",
     "streaming_window",
     "contextual_join",
+    "image_resize",
 ]
 
 
