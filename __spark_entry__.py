@@ -279,6 +279,33 @@ def q_urlseen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anti_join_seen(cands, seen, bloom).select("canonical_url")
 
 
+def q_urlseen_cuckoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 with the CUCKOO prefilter (north_star's deletable membership
+    filter): distributed build + vectorized two-bucket probe. Lossless like
+    the bloom (build raises on overflow), so the oracle is the identical
+    exact set difference."""
+    from mcp_crawl4ai_rag_spark.operators.urlseen import build_cuckoo
+
+    n = _lineitem_count(spark, sf_dir) // 3
+
+    def urls_of(ids: DataFrame) -> DataFrame:
+        u = C._url_expr(F.col("id"))
+        return ids.select(u.alias("canonical_url"), url_hash(u).alias("url_hash"))
+
+    cands = urls_of(spark.range(0, n, 1, 32))
+    seen = urls_of(spark.range(0, n, 3, 32))
+    cuckoo = build_cuckoo(seen, "url_hash", capacity=2 * (n // 3 + 1))
+    return anti_join_seen(cands, seen, cuckoo).select("canonical_url")
+
+
+def _oracle_urlseen_cuckoo() -> str:
+    return f"""
+SELECT {C.oracle_url_sql('i')} AS canonical_url
+FROM (SELECT unnest(generate_series(0, {N_SQL} // 3 - 1)) AS i)
+WHERE i % 3 <> 0
+"""
+
+
 def q_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1/F2/F6 + C11: canonicalize / classify / host / path kernels."""
     suffix = (
@@ -1547,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_budgets": q_politeness_budgets,
         "politeness_drain": q_politeness_drain,
         "urlseen_antijoin": q_urlseen_antijoin,
+        "urlseen_cuckoo": q_urlseen_cuckoo,
         "url_kernels": q_url_kernels,
         "sitemap_expand": q_sitemap_expand,
         "smart_crawl_sitemap": q_smart_crawl_sitemap,
@@ -1588,6 +1616,7 @@ def oracle_sql() -> dict[str, str]:
         "politeness_budgets": _oracle_politeness_budgets(),
         "politeness_drain": _oracle_politeness_drain(),
         "urlseen_antijoin": _oracle_urlseen_antijoin(),
+        "urlseen_cuckoo": _oracle_urlseen_cuckoo(),
         "url_kernels": _oracle_url_kernels(),
         "sitemap_expand": _oracle_sitemap_expand(),
         "smart_crawl_sitemap": _oracle_smart_crawl_sitemap(),

@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "sitemap_expand",
     "politeness_drain",
     "urlseen_antijoin",
+    "urlseen_cuckoo",
     "url_kernels",
     "chunk_documents",
     "quality_score",

@@ -232,14 +232,15 @@ def bloom_maybe_contains(bloom: "BloomFilter | ShardedBloom", hash_col: Column) 
 def anti_join_seen(
     candidates: DataFrame,
     url_seen: DataFrame,
-    bloom: "BloomFilter | ShardedBloom | None" = None,
+    bloom: "BloomFilter | ShardedBloom | CuckooFilter | None" = None,
 ) -> DataFrame:
     """Rows of ``candidates`` whose (url_hash, canonical_url) is NOT in
     ``url_seen`` — the J1/J2 visited-membership kernel (SURVEY.md §2.3).
 
-    With a bloom over url_seen's hashes, the definitely-new rows skip the
-    shuffle entirely; only maybe-seen rows join. Lossless: bloom has no false
-    negatives.
+    With an approximate-membership prefilter over url_seen's hashes (bloom,
+    sharded bloom, or cuckoo), the definitely-new rows skip the shuffle
+    entirely; only maybe-seen rows join. Lossless: none of the filters has
+    false negatives (the cuckoo build raises on overflow to guarantee it).
     """
     if bloom is None:
         return candidates.join(
@@ -247,8 +248,13 @@ def anti_join_seen(
             on=["url_hash", "canonical_url"],
             how="left_anti",
         )
+    probe = (
+        cuckoo_maybe_contains
+        if isinstance(bloom, CuckooFilter)
+        else bloom_maybe_contains
+    )
     flagged = candidates.withColumn(
-        "__maybe_seen", bloom_maybe_contains(bloom, F.col("url_hash"))
+        "__maybe_seen", probe(bloom, F.col("url_hash"))
     )
     definitely_new = flagged.where(~F.col("__maybe_seen")).drop("__maybe_seen")
     maybe = flagged.where(F.col("__maybe_seen")).drop("__maybe_seen")
@@ -258,6 +264,64 @@ def anti_join_seen(
         how="left_anti",
     )
     return definitely_new.unionByName(survivors)
+
+
+def build_cuckoo(
+    df: DataFrame,
+    hash_col: str,
+    capacity: int | None = None,
+    fold_partitions: int = 16,
+) -> "CuckooFilter":
+    """Distributed cuckoo build, same shape as :func:`build_bloom`: each
+    fold task inserts its Arrow batches into a local table, the driver
+    unions the tables by fingerprint re-insertion. All tables share one
+    bucket count so (bucket, alt) geometry is identical everywhere.
+
+    Sized at 2x the seen-set by default: cuckoo tables degrade (eviction
+    loops) near full occupancy, and an overflow would mean false negatives
+    — both build and merge raise instead of degrading silently."""
+    if capacity is None:
+        capacity = max(df.count() * 2, 8)
+    proto = CuckooFilter(capacity=capacity)
+    n_buckets = proto.n_buckets
+    if fold_partitions:
+        df = df.select(hash_col).coalesce(fold_partitions)
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local = CuckooFilter(capacity=n_buckets * 4)
+        seen_any = False
+        for pdf in batches:
+            if len(pdf):
+                seen_any = True
+                local.add_hashes(pdf[hash_col].to_numpy(dtype=np.int64))
+        if seen_any:
+            yield pd.DataFrame({"table": [local.table.tobytes()]})
+
+    parts = df.select(hash_col).mapInPandas(fold, schema="table binary").collect()
+    out = proto
+    for row in parts:
+        other = CuckooFilter(capacity=n_buckets * 4)
+        other.table = np.frombuffer(row["table"], dtype=np.uint16).reshape(
+            n_buckets, 4
+        ).copy()
+        out = out.merge(other)
+    return out
+
+
+def cuckoo_maybe_contains(cuckoo: "CuckooFilter", hash_col: Column) -> Column:
+    """Arrow-batched cuckoo membership probe (vectorized two-bucket gather)."""
+    table_bytes = cuckoo.table.tobytes()
+    n_buckets = cuckoo.n_buckets
+
+    @F.pandas_udf(BooleanType())
+    def _probe(h: pd.Series) -> pd.Series:
+        cf = CuckooFilter(capacity=n_buckets * 4)
+        cf.table = np.frombuffer(table_bytes, dtype=np.uint16).reshape(
+            n_buckets, 4
+        )
+        return pd.Series(cf.contains_hashes(h.to_numpy(dtype=np.int64)))
+
+    return _probe(hash_col)
 
 
 # ---------------------------------------------------------------------------
@@ -314,6 +378,68 @@ class CuckooFilter:
             (self.table[b1] == fp).any()
             or (self.table[self._alt_bucket(b1, fp)] == fp).any()
         )
+
+    # -- vectorized / distributed surface (north_star: Arrow-batched probes) --
+
+    def add_hashes(self, hashes: np.ndarray) -> None:
+        """Insert a hash batch; raises if the table overflows (an overflowed
+        cuckoo loses membership → false negatives, which would silently
+        break the lossless prefilter contract)."""
+        for h in hashes.astype(np.uint64).tolist():
+            if not self.insert(int(h)):
+                raise RuntimeError(
+                    "cuckoo filter overflow — size capacity for the seen-set"
+                )
+
+    def contains_hashes(self, hashes: np.ndarray) -> np.ndarray:
+        """Vectorized membership: both candidate buckets checked with one
+        numpy gather each — no per-row Python."""
+        if len(hashes) == 0:
+            return np.zeros(0, dtype=bool)
+        h = hashes.astype(np.uint64)
+        fp = ((h >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
+        fp[fp == 0] = 1
+        b1 = (h & np.uint64(self.n_buckets - 1)).astype(np.int64)
+        alt = (
+            b1 ^ (fp.astype(np.int64) * 0x5BD1E995)
+        ) & (self.n_buckets - 1)
+        hit1 = (self.table[b1] == fp[:, None]).any(axis=1)
+        hit2 = (self.table[alt] == fp[:, None]).any(axis=1)
+        return hit1 | hit2
+
+    def merge(self, other: "CuckooFilter") -> "CuckooFilter":
+        """Union by re-inserting the other table's occupied slots. Sound
+        because a fingerprint's two legal buckets are (b, alt(b, fp)) and
+        alt is an involution — a stored (bucket, fp) pair re-inserted at
+        either legal bucket stays findable by contains()."""
+        assert self.n_buckets == other.n_buckets
+        out = CuckooFilter(capacity=self.n_buckets * 4)
+        out.table = self.table.copy()
+        for b in range(other.n_buckets):
+            for fp in other.table[b]:
+                if fp == 0:
+                    continue
+                if not out._insert_fp(int(b), int(fp)):
+                    raise RuntimeError("cuckoo merge overflow")
+        return out
+
+    def _insert_fp(self, bucket: int, fp: int) -> bool:
+        for b in (bucket, self._alt_bucket(bucket, fp)):
+            empty = np.where(self.table[b] == 0)[0]
+            if len(empty):
+                self.table[b, empty[0]] = fp
+                return True
+        rng = np.random.Generator(np.random.PCG64((bucket << 16) | fp))
+        b = bucket
+        for _ in range(self.max_kicks):
+            slot = int(rng.integers(0, 4))
+            fp, self.table[b, slot] = int(self.table[b, slot]), fp
+            b = self._alt_bucket(b, fp)
+            empty = np.where(self.table[b] == 0)[0]
+            if len(empty):
+                self.table[b, empty[0]] = fp
+                return True
+        return False
 
     def delete(self, h: int) -> bool:
         fp, b1 = self._fp_and_bucket(h)
