@@ -106,3 +106,59 @@ def chunk_store_stream(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )
+
+
+def per_host_crawl_state(
+    fetched: DataFrame,
+    max_depth_alert: int = 8,
+):
+    """Custom stateful streaming operator (applyInPandasWithState): per-host
+    cumulative crawl state maintained ACROSS micro-batches — total pages,
+    deepest depth seen, last event time, and an over-depth alert flag.
+
+    This is the streaming twin of the lineage counters: the batch engine
+    derives them per epoch (plans/crawl.py), a long-running stream keeps
+    them as keyed state. State is a single small tuple per host, updated
+    from Arrow batches — the applyInPandasWithState shape the engine uses
+    for any custom stateful operator Spark lacks.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "host string, total_pages long, max_depth int, "
+        "last_fetch timestamp, depth_alert boolean"
+    )
+    state_schema = "total_pages long, max_depth int, last_us long"
+
+    def update(key, pdfs, state: "GroupState"):
+        import pandas as pd_
+
+        (host,) = key
+        total, mx, last_us = (
+            state.get if state.exists else (0, 0, 0)
+        )
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            total += len(pdf)
+            mx = max(mx, int(pdf["depth"].max()))
+            ts_us = pdf["fetched_at"].astype("datetime64[us]").astype("int64").max()
+            last_us = max(last_us, int(ts_us))
+        state.update((total, mx, last_us))
+        yield pd_.DataFrame(
+            {
+                "host": [host],
+                "total_pages": [total],
+                "max_depth": [mx],
+                "last_fetch": [pd_.Timestamp(last_us, unit="us")],
+                "depth_alert": [mx >= max_depth_alert],
+            }
+        )
+
+    return fetched.groupBy("host").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

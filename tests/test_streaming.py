@@ -107,3 +107,52 @@ def test_foreach_batch_chunk_store(spark, tmp_path):
     assert {r["url"] for r in rows} == {u for (u, *_rest) in ROWS_T0}
     assert all(len(r["embedding"]) == 16 for r in rows)
     assert all(r["headers"].startswith("#") for r in rows)  # section info ran
+
+
+def test_stateful_per_host_state_carries_across_batches(spark, tmp_path):
+    """applyInPandasWithState: keyed state must accumulate across separate
+    micro-batches (restarted from checkpoint between runs)."""
+    from mcp_crawl4ai_rag_spark.streaming.ingest import per_host_crawl_state
+
+    src = str(tmp_path / "src3")
+    out = str(tmp_path / "state_out")
+    ckpt = str(tmp_path / "ckpt3")
+
+    def run_once():
+        def sink(df, bid):  # parquet sink rejects update mode; foreachBatch
+            df.write.mode("overwrite").parquet(os.path.join(out, f"b{bid}"))
+
+        q = (
+            per_host_crawl_state(
+                stream_fetch_results(spark, src + "/*"), max_depth_alert=1
+            )
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # latest state per host = row with max total_pages
+        res = {}
+        for r in spark.read.parquet(out + "/*").collect():
+            cur = res.get(r["host"])
+            if cur is None or r["total_pages"] > cur["total_pages"]:
+                res[r["host"]] = r
+        return res
+
+    _write_fetch(spark, src, ROWS_T0, "f0")
+    got = run_once()
+    assert got["h1.example.com"]["total_pages"] == 2
+    assert got["h1.example.com"]["max_depth"] == 0
+    assert not got["h1.example.com"]["depth_alert"]
+    assert got["h2.example.com"]["total_pages"] == 1
+    assert got["h2.example.com"]["depth_alert"]  # depth 1 >= alert threshold
+
+    # second micro-batch: h1 gains a depth-1 page → state ACCUMULATES
+    _write_fetch(spark, src, LATE_ROW, "f1")
+    got = run_once()
+    assert got["h1.example.com"]["total_pages"] == 3  # 2 + 1, not 1
+    assert got["h1.example.com"]["max_depth"] == 1
+    assert got["h1.example.com"]["depth_alert"]
+    assert str(got["h1.example.com"]["last_fetch"]).startswith("2024-01-01 10:00:50")
