@@ -203,6 +203,42 @@ def kernel_scan_time(spark, n: int, reps: int = 2) -> float:
     return min(job() for _ in range(reps))
 
 
+def _burn(_arg: int) -> int:
+    # pure-Python CPU burner for the hardware-ceiling probe (module-level
+    # for multiprocessing pickling)
+    s = 0
+    for i in range(6_000_000):
+        s += i * i
+    return s
+
+
+def cpu_ceiling(lo: int, hi: int) -> dict[str, float]:
+    """Hardware scaling ceiling: the same fixed-size pure-Python task run on
+    lo vs hi concurrent processes (no Spark). SMT sharing + turbo/bandwidth
+    limits make per-task time grow with concurrency; the resulting
+    efficiency bound is the most ANY perfectly-parallel job can reach going
+    lo→hi cores on this box. Emitted so the whole BASELINE.md scaling table
+    is reproducible from this one script."""
+    import multiprocessing as mp
+
+    def run(n: int) -> float:
+        t0 = time.time()
+        with mp.Pool(n) as p:
+            p.map(_burn, range(n * 3))
+        return time.time() - t0
+
+    run(2)  # warm/fork overhead
+    thr = {}
+    for n in (lo, hi):
+        t = min(run(n) for _ in range(2))
+        thr[n] = n * 3 / t
+    speedup = thr[hi] / thr[lo]
+    return {
+        "ceiling_speedup": round(speedup, 3),
+        "ceiling_efficiency": round(speedup / (hi / lo), 3),
+    }
+
+
 def main() -> None:
     kernel_n = FRONTIER_N * 4
 
@@ -235,6 +271,8 @@ def main() -> None:
     spark_klo.stop()
     n_hi = n_lo = FRONTIER_N
 
+    ceiling = cpu_ceiling(lo_cores, CPUS)
+
     thr_hi = n_hi / t_hi
     thr_lo = n_lo / t_lo
     speedup = t_lo / t_hi
@@ -263,6 +301,7 @@ def main() -> None:
                     "kernel_sec_hi": round(k_hi, 2),
                     "kernel_speedup": round(k_lo / k_hi, 3),
                     "kernel_efficiency_vs_4x": round(k_lo / k_hi / (CPUS / lo_cores), 3),
+                    **ceiling,
                 },
             }
         )

@@ -279,7 +279,13 @@ def build_cuckoo(
 
     Sized at 2x the seen-set by default: cuckoo tables degrade (eviction
     loops) near full occupancy, and an overflow would mean false negatives
-    — both build and merge raise instead of degrading silently."""
+    — both build and merge raise instead of degrading silently.
+
+    Probes are fully vectorized (two numpy gathers per batch); insertion is
+    per-hash inside the Arrow batch because cuckoo eviction chains are
+    inherently sequential — construction cost, not query-path cost. The
+    bloom remains the default prefilter; the cuckoo buys deletability
+    (frontier retraction) at that build premium."""
     if capacity is None:
         capacity = max(df.count() * 2, 8)
     proto = CuckooFilter(capacity=capacity)
@@ -415,12 +421,10 @@ class CuckooFilter:
         assert self.n_buckets == other.n_buckets
         out = CuckooFilter(capacity=self.n_buckets * 4)
         out.table = self.table.copy()
-        for b in range(other.n_buckets):
-            for fp in other.table[b]:
-                if fp == 0:
-                    continue
-                if not out._insert_fp(int(b), int(fp)):
-                    raise RuntimeError("cuckoo merge overflow")
+        bs, slots = np.nonzero(other.table)  # iterate occupied slots only
+        for b, sl in zip(bs.tolist(), slots.tolist()):
+            if not out._insert_fp(int(b), int(other.table[b, sl])):
+                raise RuntimeError("cuckoo merge overflow")
         return out
 
     def _insert_fp(self, bucket: int, fp: int) -> bool:
