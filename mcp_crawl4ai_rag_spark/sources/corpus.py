@@ -162,7 +162,9 @@ def gen_pages(spark: SparkSession, n: int, partitions: int = 32) -> DataFrame:
         F.lit("\n\nSynthetic host "), hostname,
         F.lit(" body text with words. More sentences here. "),
         F.lit("\n\n## Section\n\n```\ncode block line\n```\n\nTail paragraph "),
-        F.repeat(F.concat(F.lit("filler"), (i % 17).cast("string"), F.lit(" ")), 40),
+        # 12 repeats keeps multi-chunk docs (chunk_size<=800 paths) while not
+        # making synthetic-markdown generation dominate crawl benchmarks
+        F.repeat(F.concat(F.lit("filler"), (i % 17).cast("string"), F.lit(" ")), 12),
     )
 
     status = (
