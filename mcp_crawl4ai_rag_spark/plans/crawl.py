@@ -368,8 +368,12 @@ class CrawlEngine:
                 popped, deferred = pop_per_host(new_urls, budgets, self.salt_lanes)
             else:
                 popped, deferred = new_urls, new_urls.limit(0)
-            popped = popped.localCheckpoint(eager=True)
-            n_popped = popped.count()
+            # count rides the checkpoint materialization (no separate job)
+            obs_pop = Observation(f"pop_epoch_{epoch}")
+            popped = popped.observe(
+                obs_pop, F.count(F.lit(1)).alias("n")
+            ).localCheckpoint(eager=True)
+            n_popped = int(obs_pop.get["n"])
             seen_count += n_popped
 
             # mark visited at SCHEDULE time (reference :1000-1004)
@@ -433,18 +437,33 @@ class CrawlEngine:
             discovered = self._expand(fetched_ok, prefix)
             discovered = discovered.where(F.col("depth") <= max_depth - 1)
             discovered = anti_join_seen(discovered, url_seen, None)  # J2 exact
-            discovered = discovered.localCheckpoint(eager=True)
-            n_disc = discovered.count()
+            obs_disc = Observation(f"disc_epoch_{epoch}")
+            discovered = discovered.observe(
+                obs_disc, F.count(F.lit(1)).alias("n")
+            ).localCheckpoint(eager=True)
+            n_disc = int(obs_disc.get["n"])
             discovered = self._assign_seq(discovered, seq_offset, n_rows=n_disc)
             seq_offset += n_disc
 
+            frontier_ckpted = False
             if politeness:
-                n_deferred = deferred.count()
-                frontier = self._dedup_frontier(
-                    deferred.select(*_FRONTIER_COLS).unionByName(discovered)
+                # deferred ∪ discovered may overlap → exact counts needed;
+                # BOTH ride one checkpoint job: the deferred-branch
+                # Observation fires inside the union plan, the frontier
+                # Observation on the dedup output (2 jobs saved per epoch)
+                obs_def = Observation(f"def_epoch_{epoch}")
+                obs_fr = Observation(f"frontier_epoch_{epoch}")
+                deferred_obs = deferred.select(*_FRONTIER_COLS).observe(
+                    obs_def, F.count(F.lit(1)).alias("n")
                 )
-                # deferred ∪ discovered may overlap → exact count needed
-                frontier_count = frontier.count()
+                frontier = (
+                    self._dedup_frontier(deferred_obs.unionByName(discovered))
+                    .observe(obs_fr, F.count(F.lit(1)).alias("n"))
+                    .localCheckpoint(eager=True)
+                )
+                frontier_ckpted = True
+                n_deferred = int(obs_def.get["n"])
+                frontier_count = int(obs_fr.get["n"])
             else:
                 n_deferred = 0
                 frontier = discovered
@@ -483,7 +502,8 @@ class CrawlEngine:
                     lineage_parts[-1], state,
                 )
             else:
-                frontier = frontier.localCheckpoint(eager=True)
+                if not frontier_ckpted:  # politeness path checkpointed above
+                    frontier = frontier.localCheckpoint(eager=True)
                 url_seen = url_seen.localCheckpoint(eager=True)
 
         return CrawlRunResult(
