@@ -112,7 +112,7 @@ def frontier_epoch(spark, n: int, pop_fraction: float = 0.4) -> tuple[int, float
 
     from mcp_crawl4ai_rag_spark.functions.urls import url_hash
     from mcp_crawl4ai_rag_spark.operators.politeness import (
-        compute_budgets,
+        attach_budgets,
         pop_per_host,
     )
     from mcp_crawl4ai_rag_spark.operators.urlseen import anti_join_seen, build_bloom
@@ -151,8 +151,8 @@ def frontier_epoch(spark, n: int, pop_fraction: float = 0.4) -> tuple[int, float
     t0 = time.time()
     bloom = build_bloom(url_seen, "url_hash", expected=n // 3)
     fresh = anti_join_seen(frontier, url_seen, bloom)
-    budgets = compute_budgets(fresh, None, None, epoch_seconds=budget_seconds)
-    popped, deferred = pop_per_host(fresh, budgets)
+    with_b = attach_budgets(fresh, None, None, epoch_seconds=budget_seconds)
+    popped, deferred = pop_per_host(with_b, None)
     n_popped = popped.count()
     elapsed = time.time() - t0
     assert n_popped > 0

@@ -39,6 +39,41 @@ def _order():
     return [F.col("depth").asc(), F.col("priority").asc(), F.col("seq").asc()]
 
 
+def attach_budgets(
+    frontier: DataFrame,
+    robots: DataFrame | None,
+    backoff: DataFrame | None,
+    epoch_seconds: float | None = None,
+) -> DataFrame:
+    """``frontier`` + per-row ``budget`` column via two broadcast joins on
+    the small dims (robots crawl_delay, backoff state).
+
+    This replaces the distinct-hosts → compute_budgets → re-join shape:
+    the ``distinct()`` there shuffles the ENTIRE frontier every epoch just
+    to enumerate hosts — at a 10^10-row frontier that shuffle dwarfs the
+    pop itself. Budget is a pure function of (crawl_delay, backoff_level),
+    so joining the dims straight onto frontier rows yields identical values
+    with zero frontier movement (pinned equal in tests)."""
+    if epoch_seconds is None:
+        epoch_seconds = EPOCH_SECONDS
+    cols = frontier.columns
+    df = frontier
+    if robots is not None:
+        df = df.join(
+            F.broadcast(robots.select("host", "crawl_delay")), "host", "left"
+        )
+    else:
+        df = df.withColumn("crawl_delay", F.lit(None).cast("double"))
+    if backoff is not None:
+        df = df.join(F.broadcast(backoff), "host", "left")
+    else:
+        df = df.withColumn("backoff_level", F.lit(0))
+    budget = F.greatest(
+        F.floor(F.lit(epoch_seconds) / effective_delay_expr()), F.lit(1)
+    ).cast("int")
+    return df.select(*cols, budget.alias("budget"))
+
+
 def pop_per_host(
     frontier: DataFrame,
     budgets: DataFrame | None,
@@ -47,13 +82,19 @@ def pop_per_host(
     """Split ``frontier`` into (popped, deferred) under per-host budgets.
 
     ``budgets``: (host, budget int); hosts absent from it get unlimited.
-    ``budgets=None`` → pop everything (reference level-synchronous mode,
-    src/crawl4ai_mcp.py:993-1011 crawls the whole depth level).
+    Alternatively the frontier may already carry a ``budget`` column (the
+    :func:`attach_budgets` zero-shuffle path) with ``budgets=None``.
+    ``budgets=None`` with no budget column → pop everything (reference
+    level-synchronous mode, src/crawl4ai_mcp.py:993-1011 crawls the whole
+    depth level).
     """
-    if budgets is None:
+    if budgets is None and "budget" not in frontier.columns:
         return frontier, frontier.limit(0)
 
-    fr = frontier.join(F.broadcast(budgets), on="host", how="left")
+    if "budget" in frontier.columns:
+        fr = frontier
+    else:
+        fr = frontier.join(F.broadcast(budgets), on="host", how="left")
 
     # Phase 1: per-(host, lane) rank — lanes are hash-salted so the hot
     # host's rows spread over salt_lanes parallel window partitions.

@@ -58,7 +58,7 @@ from ..functions.urls import (
     url_path,
 )
 from ..operators.politeness import (
-    compute_budgets,
+    attach_budgets,
     pop_per_host,
     robots_denied_expr,
     update_backoff,
@@ -357,15 +357,17 @@ class CrawlEngine:
             cand_count = frontier_count
             new_urls = anti_join_seen(frontier, url_seen, bloom)
 
-            # J4: politeness pop — schedule-time budget per host.
+            # J4: politeness pop — schedule-time budget per host. Budgets
+            # attach per-row via broadcast dims (attach_budgets): the old
+            # distinct-hosts path shuffled the whole frontier per epoch.
             if politeness:
-                budgets = compute_budgets(
+                with_b = attach_budgets(
                     new_urls,
                     self.robots,
                     backoff,
                     **({"epoch_seconds": self.epoch_seconds} if self.epoch_seconds else {}),
                 )
-                popped, deferred = pop_per_host(new_urls, budgets, self.salt_lanes)
+                popped, deferred = pop_per_host(with_b, None, self.salt_lanes)
             else:
                 popped, deferred = new_urls, new_urls.limit(0)
             # count rides the checkpoint materialization (no separate job)

@@ -211,3 +211,41 @@ def test_crawl_report_shape(spark, corpus):
     ]
     assert rep["urls_crawled"][:5] == first5
     assert rep["partial_failures"]["success_rate"] == "97.0%"
+
+
+def test_attach_budgets_equals_compute_budgets_path(spark, corpus):
+    """The zero-shuffle per-row budget attach must pop the exact same
+    (popped, deferred) split as the distinct-hosts compute_budgets path."""
+    from pyspark.sql import functions as F
+
+    from mcp_crawl4ai_rag_spark.operators.politeness import (
+        attach_budgets,
+        compute_budgets,
+        pop_per_host,
+    )
+
+    frontier = spark.range(0, 4000, 1, 8).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 7), F.lit(".x/p/"), F.col("id")).alias("canonical_url"),
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash"),
+        F.concat(F.lit("h"), (F.col("id") % 7), F.lit(".x")).alias("host"),
+        F.concat(F.lit("/p/"), F.col("id")).alias("path"),
+        (F.col("id") % 3).cast("int").alias("depth"),
+        F.lit(0).alias("priority"),
+        F.col("id").alias("seq"),
+    )
+    robots = spark.createDataFrame(
+        [(f"h{h}.x", [], float(1 + h)) for h in range(5)],
+        "host string, disallow_prefixes array<string>, crawl_delay double",
+    )
+    backoff = spark.createDataFrame(
+        [(f"h{h}.x", h % 3) for h in range(7)],
+        "host string, backoff_level int",
+    )
+    budgets = compute_budgets(frontier, robots, backoff, epoch_seconds=300.0)
+    p_old, d_old = pop_per_host(frontier, budgets)
+    with_b = attach_budgets(frontier, robots, backoff, epoch_seconds=300.0)
+    p_new, d_new = pop_per_host(with_b, None)
+    assert sorted(p_new.columns) == sorted(p_old.columns)
+    key = lambda df: sorted(r["canonical_url"] for r in df.collect())
+    assert key(p_new) == key(p_old)
+    assert key(d_new) == key(d_old)
