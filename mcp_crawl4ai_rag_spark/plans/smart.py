@@ -15,7 +15,7 @@ uniform.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT_MAX_DEPTH, SITEMAP_MAX_DEPTH
@@ -91,9 +91,14 @@ def smart_crawl(
         page_urls = page_urls.where(  # prefix filter, reference :726-739
             comparison_normalize(F.col("url")).startswith(F.lit(norm_prefix))
         )
-        # count to pick the seq-assignment strategy (window vs distributed
-        # rank); cheap — the expansion levels are already localCheckpointed
-        seeds = _seed_df(spark, page_urls, n_rows=page_urls.count())
+        # the count (picks window vs distributed seq assignment) rides the
+        # checkpoint materialization; downstream seed/crawl scans then read
+        # the checkpointed URL set instead of re-deriving the expansion
+        obs = Observation("sitemap_seed_count")
+        page_urls = page_urls.observe(
+            obs, F.count(F.lit(1)).alias("n")
+        ).localCheckpoint(eager=True)
+        seeds = _seed_df(spark, page_urls, n_rows=int(obs.get["n"]))
         engine = CrawlEngine(spark, pages, robots=robots)
         return engine.run(seeds, max_depth=1)  # batch fetch, no link follow
 
