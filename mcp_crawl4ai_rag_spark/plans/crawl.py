@@ -506,7 +506,12 @@ class CrawlEngine:
             else:
                 if not frontier_ckpted:  # politeness path checkpointed above
                     frontier = frontier.localCheckpoint(eager=True)
-                url_seen = url_seen.localCheckpoint(eager=True)
+                # url_seen is a union of ALREADY-checkpointed popped batches,
+                # so its recompute is a cheap concat — re-copying the whole
+                # (ever-growing) set every epoch is pure write amplification.
+                # Checkpoint on a cadence only to truncate very deep plans.
+                if (epoch - start_epoch) % 4 == 3:
+                    url_seen = url_seen.localCheckpoint(eager=True)
 
         return CrawlRunResult(
             url_seen=url_seen,
