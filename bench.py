@@ -150,6 +150,7 @@ def frontier_epoch(spark, n: int, pop_fraction: float = 0.4) -> tuple[int, float
 
     t0 = time.time()
     bloom = build_bloom(url_seen, "url_hash", expected=n // 3)
+    t_bloom = time.time() - t0
     fresh = anti_join_seen(frontier, url_seen, bloom)
     with_b = attach_budgets(fresh, None, None, epoch_seconds=budget_seconds)
     popped, deferred = pop_per_host(with_b, None)
@@ -158,14 +159,16 @@ def frontier_epoch(spark, n: int, pop_fraction: float = 0.4) -> tuple[int, float
     assert n_popped > 0
     frontier.unpersist()
     url_seen.unpersist()
-    return n, elapsed
+    return n, elapsed, t_bloom
 
 
-def best_frontier_time(spark, n: int, reps: int = 2) -> float:
+def best_frontier_time(spark, n: int, reps: int = 2) -> tuple[float, float]:
     """Warm up (JIT/codegen), then take the best of ``reps`` runs — the
-    steady-state time, least polluted by GC/page-cache noise."""
+    steady-state (total, bloom-phase) times, least polluted by GC noise.
+    The per-phase split backs the bandwidth-bound analysis in BASELINE.md."""
     frontier_epoch(spark, max(n // 8, 100_000))
-    return min(frontier_epoch(spark, n)[1] for _ in range(reps))
+    best = min((frontier_epoch(spark, n) for _ in range(reps)), key=lambda t: t[1])
+    return best[1], best[2]
 
 
 def kernel_scan_time(spark, n: int, reps: int = 2) -> float:
@@ -255,11 +258,11 @@ def main() -> None:
     lo_cores = max(CPUS // 4, 1)
 
     spark_hi = _mk_spark(CPUS)
-    t_hi = best_frontier_time(spark_hi, FRONTIER_N)
+    t_hi, bloom_hi = best_frontier_time(spark_hi, FRONTIER_N)
     spark_hi.stop()
 
     spark_lo = _mk_spark(lo_cores)
-    t_lo = best_frontier_time(spark_lo, FRONTIER_N)
+    t_lo, bloom_lo = best_frontier_time(spark_lo, FRONTIER_N)
     spark_lo.stop()
 
     spark_khi = _mk_spark(CPUS)
@@ -296,6 +299,10 @@ def main() -> None:
                     "urls_per_sec_hi": round(thr_hi, 1),
                     "speedup": round(speedup, 3),
                     "efficiency_vs_4x": round(efficiency, 3),
+                    "bloom_sec_lo": round(bloom_lo, 2),
+                    "bloom_sec_hi": round(bloom_hi, 2),
+                    "dedup_pop_sec_lo": round(t_lo - bloom_lo, 2),
+                    "dedup_pop_sec_hi": round(t_hi - bloom_hi, 2),
                     "kernel_scan_urls": kernel_n,
                     "kernel_sec_lo": round(k_lo, 2),
                     "kernel_sec_hi": round(k_hi, 2),
