@@ -249,3 +249,44 @@ def test_attach_budgets_equals_compute_budgets_path(spark, corpus):
     key = lambda df: sorted(r["canonical_url"] for r in df.collect())
     assert key(p_new) == key(p_old)
     assert key(d_new) == key(d_old)
+
+
+def test_pop_per_host_matches_python_reference(spark):
+    """Salted two-phase pop vs a plain-Python per-host top-B reference over
+    randomized frontiers: identical popped sets, exact budget enforcement,
+    nothing lost."""
+    import random
+
+    from mcp_crawl4ai_rag_spark.operators.politeness import pop_per_host
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        rows = []
+        for i in range(800):
+            host = f"h{rng.randint(0, 9)}.x"
+            rows.append(
+                (f"https://{host}/p/{i}", rng.getrandbits(62), host,
+                 f"/p/{i}", rng.randint(0, 3), rng.randint(0, 1), i)
+            )
+        budgets = [(f"h{h}.x", rng.randint(1, 40)) for h in range(8)]  # h8,h9 unlimited
+        fr = spark.createDataFrame(
+            rows,
+            "canonical_url string, url_hash long, host string, path string, "
+            "depth int, priority int, seq long",
+        ).repartition(7)
+        bd = spark.createDataFrame(budgets, "host string, budget int")
+        popped, deferred = pop_per_host(fr, bd, salt_lanes=4)
+        got_p = {r["canonical_url"] for r in popped.collect()}
+        got_d = {r["canonical_url"] for r in deferred.collect()}
+        assert got_p | got_d == {r[0] for r in rows} and not (got_p & got_d)
+
+        bmap = dict(budgets)
+        by_host: dict = {}
+        for r in rows:
+            by_host.setdefault(r[2], []).append(r)
+        want_p = set()
+        for host, hrows in by_host.items():
+            hrows.sort(key=lambda r: (r[4], r[5], r[6]))
+            b = bmap.get(host)
+            want_p |= {r[0] for r in (hrows if b is None else hrows[:b])}
+        assert got_p == want_p, f"seed {seed}"

@@ -101,3 +101,29 @@ def test_validate_crawl_params_clamps():
     assert validate_crawl_params(-5, 0, 5000) == (0, 10, 5000)
     assert validate_crawl_params(3, 10, 0) == (3, 10, 5000)
     assert validate_crawl_params(3, -7, None) == (3, 10, 5000)
+
+
+def test_upsert_duplicate_key_winner_is_deterministic(spark):
+    """A batch carrying duplicate (url, chunk_number) keys must elect the
+    same winner regardless of input partitioning (the row-fingerprint
+    tie-break, not partition-order luck)."""
+    rows = [
+        ("u", 0, "alpha"), ("u", 0, "beta"), ("u", 0, "gamma"),
+        ("v", 1, "only"),
+    ]
+    schema = "url string, chunk_number int, content string"
+    winners = set()
+    for parts in (1, 3, 7):
+        batch = spark.createDataFrame(rows, schema).repartition(parts)
+        merged = {
+            (r["url"], r["chunk_number"]): r["content"]
+            for r in store_documents(None, batch).collect()
+        }
+        assert merged[("v", 1)] == "only"
+        winners.add(merged[("u", 0)])
+    assert len(winners) == 1  # same winner under every partitioning
+    # and the existing+batch path prefers the batch generation for the key
+    existing = spark.createDataFrame([("u", 0, "old")], schema)
+    batch = spark.createDataFrame([("u", 0, "new")], schema)
+    out = {r["url"]: r["content"] for r in store_documents(existing, batch).collect()}
+    assert out["u"] == "new"
