@@ -77,6 +77,8 @@ from mcp_crawl4ai_rag_spark.sources.corpus import (
     gen_robots,
     gen_seeds,
     gen_sitemaps,
+    materialized_pages,
+    materialized_sitemaps,
 )
 from mcp_crawl4ai_rag_spark.sources.sitemap import expand_sitemaps
 from mcp_crawl4ai_rag_spark.functions.images import verify_images
@@ -183,9 +185,9 @@ def _utc(spark: SparkSession) -> None:
 
 def _crawl(spark: SparkSession, sf_dir: str):
     n = _lineitem_count(spark, sf_dir)
-    # persist the corpus: the epoch loop scans it once per fetch-join (the
-    # real deployment reads a materialized Iceberg table, not a generator)
-    pages = gen_pages(spark, n).persist()
+    # the epoch loop scans the corpus once per fetch-join; read it as a
+    # materialized parquet table (the deployment shape — write-once cache)
+    pages = materialized_pages(spark, n)
     engine = CrawlEngine(
         spark,
         pages,
@@ -237,7 +239,7 @@ def q_politeness_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).alias("depth"),
         F.col("id").alias("seq"),
     )
-    pages = gen_pages(spark, _DRAIN_M)
+    pages = materialized_pages(spark, _DRAIN_M)
     engine = CrawlEngine(
         spark, pages, robots=None, allowed_host_suffix=".example.com",
         use_bloom=True, epoch_seconds=_DRAIN_EPOCH_SECONDS,
@@ -334,7 +336,7 @@ def q_sitemap_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _lineitem_count(spark, sf_dir)
     # materialize: the per-level expansion joins would regenerate the
     # synthetic corpus (groupBy + gzip) once per depth level otherwise
-    sitemaps = gen_sitemaps(spark, n).localCheckpoint(eager=True)
+    sitemaps = materialized_sitemaps(spark, n)
     return expand_sitemaps(
         spark, sitemaps, ["https://h1.example.com/sitemap_index.xml"]
     ).select(F.col("url").alias("canonical_url"))
@@ -347,8 +349,8 @@ def q_smart_crawl_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = smart_crawl(
         spark,
         "https://h1.example.com/sitemap_index.xml",
-        pages=gen_pages(spark, n).persist(),
-        sitemaps=gen_sitemaps(spark, n).localCheckpoint(eager=True),
+        pages=materialized_pages(spark, n),
+        sitemaps=materialized_sitemaps(spark, n),
         robots=gen_robots(spark),
     )
     return res.fetched.select("canonical_url")
@@ -362,7 +364,7 @@ def q_smart_crawl_webpage(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = smart_crawl(
         spark,
         "https://h0.example.com/p/4",
-        pages=gen_pages(spark, n).persist(),
+        pages=materialized_pages(spark, n),
         robots=gen_robots(spark),
         max_depth=CRAWL_DEPTH,
         prefix="https://h0.example.com/p",

@@ -365,3 +365,48 @@ def oracle_expandable_sql(id_expr: str) -> str:
         f"(({id_expr}) % {FAIL404_MOD} <> 0 AND ({id_expr}) % {FAIL429_MOD} <> 0 "
         f"AND ({id_expr}) % {PRIVATE_MOD} <> 0)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Write-once materialization: the deployment shape is an engine reading a
+# STORED corpus table (Iceberg/parquet), not a generator re-running inside
+# every scan. Cache key = md5(this module's source + n), so any edit to the
+# generators invalidates automatically; the rename publish keeps concurrent
+# builders from observing half-written tables.
+# ---------------------------------------------------------------------------
+
+_CORPUS_CACHE_DIR = "/dev/shm/mcp_spark_corpus"
+
+
+def _materialized(spark: SparkSession, name: str, n: int, gen) -> DataFrame:
+    import hashlib
+    import os
+
+    with open(__file__, "rb") as fh:
+        src = fh.read()
+    key = hashlib.md5(src + f":{name}:{n}".encode()).hexdigest()[:12]
+    path = os.path.join(_CORPUS_CACHE_DIR, f"{name}_{n}_{key}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        tmp = f"{path}.build{os.getpid()}"
+        gen(spark, n).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # lost the publish race — another builder finished first
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(path)
+
+
+def materialized_pages(spark: SparkSession, n: int) -> DataFrame:
+    """Parquet-materialized ``gen_pages(n)`` (write-once per generator
+    version): fetch-joins then scan a real columnar table — with column
+    pruning and pushdown — instead of re-running string synthesis."""
+    return _materialized(spark, "pages", n, gen_pages)
+
+
+def materialized_sitemaps(spark: SparkSession, n: int) -> DataFrame:
+    """Parquet-materialized ``gen_sitemaps(n)`` (gzip+XML synthesis is the
+    costliest generator; one build serves every query/run of this code)."""
+    return _materialized(spark, "sitemaps", n, gen_sitemaps)
