@@ -290,3 +290,43 @@ def test_pop_per_host_matches_python_reference(spark):
             b = bmap.get(host)
             want_p |= {r[0] for r in (hrows if b is None else hrows[:b])}
         assert got_p == want_p, f"seed {seed}"
+
+
+def test_checkpoint_resume_politeness_bit_identical(spark, corpus, tmp_path):
+    """Kill/resume under politeness budgets + backoff: the resumed run must
+    reproduce the uninterrupted schedule exactly, including which epoch each
+    URL was popped in (backoff levels are part of the persisted state)."""
+    seeds = gen_seeds(spark, N)
+    robots = gen_robots(spark)
+    # budget = floor(6/2) = 3 per host per epoch → deferrals are guaranteed,
+    # so the resume must reproduce a genuinely multi-epoch drain schedule
+    kw = dict(
+        robots=robots, allowed_host_suffix=".example.com", epoch_seconds=6.0
+    )
+    full = CrawlEngine(
+        spark, corpus, checkpoint_dir=str(tmp_path / "pf"), **kw
+    ).run(seeds, max_depth=DEPTH, politeness=True, max_epochs=6)
+
+    part_dir = str(tmp_path / "pp")
+    CrawlEngine(spark, corpus, checkpoint_dir=part_dir, **kw).run(
+        seeds, max_depth=DEPTH, politeness=True, max_epochs=2
+    )
+    resumed = CrawlEngine(spark, corpus, checkpoint_dir=part_dir, **kw).resume(
+        max_epochs=6
+    )
+
+    def key(df):
+        return sorted(
+            (r["canonical_url"], r["depth"], r["seq"], r["epoch_seen"])
+            for r in df.collect()
+        )
+
+    assert full.epochs_run == resumed.epochs_run
+    assert full.lineage.where(F.col("politeness_deferrals") > 0).count() > 0
+    assert key(full.url_seen) == key(resumed.url_seen)
+    f1 = sorted((r["canonical_url"], r["epoch"]) for r in full.fetched.collect())
+    f2 = sorted((r["canonical_url"], r["epoch"]) for r in resumed.fetched.collect())
+    assert f1 == f2
+    l1 = sorted(tuple(r) for r in full.lineage.collect())
+    l2 = sorted(tuple(r) for r in resumed.lineage.collect())
+    assert l1 == l2
