@@ -1,0 +1,90 @@
+"""robots.txt source: parse fetched robots bodies into the engine's
+``robots`` table ``(host, disallow_prefixes, crawl_delay)``.
+
+The reference delegates robots handling to crawl4ai entirely (docs claim
+"Robots.txt compliance" and crawl-delay respect, docs/architecture.md:58,
+docs/api.md:574 — the reference never parses robots itself); this module
+closes that loop for the engine: fetch robots.txt per host (a tiny
+fetch-join, same shape as the page fetch), parse the bodies in one Arrow
+batch stage, and feed the result straight into
+``operators/politeness.robots_denied_expr`` / ``attach_budgets``.
+
+Parsing semantics (the subset the politeness model consumes, per RFC 9309):
+
+- group selection: the ``User-agent: *`` group(s); a specific-agent
+  parameter can override. Multiple consecutive ``User-agent`` lines share
+  one group; a blank-line or a new ``User-agent`` after rules starts a new
+  group.
+- ``Disallow:`` values of the selected groups become ``disallow_prefixes``
+  (empty value = allow-all, contributes nothing). ``Allow`` precedence is
+  NOT modeled — the engine's gate is prefix-deny-only
+  (robots_denied_expr), a strictly more conservative crawler.
+- ``Crawl-delay:`` the first valid value among selected groups (an
+  extension directive, but the politeness model is built around it).
+- unknown directives and comments (``#``) are ignored; matching is
+  case-insensitive on directive names, values keep their case.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+ROBOTS_SCHEMA = "host string, disallow_prefixes array<string>, crawl_delay double"
+
+
+def py_parse_robots(body: str, agent: str = "*") -> tuple[list[str], float | None]:
+    """Pure-Python robots.txt parse → (disallow_prefixes, crawl_delay).
+    Shared by the Arrow stage and the tests' expectations."""
+    disallow: list[str] = []
+    delay: float | None = None
+    selected = False  # inside a group whose user-agents include `agent`/*
+    agents_open = False  # consecutive User-agent lines build one group
+    group_agents: list[str] = []
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        if ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not agents_open:
+                group_agents = []
+                agents_open = True
+            group_agents.append(val.lower())
+            selected = "*" in group_agents or agent.lower() in group_agents
+            continue
+        agents_open = False
+        if not selected:
+            continue
+        if key == "disallow":
+            if val:
+                disallow.append(val)
+        elif key == "crawl-delay" and delay is None:
+            try:
+                delay = float(val)
+            except ValueError:
+                pass
+    return disallow, delay
+
+
+def parse_robots_bodies(fetched: DataFrame, agent: str = "*") -> DataFrame:
+    """(host, body string) → the engine's robots table, one Arrow-batched
+    stage (no per-row Python at the DataFrame boundary)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for host, body in zip(pdf["host"], pdf["body"]):
+                dis, delay = py_parse_robots(body or "", agent)
+                rows.append((host, dis, delay))
+            yield pd.DataFrame(
+                rows, columns=["host", "disallow_prefixes", "crawl_delay"]
+            )
+
+    return fetched.select("host", "body").mapInPandas(gen, schema=ROBOTS_SCHEMA)
