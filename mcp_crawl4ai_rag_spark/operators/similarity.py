@@ -339,3 +339,57 @@ def py_train_centroids(
             if counts[cid]:
                 cents[cid] = [sums[cid][d] / counts[cid] for d in range(dim)]
     return [(cid, cents[cid]) for cid in range(k)]
+
+
+# ---------------------------------------------------------------------------
+# IVF index persistence: assignment as a partition column → pruned probes
+# ---------------------------------------------------------------------------
+
+
+def ivf_write_index(
+    embs: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the inverted lists: vectors written partitioned by their
+    assigned centroid. This is the write-time half of the IVF contract —
+    the ``cid`` partition column is what turns a probe into a
+    partition-PRUNED scan instead of a full-corpus pass."""
+    ivf_assign(embs, centroids, id_col, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("cid").parquet(path)
+
+
+def ivf_query_index(
+    spark,
+    path: str,
+    centroids: DataFrame,
+    query_vec: list[float],
+    k: int,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a written IVF index: pick the ``n_probe`` centroids nearest the
+    query on the driver (codebook is tiny), scan ONLY those partitions
+    (`cid IN (...)` prunes at the parquet layer — visible as
+    PartitionFilters in the plan), exact cosine within them. Identical
+    results to :func:`ivf_topk` over the same codebook."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    rows = sorted(centroids.select("cid", "ce").collect(), key=lambda r: r["cid"])
+    dists = []
+    for r in rows:
+        c = np.asarray(r["ce"], dtype=np.float64)
+        acc = 0.0
+        for d in range(len(c)):  # same fold order as l2sq_expr
+            diff = float(q[d]) - float(c[d])
+            acc += diff * diff
+        dists.append((acc, r["cid"]))
+    probe_cids = [cid for _, cid in sorted(dists)[:n_probe]]
+
+    lists = spark.read.parquet(path).where(F.col("cid").isin(probe_cids))
+    return brute_topk(lists, query_vec, k, id_col, vec_col)

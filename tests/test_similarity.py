@@ -168,3 +168,36 @@ def test_train_centroids_empty_cluster_keeps_old(spark):
     }
     want = dict(py_train_centroids(rows, 3, iters=2, sample_n=40))
     assert got == want and len(got) == 3
+
+
+def test_ivf_written_index_prunes_partitions_and_matches(spark, tmp_path):
+    """The persisted IVF index must (a) return exactly what the in-memory
+    ivf_topk returns and (b) scan only the probed partitions — the plan
+    carries a cid partition filter, the write-time partitioning contract."""
+    from pyspark.sql import functions as F
+
+    from mcp_crawl4ai_rag_spark.operators.similarity import (
+        ivf_query_index,
+        ivf_topk,
+        ivf_write_index,
+    )
+
+    embs = spark.range(500).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[((F.col("id") * (d + 3)) % 17).cast("double") for d in range(6)]
+        ).alias("embedding"),
+    )
+    cents = embs.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("embedding").alias("ce")
+    )
+    q = [float((7 * (d + 3)) % 17) for d in range(6)]
+
+    path = str(tmp_path / "ivf_index")
+    ivf_write_index(embs, cents, path)
+    got = ivf_query_index(spark, path, cents, q, 5, n_probe=2)
+    want = ivf_topk(embs, cents, q, 5, n_probe=2)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan.split("PartitionFilters")[1][:120]
