@@ -393,3 +393,42 @@ def ivf_query_index(
 
     lists = spark.read.parquet(path).where(F.col("cid").isin(probe_cids))
     return brute_topk(lists, query_vec, k, id_col, vec_col)
+
+
+def lsh_write_index(
+    embs: DataFrame,
+    path: str,
+    dim: int,
+    n_planes: int = DEFAULT_LSH_PLANES,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the LSH buckets: vectors written partitioned by their
+    hyperplane-signature bucket — the write-time contract behind
+    :func:`lsh_bucket_ann`'s pruning claim."""
+    embs.withColumn(
+        "bucket", bucket_expr(F.col(vec_col), dim, n_planes)
+    ).write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def lsh_query_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int,
+    dim: int,
+    n_planes: int = DEFAULT_LSH_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a written LSH index: compute the query's bucket on the driver,
+    scan ONLY that partition (bucket PartitionFilter), exact cosine within.
+    Identical results to :func:`lsh_bucket_ann` over the same planes."""
+    import numpy as np
+
+    qv = np.asarray(query_vec, dtype=np.float64)
+    q_bucket = 0
+    for p in range(n_planes):
+        if float(qv @ np.asarray(hyperplane(p, dim), dtype=np.float64)) > 0:
+            q_bucket |= 1 << p
+    lists = spark.read.parquet(path).where(F.col("bucket") == q_bucket)
+    return brute_topk(lists, query_vec, k, id_col, vec_col)

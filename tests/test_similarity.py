@@ -201,3 +201,28 @@ def test_ivf_written_index_prunes_partitions_and_matches(spark, tmp_path):
 
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cid" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_lsh_written_index_prunes_and_matches(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mcp_crawl4ai_rag_spark.operators.similarity import (
+        lsh_bucket_ann,
+        lsh_query_index,
+        lsh_write_index,
+    )
+
+    embs = spark.range(400).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[(((F.col("id") + d) * 37) % 23 - 11).cast("double") for d in range(6)]
+        ).alias("embedding"),
+    )
+    q = [float(((5 + d) * 37) % 23 - 11) for d in range(6)]
+    path = str(tmp_path / "lsh_index")
+    lsh_write_index(embs, path, dim=6)
+    got = lsh_query_index(spark, path, q, 5, dim=6)
+    want = lsh_bucket_ann(embs, q, 5, dim=6)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:120]
