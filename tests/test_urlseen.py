@@ -180,3 +180,40 @@ def test_cuckoo_distributed_build_and_antijoin(spark):
     for x in h:
         assert cf.delete(x)
     assert not cf.contains_hashes(_np.array(h, dtype=_np.int64)).any() or True
+
+
+def test_bucketed_anti_join_has_no_exchange(spark, tmp_path):
+    """The bucketed-layout anti-join (the 10^10-row deployment shape) must
+    plan with ZERO Exchange — both sides pre-clustered on the join keys —
+    and return the exact set difference."""
+    from mcp_crawl4ai_rag_spark.operators.urlseen import (
+        bucketed_anti_join_seen,
+        write_bucketed,
+    )
+
+    cand = spark.range(0, 2000, 1, 4).select(
+        F.concat(F.lit("u"), F.col("id")).alias("canonical_url"),
+        F.xxhash64(F.concat(F.lit("u"), F.col("id"))).alias("url_hash"),
+    )
+    seen = spark.range(0, 1000, 1, 4).select(
+        F.concat(F.lit("u"), (F.col("id") * 2)).alias("canonical_url"),
+        F.xxhash64(F.concat(F.lit("u"), (F.col("id") * 2))).alias("url_hash"),
+    )
+    spark.sql("DROP TABLE IF EXISTS t_frontier_bkt")
+    spark.sql("DROP TABLE IF EXISTS t_seen_bkt")
+    # at 10^10 rows NEITHER side broadcasts — force the sort-merge regime
+    # the bucketed layout is designed for
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(cand, "t_frontier_bkt", n_buckets=8)
+        write_bucketed(seen, "t_seen_bkt", n_buckets=8)
+        out = bucketed_anti_join_seen(spark, "t_frontier_bkt", "t_seen_bkt")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:800]
+        got = {r["canonical_url"] for r in out.collect()}
+        assert got == {f"u{i}" for i in range(2000) if not (i % 2 == 0 and i < 2000)}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS t_frontier_bkt")
+        spark.sql("DROP TABLE IF EXISTS t_seen_bkt")
