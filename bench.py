@@ -257,23 +257,37 @@ def main() -> None:
     # cell removes the order effect entirely.
     lo_cores = max(CPUS // 4, 1)
 
+    # Ambient-load witness: phases run minutes apart on a shared VM, and a
+    # noisy neighbor during ONE phase silently wrecks a speedup ratio.
+    # Sampling the 1-min loadavg at each phase start makes polluted runs
+    # self-identifying instead of mysteriously contradictory.
+    loads: dict[str, float] = {}
+
+    def _load(tag: str) -> None:
+        loads[tag] = round(os.getloadavg()[0], 1)
+
+    _load("frontier_hi")
     spark_hi = _mk_spark(CPUS)
     t_hi, bloom_hi = best_frontier_time(spark_hi, FRONTIER_N)
     spark_hi.stop()
 
+    _load("frontier_lo")
     spark_lo = _mk_spark(lo_cores)
     t_lo, bloom_lo = best_frontier_time(spark_lo, FRONTIER_N)
     spark_lo.stop()
 
+    _load("kernel_hi")
     spark_khi = _mk_spark(CPUS)
     k_hi = kernel_scan_time(spark_khi, kernel_n)
     spark_khi.stop()
 
+    _load("kernel_lo")
     spark_klo = _mk_spark(lo_cores)
     k_lo = kernel_scan_time(spark_klo, kernel_n)
     spark_klo.stop()
     n_hi = n_lo = FRONTIER_N
 
+    _load("ceiling")
     ceiling = cpu_ceiling(lo_cores, CPUS)
 
     thr_hi = n_hi / t_hi
@@ -309,6 +323,7 @@ def main() -> None:
                     "kernel_speedup": round(k_lo / k_hi, 3),
                     "kernel_efficiency_vs_4x": round(k_lo / k_hi / (CPUS / lo_cores), 3),
                     **ceiling,
+                    "loadavg_at_phase_start": loads,
                 },
             }
         )
