@@ -135,6 +135,64 @@ def main():
             [("never", "this section only renders on regression")],
         ))
 
+    # 7. bucketed URL-seen anti-join: zero Exchange on either side
+    from mcp_crawl4ai_rag_spark.operators.urlseen import (
+        bucketed_anti_join_seen,
+        write_bucketed,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS plans_frontier_bkt")
+    spark.sql("DROP TABLE IF EXISTS plans_seen_bkt")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        c2 = spark.range(0, 5000).select(
+            F.concat(F.lit("u"), F.col("id")).alias("canonical_url"),
+            F.xxhash64(F.concat(F.lit("u"), F.col("id"))).alias("url_hash"),
+        )
+        write_bucketed(c2, "plans_frontier_bkt", n_buckets=8)
+        write_bucketed(c2.limit(2000), "plans_seen_bkt", n_buckets=8)
+        bkt_plan = formatted(
+            bucketed_anti_join_seen(spark, "plans_frontier_bkt", "plans_seen_bkt")
+        )
+        ok_no_exchange = "Exchange" not in bkt_plan
+        sections.append((
+            "Bucketed URL-seen anti-join (broadcast disabled — the 10^10-row regime)",
+            bkt_plan,
+            [
+                ("SortMergeJoin", "merge join over pre-clustered buckets"),
+                (
+                    "LeftAnti" if ok_no_exchange else "NO-EXCHANGE-CHECK-FAILED",
+                    "zero Exchange on either side (bucketed+sorted layout)",
+                ),
+            ],
+        ))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS plans_frontier_bkt")
+        spark.sql("DROP TABLE IF EXISTS plans_seen_bkt")
+
+    # 8. persisted IVF index probe: partition-pruned scan
+    import tempfile
+
+    from mcp_crawl4ai_rag_spark.operators.similarity import (
+        ivf_query_index,
+        ivf_write_index,
+    )
+
+    with tempfile.TemporaryDirectory() as td:
+        cents = embs.where(F.col("vec_id") < 4).select(
+            F.col("vec_id").cast("int").alias("cid"),
+            F.col("embedding").alias("ce"),
+        )
+        ivf_write_index(embs, cents, td + "/idx")
+        probe_plan = formatted(ivf_query_index(spark, td + "/idx", cents, q, 5))
+        sections.append((
+            "Persisted IVF index probe (n_probe=2 of 4 inverted lists)",
+            probe_plan,
+            [("PartitionFilters: [cid", "probe prunes to the probed cids at the parquet layer")],
+        ))
+
     out = ["# Physical-plan audit (auto-generated by tools/explain_plans.py)",
            "", f"sf_dir: {sf_dir}", ""]
     n_fail = 0
