@@ -261,10 +261,20 @@ def main() -> None:
     # noisy neighbor during ONE phase silently wrecks a speedup ratio.
     # Sampling the 1-min loadavg at each phase start makes polluted runs
     # self-identifying instead of mysteriously contradictory.
-    loads: dict[str, float] = {}
+    loads: dict[str, dict[str, float]] = {}
 
     def _load(tag: str) -> None:
-        loads[tag] = round(os.getloadavg()[0], 1)
+        # loadavg decays slowly and counts the bench's own threads; the
+        # single-thread busy probe measures contention directly — it only
+        # slows down when something ELSE is eating CPU right now.
+        t0 = time.time()
+        acc = 0
+        for i in range(3_000_000):
+            acc += i * i
+        loads[tag] = {
+            "loadavg": round(os.getloadavg()[0], 1),
+            "probe_ms": round((time.time() - t0) * 1000),
+        }
 
     _load("frontier_hi")
     spark_hi = _mk_spark(CPUS)
