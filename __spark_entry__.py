@@ -1283,6 +1283,45 @@ WHERE length(d.text) > 0
 """
 
 
+def q_link_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """crawl_single_page response parity (reference src/crawl4ai_mcp.py:
+    518-527): per-page internal/external link counts — relative hrefs are
+    internal by definition, absolute ones internal iff same host — over the
+    materialized corpus. Closed-form oracle from the corpus edge formulas."""
+    from mcp_crawl4ai_rag_spark.functions.urls import with_link_counts
+
+    n = _lineitem_count(spark, sf_dir)
+    pages = materialized_pages(spark, n).select("url", "out_links")
+    return with_link_counts(pages).select(
+        F.col("url").alias("canonical_url"),
+        F.col("n_internal").cast("long").alias("n_internal"),
+        F.col("n_external").cast("long").alias("n_external"),
+    )
+
+
+def _oracle_link_counts() -> str:
+    # out_links(i) = [edge0, edge1, edge2, same-host binary noise, offsite]:
+    # each edge j is internal iff host(t_j) == host(i) (edge 1 is emitted
+    # dot-relative exactly when hosts match); binary noise +1 internal,
+    # offsite +1 external → n_internal = 1 + Σ_j [host(t_j)=host(i)]
+    def host(x: str) -> str:
+        return f"(CASE WHEN ({x}) % {C.HOT_HOST_MOD} = 0 THEN 0 ELSE ({x}) % {C.N_HOSTS} END)"
+
+    terms = " + ".join(
+        "(CASE WHEN {th} = {hi} THEN 1 ELSE 0 END)".format(
+            th=host(f"({C.EDGE_A}*i + {C.EDGE_B * j + C.EDGE_C}) % {N_SQL}"),
+            hi=host("i"),
+        )
+        for j in range(C.OUT_DEGREE)
+    )
+    return f"""
+SELECT {C.oracle_url_sql('i')} AS canonical_url,
+       CAST(1 + {terms} AS BIGINT) AS n_internal,
+       CAST(5 - (1 + {terms}) AS BIGINT) AS n_external
+FROM (SELECT unnest(generate_series(0, {N_SQL} - 1)) AS i)
+"""
+
+
 def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 streaming THROUGH the streaming engine (not a batch twin): a
     real Structured Streaming query — FileStreamSource over the events
@@ -1606,6 +1645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained": q_ann_ivf_trained,
         "chunk_metadata": q_chunk_metadata,
         "streaming_window": q_streaming_window,
+        "link_counts": q_link_counts,
         "contextual_join": q_contextual_join,
         "image_resize": q_image_resize,
     }
@@ -1646,6 +1686,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_trained": _oracle_ann_ivf_trained(),
         "chunk_metadata": _oracle_chunk_metadata(),
         "streaming_window": _oracle_streaming_window(),
+        "link_counts": _oracle_link_counts(),
         "contextual_join": _oracle_contextual_join(),
         "image_resize": _oracle_image_resize(),
         # image_features / rag_pipeline: intentionally no oracle (binary

@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "streaming_window",
     "contextual_join",
     "image_resize",
+    "link_counts",
 ]
 
 

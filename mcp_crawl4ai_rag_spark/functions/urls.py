@@ -232,3 +232,28 @@ __all__ = [
     "py_derive_prefix",
     "py_resolve_href",
 ]
+
+
+def is_internal_href(href: Column, page_host: Column) -> Column:
+    """crawl4ai-style internal/external link classification (the counts the
+    reference reports per page, src/crawl4ai_mcp.py:523-527): a relative
+    href (no scheme) is internal by definition; an absolute one is internal
+    iff its host equals the page's host."""
+    absolute = href.rlike(r"^[a-z][a-z0-9+.\-]*://")
+    return (~absolute) | (url_host(href) == page_host)
+
+
+def with_link_counts(
+    df: Column | "DataFrame",  # DataFrame; Column in sig for symmetry only
+    url_col: str = "url",
+    links_col: str = "out_links",
+):
+    """Add n_internal / n_external link counts per page — pure Catalyst
+    (size of a filtered array, no resolution round-trip needed because
+    internal-ness is decidable from scheme + host alone)."""
+    host = url_host(F.col(url_col))
+    links = F.coalesce(F.col(links_col), F.array())
+    n_int = F.size(F.filter(links, lambda h: is_internal_href(h, host)))
+    return df.withColumn("n_internal", n_int).withColumn(
+        "n_external", F.size(links) - n_int
+    )

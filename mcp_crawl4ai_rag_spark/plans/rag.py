@@ -119,11 +119,21 @@ def search_documents(
     if source_filter is not None:
         df = df.where(F.col("source") == source_filter)
     q = F.array(*[F.lit(float(x)) for x in qv])
+    # contextual-content swap (reference src/utils.py:583-586): when an
+    # enriched text was stored for the chunk, return it AS the content
+    content = (
+        F.coalesce(
+            F.when(F.col("contextual_content") != "", F.col("contextual_content")),
+            F.col("content"),
+        )
+        if "contextual_content" in store.columns
+        else F.col("content")
+    )
     return (
         df.select(
             "url",
             "chunk_number",
-            "content",
+            content.alias("content"),
             "source",
             F.round(cosine_expr(F.col("embedding"), q), 4).alias("similarity"),
         )

@@ -127,3 +127,31 @@ def test_upsert_duplicate_key_winner_is_deterministic(spark):
     batch = spark.createDataFrame([("u", 0, "new")], schema)
     out = {r["url"]: r["content"] for r in store_documents(existing, batch).collect()}
     assert out["u"] == "new"
+
+
+def test_search_returns_contextual_content_when_stored(spark):
+    """perform_rag_query parity (reference src/utils.py:583-586): a stored
+    contextual_content replaces the raw chunk in search results; chunks
+    without one keep their original content."""
+    from mcp_crawl4ai_rag_spark.plans.rag import search_documents
+
+    docs = spark.createDataFrame(
+        [
+            ("https://a.example.com/x", "alpha spark joins " * 20),
+            ("https://a.example.com/y", "beta python udfs " * 20),
+        ],
+        "url string, markdown string",
+    )
+    chunks = build_chunks(docs, chunk_size=200)
+    store = with_embeddings(chunks, text_col="content", dim=DIM).withColumn(
+        "contextual_content",
+        F.when(F.col("url").endswith("/x"), F.concat(F.lit("CTX: "), F.col("content"))).otherwise(F.lit("")),
+    )
+    res = search_documents(store, "spark joins", match_count=10, dim=DIM)
+    rows = res.collect()
+    assert rows
+    for r in rows:
+        if r["url"].endswith("/x"):
+            assert r["content"].startswith("CTX: ")
+        else:
+            assert not r["content"].startswith("CTX: ")
