@@ -48,6 +48,10 @@ from mcp_crawl4ai_rag_spark.functions.urls import (
     url_host,
     url_path,
 )
+from mcp_crawl4ai_rag_spark.operators.components import (
+    canonical_docs,
+    connected_components,
+)
 from mcp_crawl4ai_rag_spark.operators.dedup import (
     exact_dedup_groups,
     minhash_lsh_pairs,
@@ -124,6 +128,21 @@ docs2 AS (
 )
 """
 
+# Chain variant for connected components: the +1M and +2M twins of the same
+# base doc are each near-dups of it (and usually of each other) — clusters of
+# size 3 that the component stage must merge transitively.
+_DOCS3_SQL = """
+docs3 AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, substr(text, 21) AS text
+    FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id, substr(text, 41) AS text
+    FROM documents WHERE doc_id % 10 = 0
+)
+"""
+
 _N_PERMS, _N_BANDS, _ROWS_PER_BAND = 16, 4, 4
 _SIM_BITS = 32
 _LSH_PLANES = 8
@@ -169,6 +188,20 @@ def _docs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("substring(text, 21)").alias("text"),
     )
     return docs.unionByName(aug)
+
+
+def _docs3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    base = docs.where(F.col("doc_id") % 10 == 0)
+    aug1 = base.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("substring(text, 21)").alias("text"),
+    )
+    aug2 = base.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.expr("substring(text, 41)").alias("text"),
+    )
+    return docs.unionByName(aug1).unionByName(aug2)
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -433,6 +466,28 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 3, pigeonhole banding)."""
     return simhash_pairs(_docs2(spark, sf_dir)).select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup cluster formation: MinHash+LSH pair graph (jaccard ≥ 0.5) →
+    hash-min connected components → canonical keep-list. The docs3 corpus
+    plants 3-doc chains (base, +1M, +2M twins) so components must merge
+    transitively."""
+    docs = _docs3(spark, sf_dir)
+    edges = minhash_lsh_pairs(
+        docs, min_jaccard=_COMPONENTS_MIN_JACCARD
+    ).select("id_a", "id_b")
+    comps = connected_components(
+        edges, vertices=docs.select("doc_id")
+    )
+    kept_ids = canonical_docs(docs, comps).select(
+        "doc_id", F.lit(True).alias("kept")
+    )
+    return comps.join(kept_ids, "doc_id", "left").select(
+        "doc_id",
+        "component_id",
+        F.coalesce(F.col("kept"), F.lit(False)).alias("kept"),
     )
 
 
@@ -835,7 +890,11 @@ def _sql_shingles(text_expr: str, k: int = 3) -> str:
     )
 
 
-def _oracle_minhash_lsh_pairs() -> str:
+def _minhash_pairs_ctes(docs_name: str) -> str:
+    """CTE chain `shl, sh, mh, bands, cand` computing MinHash+LSH candidate
+    pairs over a corpus CTE named ``docs_name`` — shared by the pairs oracle
+    and the connected-components oracle. Caller supplies the WITH header and
+    a final SELECT over `cand ⋈ shl` for the exact Jaccard."""
     # Kirsch-Mitzenmacher permutations: two 56-bit md5 draws per shingle,
     # perm p = (h1 + p*h2) % 2^56 — mirrors operators/dedup.py exactly
     from mcp_crawl4ai_rag_spark.functions.hashing import sql_md5int56
@@ -854,9 +913,7 @@ def _oracle_minhash_lsh_pairs() -> str:
             f"SELECT doc_id, {b} AS band_idx, md5({cols}) AS band_key FROM mh"
         )
     bands = "\n    UNION ALL\n    ".join(band_selects)
-    return f"""
-WITH {_DOCS2_SQL.strip()},
-shl AS (SELECT doc_id, {_sql_shingles('text')} AS sh FROM docs2),
+    return f"""shl AS (SELECT doc_id, {_sql_shingles('text')} AS sh FROM {docs_name}),
 sh AS (SELECT doc_id,
               {sql_md5int56("'mhA:' || shingle")} AS h1,
               {sql_md5int56("'mhB:' || shingle")} AS h2
@@ -874,13 +931,56 @@ cand AS (
     FROM bands x JOIN bands y
       ON x.band_idx = y.band_idx AND x.band_key = y.band_key
      AND x.doc_id < y.doc_id
-)
+)"""
+
+
+_PAIRS_SELECT_SQL = """
 SELECT c.id_a, c.id_b,
        round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
              / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 4) AS jaccard
 FROM cand c
 JOIN shl a ON a.doc_id = c.id_a
 JOIN shl b ON b.doc_id = c.id_b
+"""
+
+
+def _oracle_minhash_lsh_pairs() -> str:
+    return f"""
+WITH {_DOCS2_SQL.strip()},
+{_minhash_pairs_ctes('docs2')}
+{_PAIRS_SELECT_SQL.strip()}
+"""
+
+
+_COMPONENTS_MIN_JACCARD = 0.5
+
+
+def _oracle_dedup_components() -> str:
+    """Transitive closure over the ≥-threshold MinHash pair graph via a
+    fixpoint recursive CTE (UNION dedups, so cycles terminate), then
+    component_id = min reachable id; kept ⇔ the doc IS its component's min.
+    Mirrors operators/components.py hash-min semantics exactly."""
+    return f"""
+WITH RECURSIVE {_DOCS3_SQL.strip()},
+{_minhash_pairs_ctes('docs3')},
+pairs AS (
+    SELECT id_a, id_b FROM ({_PAIRS_SELECT_SQL.strip()}) p
+    WHERE p.jaccard >= {_COMPONENTS_MIN_JACCARD}
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+    SELECT doc_id, doc_id FROM docs3
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id,
+       MIN(dst) AS component_id,
+       (src = MIN(dst)) AS kept
+FROM reach GROUP BY src
 """
 
 
@@ -1627,6 +1727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "sources_distinct": q_sources_distinct,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_components": q_dedup_components,
         "simhash_pairs": q_simhash_pairs,
         "embedding_topk": q_embedding_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1670,6 +1771,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": _oracle_exact_dedup(),
         "sources_distinct": _oracle_sources_distinct(),
         "minhash_lsh_pairs": _oracle_minhash_lsh_pairs(),
+        "dedup_components": _oracle_dedup_components(),
         "simhash_pairs": _oracle_simhash_pairs(),
         "embedding_topk": _oracle_embedding_topk(),
         "ann_lsh_topk": _oracle_ann_lsh_topk(),

@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "lang_id",
     "exact_dedup",
     "minhash_lsh_pairs",
+    "dedup_components",
     "simhash_pairs",
     "embedding_topk",
     "ann_lsh_topk",

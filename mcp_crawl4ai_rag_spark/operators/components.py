@@ -1,0 +1,120 @@
+"""Connected components over near-dup pair graphs — the cluster-formation
+stage of a dedup pipeline.
+
+``minhash_lsh_pairs`` / ``simhash_pairs`` / ``cosine_pairs`` emit an EDGE
+LIST of near-duplicate pairs; an actual dedup pass must then group edges
+into clusters (connected components) and keep one canonical document per
+cluster. The reference has no counterpart (it dedups only exact URLs,
+src/crawl4ai_mcp.py:980-1004); this is a SURVEY.md training-data
+first-class addition.
+
+Algorithm: hash-min label propagation. Every vertex starts labelled with
+its own id; each round, every vertex takes the min label over itself and
+its neighbours; fixpoint ⇒ every vertex carries the min id of its
+component.
+
+Scale shape
+-----------
+- Rounds needed = graph diameter. Near-dup clusters are small and dense
+  (docs similar to a common template are usually pairwise-similar), so
+  diameter is tiny — 2-4 rounds in practice. For adversarial long-path
+  graphs the O(log n)-round alternating large-star/small-star algorithm
+  (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14)
+  is the drop-in upgrade; hash-min is chosen because each round is ONE
+  shuffle join + ONE map-side-combined min-aggregate, both keyed on the
+  same vertex id.
+- Each round: labels ⋈ edges on src (propagate), then groupBy(id).min —
+  the join and the aggregate shuffle on the same key, so with AQE the
+  exchange is reused. Labels are (long, long) pairs — tiny rows.
+- Convergence is detected with a driver-side scalar: min-labels only ever
+  decrease, so SUM(label) is strictly decreasing until fixpoint and
+  stationary exactly at it. One aggregate action per round, no
+  change-count join. The sum is taken as decimal(38,0) so 10^10 vertices
+  × 64-bit labels cannot overflow.
+- Per-round ``localCheckpoint`` truncates lineage (the iterative plan
+  would otherwise double each round).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    id_col: str = "doc_id",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """(id_col, component_id): component_id = min vertex id reachable from
+    the vertex (its component's canonical representative).
+
+    ``edges`` is an undirected pair list (each pair listed once, either
+    orientation). ``vertices`` (a one-column DataFrame named ``id_col``)
+    optionally supplies the full vertex set so isolated vertices appear as
+    their own singleton components; otherwise only endpoints of edges are
+    emitted.
+    """
+    und = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).unionByName(
+        edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    )
+    # reused by the propagate join every round; distinct also drops
+    # duplicate pairs coming from multiple LSH bands
+    und = und.distinct().localCheckpoint(eager=True)
+
+    endpoints = und.select(F.col("src").alias(id_col)).distinct()
+    if vertices is not None:
+        all_vertices = (
+            vertices.select(id_col).unionByName(endpoints).distinct()
+        )
+    else:
+        all_vertices = endpoints
+    labels = all_vertices.select(
+        F.col(id_col), F.col(id_col).alias("component_id")
+    ).localCheckpoint(eager=True)
+
+    prev_sum = None
+    for _ in range(max_rounds):
+        msgs = und.join(
+            labels.select(
+                F.col(id_col).alias("src"), F.col("component_id")
+            ),
+            "src",
+        ).select(F.col("dst").alias(id_col), "component_id")
+        labels = (
+            labels.unionByName(msgs)
+            .groupBy(id_col)
+            .agg(F.min("component_id").alias("component_id"))
+            .localCheckpoint(eager=True)
+        )
+        cur = labels.agg(
+            F.sum(F.col("component_id").cast("decimal(38,0)")).alias("s")
+        ).head()[0]
+        if prev_sum is not None and cur == prev_sum:
+            break
+        prev_sum = cur
+    return labels
+
+
+def canonical_docs(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep-list after dedup: one document per component (the one whose id
+    IS the component id), plus every document with no near-dup edge.
+    Left-anti + semi joins on the component table — the component table is
+    orders of magnitude smaller than the corpus and broadcastable when the
+    dup rate is low."""
+    canon_ids = components.where(
+        F.col(id_col) == F.col("component_id")
+    ).select(id_col)
+    in_graph = components.select(id_col)
+    survivors_in_graph = docs.join(canon_ids, id_col, "left_semi")
+    isolated = docs.join(in_graph, id_col, "left_anti")
+    return survivors_in_graph.unionByName(isolated)
