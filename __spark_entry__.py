@@ -491,6 +491,47 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_SPLIT_SALT = "split"
+
+
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split (0.8/0.1/0.1):
+    assignment is a pure function of (salt, doc_id) — stable under re-runs
+    and appends."""
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import hash_split
+
+    return hash_split(
+        _docs(spark, sf_dir).select("doc_id"), _SPLIT_WEIGHTS, salt=_SPLIT_SALT
+    )
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: top-100 tokens by term frequency with document
+    frequency; map-side-combined counts + TakeOrderedAndProject."""
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import vocab_topk
+
+    return vocab_topk(_docs(spark, sf_dir), k=100).select(
+        "token",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+    )
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval 13-gram contamination check: eval docs are planted
+    suffix-copies of every 7th train doc, so each must surface its source
+    with overlap_frac ≈ 1."""
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import contamination_pairs
+
+    train = _docs(spark, sf_dir).select("doc_id", "text")
+    ev = train.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 5000000).alias("doc_id"),
+        F.expr("substring(text, 101)").alias("text"),
+    )
+    return contamination_pairs(train, ev, shingle_k=13, min_overlap=2)
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1: exact cosine top-10 vs the vec_id=0 embedding."""
     embs = _embs(spark, sf_dir)
@@ -981,6 +1022,70 @@ SELECT src AS doc_id,
        MIN(dst) AS component_id,
        (src = MIN(dst)) AS kept
 FROM reach GROUP BY src
+"""
+
+
+def _oracle_corpus_split() -> str:
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import sql_split_fraction
+
+    frac = sql_split_fraction("doc_id", _SPLIT_SALT)
+    # cumulative boundaries replicated with hash_split's exact float
+    # arithmetic (0.8 + 0.1 != 0.9 in IEEE; repr round-trips the bits)
+    total = sum(_SPLIT_WEIGHTS.values())
+    items = list(_SPLIT_WEIGHTS.items())
+    whens, cum = [], 0.0
+    for name, w in items[:-1]:
+        cum += w / total
+        whens.append(f"WHEN {frac} < {cum!r} THEN '{name}'")
+    chain = "\n            ".join(whens)
+    return f"""
+SELECT doc_id,
+       CASE {chain}
+            ELSE '{items[-1][0]}' END AS split
+FROM documents
+"""
+
+
+def _oracle_vocab_topk() -> str:
+    return f"""
+SELECT token,
+       CAST(count(*) AS BIGINT) AS tf,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_WS_RE}')) AS token
+      FROM documents)
+GROUP BY token
+ORDER BY tf DESC, token ASC
+LIMIT 100
+"""
+
+
+def _oracle_contamination() -> str:
+    sh13 = _sql_shingles("text", 13)
+    h = _sql_md5int64("'ct:' || sh")
+    return f"""
+WITH ev_docs AS (
+    SELECT doc_id + 5000000 AS doc_id, substr(text, 101) AS text
+    FROM documents WHERE doc_id % 7 = 0
+),
+tr AS (
+    SELECT DISTINCT doc_id AS train_id, {h} AS sh
+    FROM (SELECT doc_id, unnest({sh13}) AS sh FROM documents)
+),
+ev AS (
+    SELECT DISTINCT doc_id AS eval_id, {h} AS sh
+    FROM (SELECT doc_id, unnest({sh13}) AS sh FROM ev_docs)
+),
+sizes AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS eval_shingles FROM ev GROUP BY eval_id),
+hits AS (
+    SELECT ev.eval_id, tr.train_id, CAST(count(*) AS BIGINT) AS n_common
+    FROM ev JOIN tr ON ev.sh = tr.sh
+    GROUP BY ev.eval_id, tr.train_id
+    HAVING count(*) >= 2
+)
+SELECT h.eval_id, h.train_id, h.n_common, s.eval_shingles,
+       round(CAST(h.n_common AS DOUBLE) / CAST(s.eval_shingles AS DOUBLE), 4)
+           AS overlap_frac
+FROM hits h JOIN sizes s ON h.eval_id = s.eval_id
 """
 
 
@@ -1729,6 +1834,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_components": q_dedup_components,
         "simhash_pairs": q_simhash_pairs,
+        "corpus_split": q_corpus_split,
+        "vocab_topk": q_vocab_topk,
+        "contamination": q_contamination,
         "embedding_topk": q_embedding_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1773,6 +1881,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _oracle_minhash_lsh_pairs(),
         "dedup_components": _oracle_dedup_components(),
         "simhash_pairs": _oracle_simhash_pairs(),
+        "corpus_split": _oracle_corpus_split(),
+        "vocab_topk": _oracle_vocab_topk(),
+        "contamination": _oracle_contamination(),
         "embedding_topk": _oracle_embedding_topk(),
         "ann_lsh_topk": _oracle_ann_lsh_topk(),
         "ann_ivf_topk": _oracle_ann_ivf_topk(),

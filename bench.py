@@ -46,6 +46,9 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs",
     "dedup_components",
     "simhash_pairs",
+    "corpus_split",
+    "vocab_topk",
+    "contamination",
     "embedding_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

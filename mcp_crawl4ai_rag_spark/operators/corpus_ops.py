@@ -1,0 +1,150 @@
+"""Corpus-preparation operators for training-data pipelines: deterministic
+train/val/test splits, vocabulary building, and train/eval contamination
+detection.
+
+No counterpart in the reference (it stops at chunk+embed+store); these are
+SURVEY.md training-data first-class additions. All three are pure
+DataFrame-op compositions with md5-derived hashes (functions/hashing.py) so
+an independent ANSI-SQL oracle reproduces every value bit-for-bit.
+
+Scale shape
+-----------
+- hash_split: one stateless projection — no shuffle, no sampling pass, and
+  membership of a row is a pure function of (salt, id), so the split is
+  stable under re-runs, partition changes, and incremental appends (a
+  re-crawled doc keeps its assignment). This is the property random split
+  columns lose at 100 TB.
+- vocab_topk: explode → groupBy(token) with map-side combine (partial
+  counts per partition ⇒ the shuffle carries one row per distinct token per
+  partition, not one per occurrence) → TakeOrderedAndProject for the top-k
+  (no global sort).
+- contamination: the canonical 13-gram membership test (GPT-3 appendix-C
+  style). Shingle hashes are equi-joined — candidate generation is a hash
+  join keyed on the 60-bit shingle hash, never a cross join. The eval side
+  is typically tiny (a benchmark suite); Spark broadcasts it under AQE. Per
+  (eval, train) overlap counts aggregate map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5int64
+from ..functions.text import word_shingles_expr
+
+# 2^60: md5int64 yields 15 hex digits = 60 bits, uniform on [0, 2^60).
+_HASH_SPACE = float(1 << 60)
+
+
+def split_fraction_expr(id_col: Column | str, salt: str) -> Column:
+    """Deterministic uniform draw in [0,1) from (salt, id) — the md5-derived
+    60-bit integer scaled down. Identical in Spark/DuckDB/Python."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return md5int64(
+        F.concat(F.lit(salt + ":"), c.cast("string"))
+    ).cast("double") / F.lit(_HASH_SPACE)
+
+
+def sql_split_fraction(id_expr: str, salt: str) -> str:
+    """DuckDB twin of :func:`split_fraction_expr`."""
+    h = f"CAST(('0x' || substr(md5('{salt}:' || CAST({id_expr} AS VARCHAR)), 1, 15)) AS BIGINT)"
+    return f"(CAST({h} AS DOUBLE) / {_HASH_SPACE})"
+
+
+def hash_split(
+    docs: DataFrame,
+    weights: dict[str, float],
+    salt: str = "split",
+    id_col: str = "doc_id",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row a deterministic split label with the given weights.
+
+    The label is a pure function of (salt, id): stable across re-runs and
+    appends, and changing the salt re-rolls every assignment (for k-fold
+    style re-splits). Weights are normalized; iteration order of ``weights``
+    fixes the interval layout, so pass an ordered dict.
+    """
+    total = sum(weights.values())
+    frac = split_fraction_expr(id_col, salt)
+    out: Column | None = None
+    cum = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        cum += w / total
+        cond = frac < F.lit(cum)
+        out = F.when(cond, F.lit(name)) if out is None else out.when(cond, F.lit(name))
+    last = F.lit(items[-1][0])
+    out = last if out is None else out.otherwise(last)
+    return docs.withColumn(out_col, out)
+
+
+def vocab_topk(
+    docs: DataFrame,
+    k: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k vocabulary: (token, tf, df) — term frequency (total
+    occurrences) and document frequency — ordered by tf desc, token asc
+    (deterministic tie-break). groupBy is map-side combined;
+    the top-k is a TakeOrderedAndProject, not a global sort."""
+    from ..functions.text import words_expr
+
+    toks = docs.select(
+        F.col(id_col), F.explode(words_expr(F.col(text_col))).alias("token")
+    )
+    counts = toks.groupBy("token").agg(
+        F.count("*").alias("tf"),
+        F.countDistinct(id_col).alias("df"),
+    )
+    return counts.orderBy(F.col("tf").desc(), F.col("token").asc()).limit(k)
+
+
+def contamination_pairs(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    shingle_k: int = 13,
+    min_overlap: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(eval_id, train_id, n_common, eval_shingles, overlap_frac): for every
+    eval document, the train documents sharing ≥ ``min_overlap`` distinct
+    k-word shingles, with the contaminated fraction of the eval doc's
+    shingle set. The standard n-gram (default 13-gram) train/test
+    contamination check.
+
+    Shingles are 60-bit md5 hashes so the join carries longs, not strings,
+    and the SQL oracle reproduces them exactly.
+    """
+
+    def shingle_hashes(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(
+                word_shingles_expr(F.col(text_col), shingle_k)
+            ).alias("__sh"),
+        ).select(
+            out_id, md5int64(F.concat(F.lit("ct:"), F.col("__sh"))).alias("sh")
+        ).distinct()
+
+    tr = shingle_hashes(train, "train_id")
+    ev = shingle_hashes(eval_docs, "eval_id")
+    ev_sizes = ev.groupBy("eval_id").agg(F.count("*").alias("eval_shingles"))
+    hits = (
+        ev.join(tr, "sh")
+        .groupBy("eval_id", "train_id")
+        .agg(F.count("*").alias("n_common"))
+        .where(F.col("n_common") >= min_overlap)
+    )
+    return hits.join(ev_sizes, "eval_id").select(
+        "eval_id",
+        "train_id",
+        "n_common",
+        "eval_shingles",
+        F.round(
+            F.col("n_common").cast("double") / F.col("eval_shingles").cast("double"), 4
+        ).alias("overlap_frac"),
+    )

@@ -1,0 +1,111 @@
+"""Corpus-prep operators: hash split, vocab top-k, contamination check."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from mcp_crawl4ai_rag_spark.operators.corpus_ops import (
+    _HASH_SPACE,
+    contamination_pairs,
+    hash_split,
+    vocab_topk,
+)
+
+
+def _py_frac(salt, i):
+    return int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:15], 16) / _HASH_SPACE
+
+
+def test_hash_split_matches_python_twin_and_is_stable(spark):
+    docs = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs, w, salt="s1").collect()
+    }
+
+    def expect(i):
+        f = _py_frac("s1", i)
+        if f < 0.8:
+            return "train"
+        if f < 0.9:
+            return "val"
+        return "test"
+
+    assert got == {i: expect(i) for i in range(500)}
+    # roughly proportional
+    n_train = sum(1 for v in got.values() if v == "train")
+    assert 350 < n_train < 450
+    # re-running and repartitioning does not move rows between splits
+    got2 = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs.repartition(7), w, salt="s1").collect()
+    }
+    assert got2 == got
+    # a different salt re-rolls assignments
+    got3 = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs, w, salt="s2").collect()
+    }
+    assert got3 != got
+
+
+def test_vocab_topk_counts_and_tiebreak(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "apple"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = vocab_topk(docs, k=2).collect()
+    assert [(r["token"], r["tf"], r["df"]) for r in rows] == [
+        ("apple", 3, 2),
+        ("banana", 2, 2),
+    ]
+
+
+def test_vocab_topk_tie_broken_by_token(spark):
+    docs = spark.createDataFrame([(1, "zeta alpha")], "doc_id long, text string")
+    rows = vocab_topk(docs, k=1).collect()
+    assert rows[0]["token"] == "alpha"
+
+
+def test_contamination_detects_planted_overlap(spark):
+    train = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(30))),
+            (2, " ".join(f"x{i}" for i in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    # eval doc 10 copies tokens w5..w24 from train doc 1 => contaminated;
+    # eval doc 11 is fresh text => clean
+    ev = spark.createDataFrame(
+        [
+            (10, " ".join(f"w{i}" for i in range(5, 25))),
+            (11, " ".join(f"z{i}" for i in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    rows = contamination_pairs(train, ev, shingle_k=13).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # eval doc 10 has 20 tokens -> 8 distinct 13-shingles, all present in train 1
+    assert (r["eval_id"], r["train_id"]) == (10, 1)
+    assert r["n_common"] == 8 and r["eval_shingles"] == 8
+    assert r["overlap_frac"] == 1.0
+
+
+def test_contamination_min_overlap_filters(spark):
+    train = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l m n")], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame(
+        # shares exactly the one shingle "a..m" window? tokens a..m = 13 toks
+        [(10, "a b c d e f g h i j k l m zz")],
+        "doc_id long, text string",
+    )
+    assert contamination_pairs(train, ev, min_overlap=2).count() == 0
+    assert contamination_pairs(train, ev, min_overlap=1).count() == 1
