@@ -650,6 +650,134 @@ GROUP BY 1
 """
 
 
+def q_audio_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio payload invariants (mirror of image_verify): decode each clip,
+    check samples vs the deterministic reference waveform (bit-exact pcm /
+    SNR≥30dB qpcm), and re-derive header metadata. Per-fmt counts and
+    duration sums are closed-form from the gen_audio id formulas, so the
+    DuckDB oracle checks them exactly while the binary decode runs on the
+    Spark side."""
+    from mcp_crawl4ai_rag_spark.functions.media import verify_audio
+    from mcp_crawl4ai_rag_spark.sources.corpus import gen_audio
+
+    v = verify_audio(gen_audio(spark, 1000))
+    return v.groupBy("fmt").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("sample_ok").cast("int")).cast("long").alias("n_sample_ok"),
+        F.sum("duration_ms").cast("long").alias("sum_duration_ms"),
+        F.sum("n_samples").cast("long").alias("sum_samples"),
+    )
+
+
+def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio resample to 4 kHz: output length is closed-form
+    (n_samples·4000/sr), verified per clip; the decode→resample→re-encode
+    pipeline runs in Arrow batches on the Spark side."""
+    from mcp_crawl4ai_rag_spark.functions.media import resample_audio
+    from mcp_crawl4ai_rag_spark.sources.corpus import gen_audio
+
+    out = resample_audio(gen_audio(spark, 1000), 4000)
+    return out.select(
+        "audio_id",
+        F.col("sr").cast("long").alias("sr"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+        "fmt",
+    )
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: every 3rd frame of each clip becomes a row
+    (executor-side fan-out, no shuffle). The sampled (video_id, frame_idx,
+    w, h) set is closed-form from the gen_videos id formulas; frame pixel
+    content/phash is pinned in tests/test_media.py."""
+    from mcp_crawl4ai_rag_spark.functions.media import sample_frames
+    from mcp_crawl4ai_rag_spark.sources.corpus import gen_videos
+
+    fr = sample_frames(gen_videos(spark, 1000), stride=3)
+    return fr.select(
+        "video_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("w").cast("long").alias("w"),
+        F.col("h").cast("long").alias("h"),
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio+video feature extraction (rows-only: waveform/frame math is not
+    SQL-expressible): RMS/zero-crossings and motion energy, aggregated per
+    modality."""
+    from mcp_crawl4ai_rag_spark.functions.media import (
+        extract_audio_features,
+        extract_video_features,
+    )
+    from mcp_crawl4ai_rag_spark.sources.corpus import gen_audio, gen_videos
+
+    af = extract_audio_features(gen_audio(spark, 500)).agg(
+        F.lit("audio").alias("kind"),
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg("rms"), 3).alias("avg_a"),
+        F.round(F.avg("zero_crossings"), 3).alias("avg_b"),
+    )
+    vf = extract_video_features(gen_videos(spark, 500)).agg(
+        F.lit("video").alias("kind"),
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg("motion"), 3).alias("avg_a"),
+        F.round(F.avg("duration_ms"), 3).alias("avg_b"),
+    )
+    return af.unionByName(vf)
+
+
+def _oracle_audio_verify() -> str:
+    # gen_audio id formulas: sr = 8000+(i%3)*4000, n_samples = sr*(2+i%4)/4
+    # (exact), duration_ms = (2+i%4)*250 (exact); every clip verifies by
+    # construction → per-fmt counts equal the fmt counts
+    return """
+WITH m AS (
+    SELECT i,
+           CASE WHEN i % 2 = 0 THEN 'pcm' ELSE 'qpcm' END AS fmt,
+           ((8000 + (i % 3) * 4000) * (2 + i % 4)) // 4 AS ns,
+           (2 + i % 4) * 250 AS dur_ms
+    FROM (SELECT unnest(generate_series(0, 999)) AS i)
+)
+SELECT fmt,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_sample_ok,
+       CAST(sum(dur_ms) AS BIGINT) AS sum_duration_ms,
+       CAST(sum(ns) AS BIGINT) AS sum_samples
+FROM m GROUP BY fmt
+"""
+
+
+def _oracle_audio_resample() -> str:
+    # n_out = n_samples·4000/sr = (2+i%4)·1000 exactly (sr divisible by 4)
+    return """
+SELECT printf('aud_%012d', i) AS audio_id,
+       CAST(4000 AS BIGINT) AS sr,
+       CAST((2 + i % 4) * 1000 AS BIGINT) AS n_samples,
+       CASE WHEN i % 2 = 0 THEN 'pcm' ELSE 'qpcm' END AS fmt
+FROM (SELECT unnest(generate_series(0, 999)) AS i)
+"""
+
+
+def _oracle_video_frames() -> str:
+    # gen_videos id formulas; stride-3 sampling keeps frame_idx % 3 = 0
+    return """
+WITH v AS (
+    SELECT i,
+           32 + (i % 3) * 16 AS w,
+           32 + (i % 2) * 16 AS h,
+           8 + (i % 4) * 4 AS nf
+    FROM (SELECT unnest(generate_series(0, 999)) AS i)
+),
+k AS (SELECT unnest(generate_series(0, 19)) AS k)
+SELECT printf('vid_%012d', v.i) AS video_id,
+       CAST(k.k AS BIGINT) AS frame_idx,
+       CAST(v.w AS BIGINT) AS w,
+       CAST(v.h AS BIGINT) AS h
+FROM v JOIN k ON k.k < v.nf AND k.k % 3 = 0
+"""
+
+
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction (rows-only: binary decode is not
     SQL-expressible): decode → luminance/edge stats → grid embedding, then
@@ -1845,6 +1973,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "image_verify": q_image_verify,
         "image_features": q_image_features,
+        "audio_verify": q_audio_verify,
+        "audio_resample": q_audio_resample,
+        "video_frames": q_video_frames,
+        "media_features": q_media_features,
         "rag_pipeline": q_rag_pipeline,
         "crawl_report": q_crawl_report,
         "smart_crawl_txt": q_smart_crawl_txt,
@@ -1896,6 +2028,11 @@ def oracle_sql() -> dict[str, str]:
         "crawl_params": _oracle_crawl_params(),
         "contextual_concat": _oracle_contextual_concat(),
         "image_verify": _oracle_image_verify(),
+        "audio_verify": _oracle_audio_verify(),
+        "audio_resample": _oracle_audio_resample(),
+        "video_frames": _oracle_video_frames(),
+        # media_features: intentionally no oracle (waveform/frame math is
+        # not SQL-expressible) → rows-only check, like image_features.
         "ann_ivf_trained": _oracle_ann_ivf_trained(),
         "chunk_metadata": _oracle_chunk_metadata(),
         "streaming_window": _oracle_streaming_window(),

@@ -57,6 +57,10 @@ BENCH_QUERIES = [
     "events_sessionize",
     "image_verify",
     "image_features",
+    "audio_verify",
+    "audio_resample",
+    "video_frames",
+    "media_features",
     "rag_pipeline",
     "crawl_report",
     "smart_crawl_txt",

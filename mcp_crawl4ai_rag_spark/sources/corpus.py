@@ -234,6 +234,102 @@ def gen_images(spark: SparkSession, n: int, partitions: int = 32) -> DataFrame:
     return base.mapInPandas(gen, schema=IMAGES_SCHEMA)
 
 
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("audio_id", StringType()),
+        StructField("bytes", BinaryType()),
+        StructField("sr", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("fmt", StringType()),
+    ]
+)
+
+
+def gen_audio(spark: SparkSession, n: int, partitions: int = 32) -> DataFrame:
+    """Audio-clip corpus (deterministic fake PCM codec, functions/media.py).
+
+    Metadata is a pure function of the clip index so the DuckDB oracle can
+    recompute it: sr ∈ {8,12,16} kHz by id%3, n_samples = sr*(2+id%4)/4
+    (0.5–1.25 s), fmt alternates pcm (lossless) / qpcm (lossy)."""
+    from ..functions.media import encode_audio, gen_waveform
+
+    base = spark.range(0, n, 1, partitions).select(
+        F.format_string("aud_%012d", F.col("id")).alias("audio_id"),
+        (F.lit(8000) + (F.col("id") % 3) * 4000).cast("int").alias("sr"),
+        F.col("id").alias("i"),
+        F.when(F.col("id") % 2 == 0, F.lit("pcm")).otherwise(F.lit("qpcm")).alias("fmt"),
+    ).select(
+        "audio_id",
+        "sr",
+        ((F.col("sr") * (F.lit(2) + F.col("i") % 4)) / 4).cast("long").alias("n_samples"),
+        "fmt",
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, sr, ns, fmt in zip(
+                pdf["audio_id"], pdf["sr"], pdf["n_samples"], pdf["fmt"]
+            ):
+                wave = gen_waveform(aid, int(sr), int(ns))
+                rows.append((aid, encode_audio(wave, int(sr), fmt), int(sr), int(ns), fmt))
+            yield pd.DataFrame(
+                rows, columns=["audio_id", "bytes", "sr", "n_samples", "fmt"]
+            )
+
+    return base.mapInPandas(gen, schema=AUDIO_SCHEMA)
+
+
+VIDEOS_SCHEMA = StructType(
+    [
+        StructField("video_id", StringType()),
+        StructField("bytes", BinaryType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("fps", IntegerType()),
+    ]
+)
+
+
+def gen_videos(spark: SparkSession, n: int, partitions: int = 32) -> DataFrame:
+    """Video corpus (deterministic fake frame-stack codec, functions/media.py).
+
+    Closed-form metadata: w = 32+(id%3)*16, h = 32+(id%2)*16,
+    n_frames = 8+(id%4)*4, fps = 8 — so frame-sampling row counts are
+    SQL-derivable while the binary decode itself runs on the Spark side."""
+    import numpy as np
+
+    from ..functions.media import encode_video, gen_frame
+
+    base = spark.range(0, n, 1, partitions).select(
+        F.format_string("vid_%012d", F.col("id")).alias("video_id"),
+        (F.lit(32) + (F.col("id") % 3) * 16).cast("int").alias("w"),
+        (F.lit(32) + (F.col("id") % 2) * 16).cast("int").alias("h"),
+        (F.lit(8) + (F.col("id") % 4) * 4).cast("int").alias("n_frames"),
+        F.lit(8).cast("int").alias("fps"),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for vid, w, h, nf, fps in zip(
+                pdf["video_id"], pdf["w"], pdf["h"], pdf["n_frames"], pdf["fps"]
+            ):
+                frames = np.stack(
+                    [gen_frame(vid, int(w), int(h), k) for k in range(int(nf))]
+                )
+                rows.append(
+                    (vid, encode_video(frames, int(fps)), int(w), int(h), int(nf), int(fps))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["video_id", "bytes", "w", "h", "n_frames", "fps"],
+            )
+
+    return base.mapInPandas(gen, schema=VIDEOS_SCHEMA)
+
+
 SITEMAPS_PER_HOST = 3
 
 
