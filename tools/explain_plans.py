@@ -193,6 +193,84 @@ def main():
             [("PartitionFilters: [cid", "probe prunes to the probed cids at the parquet layer")],
         ))
 
+    # 9. hash split: pure projection — zero Exchange, stays in codegen
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import (
+        contamination_pairs,
+        hash_split,
+        vocab_topk,
+    )
+
+    split_plan = formatted(
+        hash_split(docs.select("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1})
+    )
+    sections.append((
+        "Deterministic hash split (pure projection)",
+        split_plan,
+        [
+            ("ReadSchema: struct<doc_id:bigint>", "scan reads only the id column"),
+            ("codegen id", "md5-bucket projection inside WholeStageCodegen"),
+        ],
+    ))
+    if "Exchange" in split_plan:
+        sections.append((
+            "Hash split NEGATIVE CHECK",
+            "Exchange found in hash_split plan — the stateless split started shuffling",
+            [("never", "this section only renders on regression")],
+        ))
+
+    # 10. vocab top-k: map-side combine + TakeOrderedAndProject
+    vocab_plan = formatted(vocab_topk(docs, k=100))
+    sections.append((
+        "Vocabulary top-k (tf+df counts)",
+        vocab_plan,
+        [
+            ("partial_count", "map-side combine before the token shuffle"),
+            ("TakeOrderedAndProject", "top-k merge, no global sort"),
+        ],
+    ))
+
+    # 11. contamination: shingle-hash equi-join, never a cross join
+    ev = docs.limit(50).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        F.expr("substring(text, 101)").alias("text"),
+    )
+    cont_plan = formatted(contamination_pairs(docs, ev))
+    checks = [
+        ("HashAggregate", "distinct shingles + overlap counts aggregate map-side"),
+        ("Join", "candidate generation is a join keyed on the shingle hash"),
+    ]
+    if "CartesianProduct" in cont_plan or "BroadcastNestedLoopJoin" in cont_plan:
+        checks.append(("never", "CROSS JOIN FOUND — contamination must stay an equi-join"))
+    sections.append(("Contamination check (13-gram equi-join)", cont_plan, checks))
+
+    # 12. connected-components round: one Exchange for the propagate join,
+    # reused by the min-aggregate (same key)
+    from mcp_crawl4ai_rag_spark.operators.components import connected_components
+
+    edges = spark.range(0, 1000).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    und = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
+        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    ).distinct()
+    labels = und.select(F.col("src").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("component_id")
+    )
+    msgs = und.join(
+        labels.select(F.col("doc_id").alias("src"), "component_id"), "src"
+    ).select(F.col("dst").alias("doc_id"), "component_id")
+    round_df = labels.union(msgs).groupBy("doc_id").agg(
+        F.min("component_id").alias("component_id")
+    )
+    sections.append((
+        "Connected-components round (propagate join + min-aggregate)",
+        formatted(round_df),
+        [
+            ("partial_min", "label min combines map-side before the shuffle"),
+            ("Join", "propagation is an equi-join on the vertex id"),
+        ],
+    ))
+
     out = ["# Physical-plan audit (auto-generated by tools/explain_plans.py)",
            "", f"sf_dir: {sf_dir}", ""]
     n_fail = 0
