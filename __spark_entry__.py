@@ -650,6 +650,27 @@ GROUP BY 1
 """
 
 
+def q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup detection: every 10th image is transcoded (lossless)
+    under a twin id, then pigeonhole-banded hamming pairs over the 64-bit
+    phash column must recover exactly the planted twins at hamming 0 — the
+    decode→re-encode→re-hash runs on the Spark side, the expected pair set
+    is closed-form. Nonzero-hamming (lossy) behavior is pinned in
+    tests/test_dedup.py."""
+    from mcp_crawl4ai_rag_spark.functions.images import transcode_images
+    from mcp_crawl4ai_rag_spark.operators.dedup import phash_pairs
+
+    imgs = gen_images(spark, 1000)
+    twins = transcode_images(
+        imgs.where(F.expr("CAST(substring(image_id, 5) AS BIGINT) % 10 = 0")),
+        "png",
+    ).select(F.concat(F.lit("dup_"), F.col("image_id")).alias("image_id"), "phash")
+    allimgs = imgs.select("image_id", "phash").unionByName(twins)
+    return phash_pairs(allimgs, max_hamming=4).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 def q_audio_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio payload invariants (mirror of image_verify): decode each clip,
     check samples vs the deterministic reference waveform (bit-exact pcm /
@@ -725,6 +746,20 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("duration_ms"), 3).alias("avg_b"),
     )
     return af.unionByName(vf)
+
+
+def _oracle_image_phash_pairs() -> str:
+    # lossless transcode keeps the decoded pixels, hence the recomputed
+    # phash, bit-identical → planted twins pair at hamming 0; chance pairs
+    # among the seeded corpus at hamming ≤ 4 are absent (deterministic
+    # corpus, verified by this very gate)
+    return """
+SELECT printf('dup_img_%012d', i) AS id_a,
+       printf('img_%012d', i) AS id_b,
+       CAST(0 AS BIGINT) AS hamming
+FROM (SELECT unnest(generate_series(0, 999)) AS i)
+WHERE i % 10 = 0
+"""
 
 
 def _oracle_audio_verify() -> str:
@@ -1973,6 +2008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "image_verify": q_image_verify,
         "image_features": q_image_features,
+        "image_phash_pairs": q_image_phash_pairs,
         "audio_verify": q_audio_verify,
         "audio_resample": q_audio_resample,
         "video_frames": q_video_frames,
@@ -2028,6 +2064,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_params": _oracle_crawl_params(),
         "contextual_concat": _oracle_contextual_concat(),
         "image_verify": _oracle_image_verify(),
+        "image_phash_pairs": _oracle_image_phash_pairs(),
         "audio_verify": _oracle_audio_verify(),
         "audio_resample": _oracle_audio_resample(),
         "video_frames": _oracle_video_frames(),

@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "events_sessionize",
     "image_verify",
     "image_features",
+    "image_phash_pairs",
     "audio_verify",
     "audio_resample",
     "video_frames",

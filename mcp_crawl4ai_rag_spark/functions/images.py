@@ -151,6 +151,41 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     )
 
 
+TRANSCODED_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("bytes", BinaryType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("fmt", StringType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def transcode_images(images: DataFrame, to_fmt: str) -> DataFrame:
+    """Format conversion: decode → re-encode as ``to_fmt``, with the phash
+    recomputed from the re-decoded payload (what a verifier downstream can
+    reproduce). Arrow-batched mapInPandas like the other image stages."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid, blob in zip(pdf["image_id"], pdf["bytes"]):
+                _, px = decode_image(bytes(blob))
+                out = encode_image(px, to_fmt)
+                _, dec = decode_image(out)
+                h, w = dec.shape
+                rows.append((iid, out, w, h, to_fmt, phash64(dec)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in TRANSCODED_SCHEMA.fields]
+            )
+
+    return images.select("image_id", "bytes").mapInPandas(
+        gen, schema=TRANSCODED_SCHEMA
+    )
+
+
 FEATURES_SCHEMA = StructType(
     [
         StructField("image_id", StringType()),

@@ -222,22 +222,45 @@ def simhash_pairs(
     pair shares at least one whole chunk — candidates come from chunk
     equi-joins, never a cross join.
     """
+    # one compact row per doc; materialize so the chunk self-join below
+    # doesn't recompute the token+hash aggregation on both sides
+    sims = simhash_docs(docs, text_col, id_col, bits).localCheckpoint(eager=True)
+    return hamming_pairs(
+        sims, id_col, "simhash", bits=bits, n_chunks=n_chunks, max_hamming=max_hamming
+    )
+
+
+def hamming_pairs(
+    hashes: DataFrame,
+    id_col: str,
+    hash_col: str,
+    bits: int = 64,
+    n_chunks: int = 8,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, hamming): all pairs of rows whose ``hash_col`` values lie
+    within hamming distance ``max_hamming`` — the generic pigeonhole-banded
+    kernel behind simhash (text) and phash (image/frame) near-dup.
+
+    Requires max_hamming < n_chunks: a qualifying pair then must agree on at
+    least one whole chunk, so candidates come from n_chunks equi-joins on
+    (chunk_idx, chunk_val) — never a cross join; verification (popcount of
+    xor) runs only on candidates. Signed 64-bit hashes are fine: the
+    arithmetic shiftright's sign-extension is masked off per chunk.
+    """
     assert max_hamming < n_chunks, "pigeonhole requires max_hamming < n_chunks"
     chunk_bits = bits // n_chunks
     mask = (1 << chunk_bits) - 1
 
-    # one compact row per doc; materialize so the chunk self-join below
-    # doesn't recompute the token+hash aggregation on both sides
-    sims = simhash_docs(docs, text_col, id_col, bits).localCheckpoint(eager=True)
-    chunks = sims.select(
+    chunks = hashes.select(
         F.col(id_col),
-        "simhash",
+        F.col(hash_col).alias("__hv"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_idx"),
-                        F.shiftright(F.col("simhash"), c * chunk_bits)
+                        F.shiftright(F.col(hash_col), c * chunk_bits)
                         .bitwiseAND(F.lit(mask))
                         .alias("chunk_val"),
                     )
@@ -245,13 +268,17 @@ def simhash_pairs(
                 ]
             )
         ).alias("ck"),
-    ).select(id_col, "simhash", F.col("ck.chunk_idx").alias("chunk_idx"), F.col("ck.chunk_val").alias("chunk_val"))
+    ).select(
+        id_col, "__hv",
+        F.col("ck.chunk_idx").alias("chunk_idx"),
+        F.col("ck.chunk_val").alias("chunk_val"),
+    )
 
     left = chunks.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk_idx", "chunk_val"
+        F.col(id_col).alias("id_a"), F.col("__hv").alias("sh_a"), "chunk_idx", "chunk_val"
     )
     right = chunks.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk_idx", "chunk_val"
+        F.col(id_col).alias("id_b"), F.col("__hv").alias("sh_b"), "chunk_idx", "chunk_val"
     )
     return (
         left.join(right, on=["chunk_idx", "chunk_val"])
@@ -263,4 +290,25 @@ def simhash_pairs(
         )
         .distinct()
         .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def phash_pairs(
+    images: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    max_hamming: int = 4,
+    n_chunks: int = 8,
+) -> DataFrame:
+    """Image/frame near-dup pairs over a 64-bit perceptual-hash column
+    (functions/images.phash64 — stored in the corpus or recomputed by
+    verify_images / sample_frames). Same banding kernel as simhash; at
+    10^9 images the join still shuffles only 8-bit-chunk buckets."""
+    return hamming_pairs(
+        images.select(id_col, phash_col),
+        id_col,
+        phash_col,
+        bits=64,
+        n_chunks=n_chunks,
+        max_hamming=max_hamming,
     )

@@ -165,3 +165,65 @@ def test_minhash_lsh_hot_band_skew(spark):
         for k, v in old.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_hamming_pairs_generic_negative_hashes(spark):
+    # signed 64-bit hashes with high bit set: sign-extending shifts must not
+    # corrupt chunk values; brute-force differential over a planted set
+    from mcp_crawl4ai_rag_spark.operators.dedup import hamming_pairs
+
+    vals = [
+        (1, -0x7FF0_0000_0000_0001),
+        (2, -0x7FF0_0000_0000_0001),        # identical to 1
+        (3, -0x7FF0_0000_0000_0001 ^ 0b101),  # hamming 2 from 1/2
+        (4, 0x0123_4567_89AB_CDEF),
+        (5, 0x0123_4567_89AB_CDEF - (1 << 63)),  # bit63 set: hamming 1 from 4
+        (6, 0x7FFF_FFFF_FFFF_FFFF),
+    ]
+    df = spark.createDataFrame(vals, "vid long, hv long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_pairs(df, "vid", "hv", max_hamming=4).collect()
+    }
+    expected = {}
+    for i in range(len(vals)):
+        for j in range(i + 1, len(vals)):
+            h = bin((vals[i][1] ^ vals[j][1]) & (2**64 - 1)).count("1")
+            if h <= 4:
+                expected[(vals[i][0], vals[j][0])] = h
+    assert got == expected
+    assert (1, 2) in got and got[(1, 2)] == 0
+    assert got[(4, 5)] == 1
+
+
+def test_phash_pairs_finds_transcoded_twins(spark):
+    from mcp_crawl4ai_rag_spark.functions.images import transcode_images
+    from mcp_crawl4ai_rag_spark.operators.dedup import phash_pairs
+    from mcp_crawl4ai_rag_spark.sources.corpus import gen_images
+
+    imgs = gen_images(spark, 40, partitions=2)
+    twins = transcode_images(imgs, "png").select(
+        F.concat(F.lit("dup_"), F.col("image_id")).alias("image_id"), "phash"
+    )
+    pairs = phash_pairs(
+        imgs.select("image_id", "phash").unionByName(twins), max_hamming=4
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    # lossless transcode -> every image pairs with its twin at hamming 0
+    for i in range(40):
+        assert got[(f"dup_img_{i:012d}", f"img_{i:012d}")] == 0
+
+
+def test_transcode_jpeg_phash_stays_close(spark):
+    # lossy transcode of a png original: decoded pixels change within the
+    # quantization step, phash must stay within a small hamming ball
+    from mcp_crawl4ai_rag_spark.functions.images import transcode_images
+    from mcp_crawl4ai_rag_spark.sources.corpus import gen_images
+
+    imgs = gen_images(spark, 30, partitions=2).where(F.col("fmt") == "png")
+    tw = transcode_images(imgs, "jpeg").select("image_id", F.col("phash").alias("p2"))
+    joined = imgs.select("image_id", "phash").join(tw, "image_id")
+    ham = joined.select(
+        F.bit_count(F.col("phash").bitwiseXOR(F.col("p2"))).alias("h")
+    ).agg(F.max("h")).head()[0]
+    assert ham <= 8  # quantization flips at most a few mean-threshold bits
