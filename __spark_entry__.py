@@ -491,6 +491,91 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_QUERY_A = "hash join"
+_BM25_QUERY_B = "scan filter sort"
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 keyword top-15 over documents (query-term-filtered
+    explode, broadcast term stats, TakeOrderedAndProject)."""
+    from mcp_crawl4ai_rag_spark.operators.search import bm25_search
+
+    return bm25_search(
+        _docs(spark, sf_dir), _BM25_QUERY_A + " scan", topk=15,
+        id_col="doc_id", text_col="text",
+    )
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of two ranked lists (two
+    BM25 legs here — the embedding leg fuses identically)."""
+    from mcp_crawl4ai_rag_spark.operators.search import bm25_search, rrf_fuse
+
+    docs = _docs(spark, sf_dir)
+    a = bm25_search(docs, _BM25_QUERY_A, topk=20, id_col="doc_id", text_col="text")
+    b = bm25_search(docs, _BM25_QUERY_B, topk=20, id_col="doc_id", text_col="text")
+    return rrf_fuse(a, b, id_col="doc_id", topk=10)
+
+
+def _bm25_sql(terms: list[str], topk: int) -> str:
+    """DuckDB twin of operators/search.bm25_search over ``documents``."""
+    from mcp_crawl4ai_rag_spark.operators.search import BM25_B, BM25_K1
+
+    term_list = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    k1p1 = BM25_K1 + 1.0
+    one_m_b = 1.0 - BM25_B
+    return f"""
+WITH toks AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '{_WS_RE}') AS w FROM documents
+),
+st AS (SELECT count(*) AS n_docs, avg(len(w)) AS avgdl FROM toks),
+tfq AS (
+    SELECT doc_id, len(w) AS dl, t.term,
+           len(list_filter(w, x -> x = t.term)) AS tf
+    FROM toks, (SELECT unnest([{term_list}]) AS term) t
+    WHERE list_contains(w, t.term)
+),
+dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tfq GROUP BY term)
+SELECT tfq.doc_id,
+       round(sum(
+           ln(1 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+           * (tfq.tf * {k1p1!r})
+           / (tfq.tf + {BM25_K1!r} * ({one_m_b!r} + {BM25_B!r} * tfq.dl / st.avgdl))
+       ), 4) AS score
+FROM tfq JOIN dfq USING(term) CROSS JOIN st
+GROUP BY tfq.doc_id
+ORDER BY score DESC, tfq.doc_id ASC
+LIMIT {topk}
+"""
+
+
+def _oracle_bm25_search() -> str:
+    return _bm25_sql((_BM25_QUERY_A + " scan").split(), 15)
+
+
+def _oracle_hybrid_rrf() -> str:
+    from mcp_crawl4ai_rag_spark.operators.search import RRF_K
+
+    a = _bm25_sql(_BM25_QUERY_A.split(), 20)
+    b = _bm25_sql(_BM25_QUERY_B.split(), 20)
+    return f"""
+WITH la AS (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank_a
+    FROM ({a.strip()})
+),
+lb AS (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank_b
+    FROM ({b.strip()})
+)
+SELECT COALESCE(la.doc_id, lb.doc_id) AS doc_id,
+       round(COALESCE(1.0 / ({RRF_K} + rank_a), 0.0)
+             + COALESCE(1.0 / ({RRF_K} + rank_b), 0.0), 6) AS rrf_score
+FROM la FULL OUTER JOIN lb ON la.doc_id = lb.doc_id
+ORDER BY rrf_score DESC, COALESCE(la.doc_id, lb.doc_id) ASC
+LIMIT 10
+"""
+
+
 _SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 _SPLIT_SALT = "split"
 
@@ -2000,6 +2085,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": q_corpus_split,
         "vocab_topk": q_vocab_topk,
         "contamination": q_contamination,
+        "bm25_search": q_bm25_search,
+        "hybrid_rrf": q_hybrid_rrf,
         "embedding_topk": q_embedding_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2052,6 +2139,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_split": _oracle_corpus_split(),
         "vocab_topk": _oracle_vocab_topk(),
         "contamination": _oracle_contamination(),
+        "bm25_search": _oracle_bm25_search(),
+        "hybrid_rrf": _oracle_hybrid_rrf(),
         "embedding_topk": _oracle_embedding_topk(),
         "ann_lsh_topk": _oracle_ann_lsh_topk(),
         "ann_ivf_topk": _oracle_ann_ivf_topk(),

@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "corpus_split",
     "vocab_topk",
     "contamination",
+    "bm25_search",
+    "hybrid_rrf",
     "embedding_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
