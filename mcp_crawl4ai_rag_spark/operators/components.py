@@ -15,14 +15,15 @@ component.
 
 Scale shape
 -----------
-- Rounds needed = graph diameter. Near-dup clusters are small and dense
-  (docs similar to a common template are usually pairwise-similar), so
-  diameter is tiny — 2-4 rounds in practice. For adversarial long-path
-  graphs the O(log n)-round alternating large-star/small-star algorithm
-  (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14)
-  is the drop-in upgrade; hash-min is chosen because each round is ONE
-  shuffle join + ONE map-side-combined min-aggregate, both keyed on the
-  same vertex id.
+- Hash-min alone needs diameter-many rounds. Near-dup clusters are small
+  and dense (docs similar to a common template are usually
+  pairwise-similar), so diameter is tiny — 2-4 rounds in practice. The
+  default ``accelerate=True`` adds a pointer-jumping step
+  (label(v) ← label(label(v)), Shiloach-Vishkin; same O(log n) round bound
+  as Kiveris et al.'s large-star/small-star, SoCC'14) so even adversarial
+  long-path graphs converge in O(log diameter) rounds — pinned by a
+  300-vertex-path test that converges in ≤12 rounds with acceleration and
+  provably cannot without.
 - Each round: labels ⋈ edges on src (propagate), then groupBy(id).min —
   the join and the aggregate shuffle on the same key, so with AQE the
   exchange is reused. Labels are (long, long) pairs — tiny rows.
@@ -48,6 +49,7 @@ def connected_components(
     dst_col: str = "id_b",
     id_col: str = "doc_id",
     max_rounds: int = 50,
+    accelerate: bool = True,
 ) -> DataFrame:
     """(id_col, component_id): component_id = min vertex id reachable from
     the vertex (its component's canonical representative).
@@ -57,6 +59,14 @@ def connected_components(
     optionally supplies the full vertex set so isolated vertices appear as
     their own singleton components; otherwise only endpoints of edges are
     emitted.
+
+    ``accelerate=True`` adds a pointer-jumping step per round
+    (label(v) ← label(label(v)), Shiloach-Vishkin style): labels chase the
+    chain twice as far each round, so a diameter-D path converges in
+    O(log D) rounds instead of O(D) — the scale path for adversarial
+    graphs. The jump is one extra self-join of the (long, long) label
+    table; labels only decrease, so the fixpoint and the decreasing-sum
+    termination test are unchanged.
     """
     und = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -90,8 +100,23 @@ def connected_components(
             labels.unionByName(msgs)
             .groupBy(id_col)
             .agg(F.min("component_id").alias("component_id"))
-            .localCheckpoint(eager=True)
         )
+        if accelerate:
+            # pointer jump: label(v) ← label(label(v)). label(x) ≤ x, so
+            # the parent lookup can only lower the label; left join keeps
+            # vertices whose label is outside the table (never happens for
+            # in-graph labels, but cheap to be total).
+            parents = labels.select(
+                F.col(id_col).alias("component_id"),
+                F.col("component_id").alias("__grand"),
+            )
+            labels = labels.join(parents, "component_id", "left").select(
+                F.col(id_col),
+                F.coalesce(F.col("__grand"), F.col("component_id")).alias(
+                    "component_id"
+                ),
+            )
+        labels = labels.localCheckpoint(eager=True)
         cur = labels.agg(
             F.sum(F.col("component_id").cast("decimal(38,0)")).alias("s")
         ).head()[0]

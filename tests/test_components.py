@@ -95,3 +95,17 @@ def test_canonical_docs(spark):
 def test_empty_edges_all_singletons(spark):
     got = _cc(spark, [], vertices=[7, 8])
     assert got == {7: 7, 8: 8}
+
+
+def test_long_path_pointer_jumping_converges_fast(spark):
+    # 0-1-2-...-300 path: hash-min alone extends reach by 1 hop/round, so
+    # 12 rounds cannot finish; pointer jumping doubles reach per round
+    edges = [(i, i + 1) for i in range(300)]
+    got = _cc(spark, edges, max_rounds=12)
+    assert set(got.values()) == {0}
+
+
+def test_long_path_without_acceleration_needs_diameter_rounds(spark):
+    edges = [(i, i + 1) for i in range(300)]
+    got = _cc(spark, edges, max_rounds=12, accelerate=False)
+    assert set(got.values()) != {0}  # provably unconverged at 12 rounds
