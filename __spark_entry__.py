@@ -491,6 +491,92 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/shape filter (Rae et al. 2021 A1.1): one
+    codegen projection computes word/line-shape signals and the keep/drop
+    verdict. The corpus is given planted line structure (duplicate lines,
+    a bullet line, an ellipsis line) so every signal is exercised."""
+    from mcp_crawl4ai_rag_spark.functions.text import (
+        gopher_pass_expr,
+        repetition_stats_expr,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            "concat_ws('\n', text, substring(text, 1, 50), "
+            "substring(text, 1, 50), '- bullet item', 'trailing...')"
+        ).alias("text"),
+    )
+    st = repetition_stats_expr(F.col("text"))
+    return docs.select(
+        "doc_id",
+        st["n_words"].alias("n_words"),
+        st["mean_word_len"].alias("mean_word_len"),
+        st["symbol_ratio"].alias("symbol_ratio"),
+        st["bullet_frac"].alias("bullet_frac"),
+        st["ellipsis_frac"].alias("ellipsis_frac"),
+        st["dup_line_frac"].alias("dup_line_frac"),
+        gopher_pass_expr(st).alias("keep"),
+    )
+
+
+def _oracle_gopher_filter() -> str:
+    from mcp_crawl4ai_rag_spark.functions.text import (
+        GOPHER_MAX_BULLET_FRAC,
+        GOPHER_MAX_DUP_LINE_FRAC,
+        GOPHER_MAX_ELLIPSIS_FRAC,
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MIN_WORDS,
+    )
+
+    return f"""
+WITH d AS (
+    SELECT doc_id,
+           concat_ws(chr(10), text, substr(text, 1, 50), substr(text, 1, 50),
+                     '- bullet item', 'trailing...') AS text
+    FROM documents
+),
+base AS (
+    SELECT doc_id,
+           regexp_extract_all(lower(text), '{_WS_RE}') AS w,
+           list_filter(string_split(text, chr(10)), x -> len(x) > 0) AS lines,
+           CAST(len(regexp_extract_all(text, '#')) AS DOUBLE)
+             + CAST(len(regexp_extract_all(text, '\\.\\.\\.|…')) AS DOUBLE) AS n_sym
+    FROM d
+),
+m AS (
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_words,
+           round(CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE)
+                 / GREATEST(CAST(len(w) AS DOUBLE), 1.0), 4) AS mean_word_len,
+           round(n_sym / GREATEST(CAST(len(w) AS DOUBLE), 1.0), 4) AS symbol_ratio,
+           round(CAST(len(list_filter(lines,
+                     x -> regexp_matches(x, '^\\s*([-*•]|[0-9]+[.)])\\s'))) AS DOUBLE)
+                 / GREATEST(CAST(len(lines) AS DOUBLE), 1.0), 4) AS bullet_frac,
+           round(CAST(len(list_filter(lines,
+                     x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$'))) AS DOUBLE)
+                 / GREATEST(CAST(len(lines) AS DOUBLE), 1.0), 4) AS ellipsis_frac,
+           round((CAST(len(lines) AS DOUBLE) - CAST(len(list_distinct(lines)) AS DOUBLE))
+                 / GREATEST(CAST(len(lines) AS DOUBLE), 1.0), 4) AS dup_line_frac
+    FROM base
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+       ellipsis_frac, dup_line_frac,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+        AND mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN!r}
+        AND mean_word_len <= {GOPHER_MAX_MEAN_WORD_LEN!r}
+        AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO!r}
+        AND bullet_frac <= {GOPHER_MAX_BULLET_FRAC!r}
+        AND ellipsis_frac <= {GOPHER_MAX_ELLIPSIS_FRAC!r}
+        AND dup_line_frac <= {GOPHER_MAX_DUP_LINE_FRAC!r}) AS keep
+FROM m
+"""
+
+
 _BM25_QUERY_A = "hash join"
 _BM25_QUERY_B = "scan filter sort"
 
@@ -2087,6 +2173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "bm25_search": q_bm25_search,
         "hybrid_rrf": q_hybrid_rrf,
+        "gopher_filter": q_gopher_filter,
         "embedding_topk": q_embedding_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2141,6 +2228,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination": _oracle_contamination(),
         "bm25_search": _oracle_bm25_search(),
         "hybrid_rrf": _oracle_hybrid_rrf(),
+        "gopher_filter": _oracle_gopher_filter(),
         "embedding_topk": _oracle_embedding_topk(),
         "ann_lsh_topk": _oracle_ann_lsh_topk(),
         "ann_ivf_topk": _oracle_ann_ivf_topk(),

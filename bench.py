@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "contamination",
     "bm25_search",
     "hybrid_rrf",
+    "gopher_filter",
     "embedding_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
@@ -101,7 +102,23 @@ def _mk_spark(cores: int):
 
 
 def run_queries(spark) -> dict[str, float]:
+    import gc
+
     import __spark_entry__ as E
+
+    # Pre-warm the write-once corpus tables OUTSIDE the timed loop: their
+    # cache key includes the generator source hash, so the first run after
+    # a corpus.py edit would otherwise charge a full rebuild to whichever
+    # query touches the corpus first (observed: crawl_bfs_visited 78s dirty
+    # vs ~30s warm).
+    from mcp_crawl4ai_rag_spark.sources.corpus import (
+        materialized_pages,
+        materialized_sitemaps,
+    )
+
+    n = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    materialized_pages(spark, n).count()
+    materialized_sitemaps(spark, n).count()
 
     qs = E.queries()
     times: dict[str, float] = {}
@@ -113,6 +130,15 @@ def run_queries(spark) -> dict[str, float]:
         # would time a parquet metadata row-count instead of the kernel.
         df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 2)
+        # housekeeping between queries (untimed): drop cached blocks and
+        # nudge both GCs so localCheckpoint blocks from this query don't
+        # become heap pressure billed to later queries.
+        gc.collect()
+        spark.catalog.clearCache()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
     return times
 
 

@@ -114,6 +114,85 @@ def fingerprint_expr(text: Column | str) -> Column:
     return F.md5(F.array_join(words_expr(text), " "))
 
 
+# Gopher-style document filter thresholds (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher", appendix A1.1 — public paper values).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MAX_DUP_LINE_FRAC = 0.3
+
+
+def repetition_stats_expr(text: Column | str) -> Column:
+    """Struct of Gopher-style repetition/shape signals, all computed in one
+    codegen'd projection (no explode, no shuffle):
+
+    - n_words, mean_word_len
+    - symbol_ratio: '#'/'…' symbols per word
+    - bullet_frac / ellipsis_frac: fraction of lines starting with a bullet
+      / ending with an ellipsis
+    - dup_line_frac: fraction of non-empty lines that are duplicates
+
+    Every formula is restated in ANSI SQL by the DuckDB oracle.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    words = words_expr(c)
+    n_words = F.size(words).cast("double")
+    total_word_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    ).cast("double")
+    mean_word_len = total_word_chars / F.greatest(n_words, F.lit(1.0))
+    n_symbols = (
+        F.regexp_count(c, F.lit(r"#")) + F.regexp_count(c, F.lit(r"\.\.\.|…"))
+    ).cast("double")
+    lines = F.filter(F.split(c, F.lit("\n")), lambda x: F.length(x) > 0)
+    n_lines = F.size(lines).cast("double")
+    safe_lines = F.greatest(n_lines, F.lit(1.0))
+    bullet_frac = (
+        F.size(
+            F.filter(lines, lambda x: x.rlike(r"^\s*([-*•]|\d+[.)])\s"))
+        ).cast("double")
+        / safe_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$"))).cast(
+            "double"
+        )
+        / safe_lines
+    )
+    dup_line_frac = (
+        n_lines - F.size(F.array_distinct(lines)).cast("double")
+    ) / safe_lines
+    return F.struct(
+        F.size(words).cast("long").alias("n_words"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(n_symbols / F.greatest(n_words, F.lit(1.0)), 4).alias(
+            "symbol_ratio"
+        ),
+        F.round(bullet_frac, 4).alias("bullet_frac"),
+        F.round(ellipsis_frac, 4).alias("ellipsis_frac"),
+        F.round(dup_line_frac, 4).alias("dup_line_frac"),
+    )
+
+
+def gopher_pass_expr(stats: Column) -> Column:
+    """Boolean Gopher filter verdict over a :func:`repetition_stats_expr`
+    struct — the keep/drop decision a pretraining cleaning pass applies."""
+    return (
+        (stats["n_words"] >= GOPHER_MIN_WORDS)
+        & (stats["n_words"] <= GOPHER_MAX_WORDS)
+        & (stats["mean_word_len"] >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (stats["mean_word_len"] <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (stats["symbol_ratio"] <= GOPHER_MAX_SYMBOL_RATIO)
+        & (stats["bullet_frac"] <= GOPHER_MAX_BULLET_FRAC)
+        & (stats["ellipsis_frac"] <= GOPHER_MAX_ELLIPSIS_FRAC)
+        & (stats["dup_line_frac"] <= GOPHER_MAX_DUP_LINE_FRAC)
+    )
+
+
 def ngrams_expr(text: Column | str, n: int = 3) -> Column:
     """Distinct character n-grams of the raw text (for Jaccard dedup)."""
     c = F.col(text) if isinstance(text, str) else text

@@ -109,3 +109,31 @@ def test_contamination_min_overlap_filters(spark):
     )
     assert contamination_pairs(train, ev, min_overlap=2).count() == 0
     assert contamination_pairs(train, ev, min_overlap=1).count() == 1
+
+
+def test_repetition_stats_and_gopher_pass(spark):
+    from mcp_crawl4ai_rag_spark.functions.text import (
+        gopher_pass_expr,
+        repetition_stats_expr,
+    )
+
+    good = " ".join(["solid prose with normal words"] * 12)  # 60 words
+    bullety = "\n".join(["- item one", "- item two", "- item three"])
+    dupy = "\n".join(["same line here"] * 10)
+    docs = spark.createDataFrame(
+        [(1, good), (2, bullety), (3, dupy)], "doc_id long, text string"
+    )
+    st = repetition_stats_expr(F.col("text"))
+    rows = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id", st.alias("s"), gopher_pass_expr(st).alias("keep")
+        ).collect()
+    }
+    assert rows[1]["s"]["n_words"] == 60
+    assert rows[1]["s"]["dup_line_frac"] == 0.0
+    assert rows[1]["keep"] is True
+    assert rows[2]["s"]["bullet_frac"] == 1.0
+    assert rows[2]["keep"] is False  # all-bullet + too few words
+    assert rows[3]["s"]["dup_line_frac"] == 0.9
+    assert rows[3]["keep"] is False
