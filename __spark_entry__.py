@@ -469,6 +469,39 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup ingest: the existing corpus's LSH bands are
+    persisted once (minhash_write_index); the increment batch (the +1M
+    twins) band-joins against that index without recomputing corpus
+    signatures. Must equal the full self-join restricted to the
+    old×new boundary — which is exactly what the oracle computes."""
+    import tempfile
+
+    from mcp_crawl4ai_rag_spark.operators.dedup import (
+        minhash_pairs_incremental,
+        minhash_write_index,
+    )
+
+    old = _docs(spark, sf_dir).select("doc_id", "text")
+    new = old.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("substring(text, 21)").alias("text"),
+    )
+    idx = tempfile.mkdtemp(prefix="mh_idx_gate_") + "/bands"
+    minhash_write_index(old, idx)
+    return minhash_pairs_incremental(spark, idx, old, new)
+
+
+def _oracle_minhash_incremental() -> str:
+    return f"""
+WITH {_DOCS2_SQL.strip()},
+{_minhash_pairs_ctes('docs2')},
+pairs AS ({_PAIRS_SELECT_SQL.strip()})
+SELECT id_a, id_b, jaccard FROM pairs
+WHERE id_a < 1000000 AND id_b >= 1000000
+"""
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup cluster formation: MinHash+LSH pair graph (jaccard ≥ 0.5) →
     hash-min connected components → canonical keep-list. The docs3 corpus
@@ -2166,6 +2199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "sources_distinct": q_sources_distinct,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "minhash_incremental": q_minhash_incremental,
         "dedup_components": q_dedup_components,
         "simhash_pairs": q_simhash_pairs,
         "corpus_split": q_corpus_split,
@@ -2221,6 +2255,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": _oracle_exact_dedup(),
         "sources_distinct": _oracle_sources_distinct(),
         "minhash_lsh_pairs": _oracle_minhash_lsh_pairs(),
+        "minhash_incremental": _oracle_minhash_incremental(),
         "dedup_components": _oracle_dedup_components(),
         "simhash_pairs": _oracle_simhash_pairs(),
         "corpus_split": _oracle_corpus_split(),

@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "lang_id",
     "exact_dedup",
     "minhash_lsh_pairs",
+    "minhash_incremental",
     "dedup_components",
     "simhash_pairs",
     "corpus_split",

@@ -179,6 +179,95 @@ def minhash_lsh_pairs(
     return out
 
 
+def minhash_write_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perms: int = MINHASH_PERMS,
+    bands: int = LSH_BANDS,
+    shingle_k: int = 3,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the LSH band index (id, band_idx, band_key) for a corpus.
+
+    The production shape for a growing corpus: signatures are computed ONCE
+    per document ever; each day's increment band-joins against this table
+    and then appends its own bands (``mode='append'``). Partitioned by
+    band_idx so a band-restricted probe prunes at the parquet layer."""
+    rows_per_band = num_perms // bands
+    sigs = minhash_signatures(docs, text_col, id_col, num_perms, shingle_k)
+    bk = lsh_band_keys(sigs, id_col, bands, rows_per_band)
+    bk.write.mode(mode).partitionBy("band_idx").parquet(path)
+
+
+def minhash_pairs_incremental(
+    spark,
+    index_path: str,
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perms: int = MINHASH_PERMS,
+    bands: int = LSH_BANDS,
+    shingle_k: int = 3,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """(id_a=old, id_b=new, jaccard): near-dup pairs BETWEEN the existing
+    corpus (via its persisted band index — signatures never recomputed) and
+    an increment batch. Within-increment pairs come from the ordinary
+    ``minhash_lsh_pairs(new_docs)``; a full ingest runs both and then
+    appends the increment's bands via :func:`minhash_write_index`.
+
+    Scale shape: the increment's bands are small → Spark broadcasts them
+    against the index scan; verification joins fetch shingle sets only for
+    candidate ids (semi-join pushdown into the corpus scan)."""
+    rows_per_band = num_perms // bands
+    new_sigs = minhash_signatures(new_docs, text_col, id_col, num_perms, shingle_k)
+    new_bands = lsh_band_keys(new_sigs, id_col, bands, rows_per_band)
+    index = spark.read.parquet(index_path)
+
+    cand = (
+        index.select(
+            F.col(id_col).alias("id_a"), "band_idx", "band_key"
+        )
+        .join(
+            new_bands.select(
+                F.col(id_col).alias("id_b"), "band_idx", "band_key"
+            ),
+            on=["band_idx", "band_key"],
+        )
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    old_sets = old_docs.select(
+        F.col(id_col).alias("id_a"),
+        word_shingles_expr(F.col(text_col), shingle_k).alias("sh_a"),
+    )
+    new_sets = new_docs.select(
+        F.col(id_col).alias("id_b"),
+        word_shingles_expr(F.col(text_col), shingle_k).alias("sh_b"),
+    )
+    out = (
+        cand.join(old_sets, "id_a")
+        .join(new_sets, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    if min_jaccard > 0.0:
+        out = out.where(F.col("jaccard") >= min_jaccard)
+    return out
+
+
 def simhash_docs(
     docs: DataFrame,
     text_col: str = "text",

@@ -227,3 +227,54 @@ def test_transcode_jpeg_phash_stays_close(spark):
         F.bit_count(F.col("phash").bitwiseXOR(F.col("p2"))).alias("h")
     ).agg(F.max("h")).head()[0]
     assert ham <= 8  # quantization flips at most a few mean-threshold bits
+
+
+def test_minhash_incremental_matches_full_restriction(spark, tmp_path):
+    # incremental old×new pairs must equal the full self-join pairs
+    # restricted to the old/new boundary
+    from mcp_crawl4ai_rag_spark.operators.dedup import (
+        minhash_pairs_incremental,
+        minhash_write_index,
+    )
+
+    old = spark.range(0, 60).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("shared prefix words for minhash testing number "),
+            F.col("id").cast("string"),
+            F.lit(" tail alpha beta gamma delta epsilon"),
+        ).alias("text"),
+    )
+    # increment: near-dups of every 3rd old doc + some fresh docs
+    new = old.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.expr("substring(text, 8)").alias("text"),
+    )
+    idx = str(tmp_path / "mh_idx")
+    minhash_write_index(old, idx)
+    inc = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_pairs_incremental(spark, idx, old, new).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(old.unionByName(new)).collect()
+        if r["id_a"] < 1000 and r["id_b"] >= 1000
+    }
+    assert inc == full
+    assert len(inc) > 0
+
+
+def test_minhash_index_append_roundtrip(spark, tmp_path):
+    from mcp_crawl4ai_rag_spark.operators.dedup import minhash_write_index
+
+    docs = spark.range(0, 10).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w x y z doc "), F.col("id").cast("string")).alias("text"),
+    )
+    idx = str(tmp_path / "idx")
+    minhash_write_index(docs.where("doc_id < 5"), idx)
+    minhash_write_index(docs.where("doc_id >= 5"), idx, mode="append")
+    got = spark.read.parquet(idx)
+    assert got.select("doc_id").distinct().count() == 10
+    assert got.count() == 40  # 10 docs x 4 bands
