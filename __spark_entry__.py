@@ -524,6 +524,120 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: emails/phones/IPv4s planted per doc are redacted to typed
+    placeholders; output carries md5 of the cleaned text plus match counts
+    so the oracle verifies the exact redaction."""
+    from mcp_crawl4ai_rag_spark.functions.text import redact_pii_expr
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            "concat(text, ' contact user', doc_id, '@example.com or "
+            "555-123-4567 at 10.0.', doc_id % 256, '.7')"
+        ).alias("text"),
+    )
+    r = redact_pii_expr(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.md5(r["clean"]).alias("clean_md5"),
+        r["n_emails"].alias("n_emails"),
+        r["n_phones"].alias("n_phones"),
+        r["n_ips"].alias("n_ips"),
+    )
+
+
+def _oracle_pii_scrub() -> str:
+    from mcp_crawl4ai_rag_spark.functions.text import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+    )
+
+    # DuckDB string literals take backslashes verbatim — only quotes escape
+    def esc(p: str) -> str:
+        return p.replace("'", "''")
+
+    em, ph, ip = esc(PII_EMAIL_RE), esc(PII_PHONE_RE), esc(PII_IPV4_RE)
+    return f"""
+WITH d AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com or 555-123-4567 at 10.0.'
+                || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
+    FROM documents
+),
+s1 AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{em}')) AS BIGINT) AS n_emails,
+           regexp_replace(text, '{em}', '<EMAIL>', 'g') AS t1
+    FROM d
+),
+s2 AS (
+    SELECT doc_id, n_emails,
+           CAST(len(regexp_extract_all(t1, '{ph}')) AS BIGINT) AS n_phones,
+           regexp_replace(t1, '{ph}', '<PHONE>', 'g') AS t2
+    FROM s1
+),
+s3 AS (
+    SELECT doc_id, n_emails, n_phones,
+           CAST(len(regexp_extract_all(t2, '{ip}')) AS BIGINT) AS n_ips,
+           regexp_replace(t2, '{ip}', '<IP>', 'g') AS t3
+    FROM s2
+)
+SELECT doc_id, md5(t3) AS clean_md5, n_emails, n_phones, n_ips FROM s3
+"""
+
+
+_PACK_SEQ_LEN = 512
+
+
+def q_pack_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (GPT concat-then-split): the BPE-ish token stream in
+    doc_id order is cut into 512-token windows; the schedule says which doc
+    slice fills which pack at which position. The global prefix sum runs
+    through distributed_cumsum (range partition + driver offsets), never a
+    single-task window."""
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), _PACK_SEQ_LEN).select(
+        F.col("pack_id").cast("long").alias("pack_id"),
+        "doc_id",
+        F.col("slice_start").cast("long").alias("slice_start"),
+        F.col("slice_len").cast("long").alias("slice_len"),
+        F.col("pack_pos").cast("long").alias("pack_pos"),
+    )
+
+
+def _oracle_pack_schedule() -> str:
+    L = _PACK_SEQ_LEN
+    return f"""
+WITH t AS (
+    SELECT doc_id, CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS tok
+    FROM documents
+    WHERE len(regexp_extract_all(text, '{_BPE_RE}')) > 0
+),
+c AS (
+    SELECT doc_id, tok,
+           COALESCE(SUM(tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+    FROM t
+),
+ks AS (
+    SELECT unnest(generate_series(0,
+        (SELECT CAST((sum(tok) - 1) // {L} AS BIGINT) FROM t))) AS pack_id
+)
+SELECT ks.pack_id, c.doc_id,
+       GREATEST(0, ks.pack_id * {L} - c.cum) AS slice_start,
+       LEAST(c.tok, (ks.pack_id + 1) * {L} - c.cum)
+           - GREATEST(0, ks.pack_id * {L} - c.cum) AS slice_len,
+       GREATEST(c.cum - ks.pack_id * {L}, 0) AS pack_pos
+FROM c JOIN ks
+  ON ks.pack_id >= c.cum // {L}
+ AND ks.pack_id <= (c.cum + c.tok - 1) // {L}
+"""
+
+
 def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/shape filter (Rae et al. 2021 A1.1): one
     codegen projection computes word/line-shape signals and the keep/drop
@@ -2208,6 +2322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "hybrid_rrf": q_hybrid_rrf,
         "gopher_filter": q_gopher_filter,
+        "pii_scrub": q_pii_scrub,
+        "pack_schedule": q_pack_schedule,
         "embedding_topk": q_embedding_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2264,6 +2380,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _oracle_bm25_search(),
         "hybrid_rrf": _oracle_hybrid_rrf(),
         "gopher_filter": _oracle_gopher_filter(),
+        "pii_scrub": _oracle_pii_scrub(),
+        "pack_schedule": _oracle_pack_schedule(),
         "embedding_topk": _oracle_embedding_topk(),
         "ann_lsh_topk": _oracle_ann_lsh_topk(),
         "ann_ivf_topk": _oracle_ann_ivf_topk(),

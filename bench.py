@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "bm25_search",
     "hybrid_rrf",
     "gopher_filter",
+    "pii_scrub",
+    "pack_schedule",
     "embedding_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

@@ -114,6 +114,33 @@ def fingerprint_expr(text: Column | str) -> Column:
     return F.md5(F.array_join(words_expr(text), " "))
 
 
+# PII scrubbing patterns — ASCII-only, backtracking-free, identical
+# semantics under Java regex (Spark) and RE2 (DuckDB oracle).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}[- ]\d{3}[- ]?\d{4}\b"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def redact_pii_expr(text: Column | str) -> Column:
+    """Struct (clean, n_emails, n_phones, n_ips): text with emails, phone
+    numbers, and IPv4 addresses replaced by typed placeholders, plus match
+    counts — the standard pre-training scrub pass, entirely in codegen
+    (three regexp_replace + three regexp_count, no Python)."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_emails = F.regexp_count(c, F.lit(PII_EMAIL_RE))
+    clean = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    n_phones = F.regexp_count(clean, F.lit(PII_PHONE_RE))
+    clean = F.regexp_replace(clean, PII_PHONE_RE, "<PHONE>")
+    n_ips = F.regexp_count(clean, F.lit(PII_IPV4_RE))
+    clean = F.regexp_replace(clean, PII_IPV4_RE, "<IP>")
+    return F.struct(
+        clean.alias("clean"),
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+        n_ips.cast("long").alias("n_ips"),
+    )
+
+
 # Gopher-style document filter thresholds (Rae et al. 2021, "Scaling
 # Language Models: ... Gopher", appendix A1.1 — public paper values).
 GOPHER_MIN_WORDS = 50

@@ -102,6 +102,59 @@ def vocab_topk(
     return counts.orderBy(F.col("tf").desc(), F.col("token").asc()).limit(k)
 
 
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(pack_id, id, slice_start, slice_len, pack_pos): the GPT-style
+    concat-then-split packing schedule — documents are laid out end-to-end
+    in ``id_col`` order (a stable total order) and the token stream is cut
+    into fixed ``seq_len`` windows. A document crossing a boundary is split
+    across consecutive packs; every pack except the last is exactly full.
+
+    Token counts use the BPE-ish pre-tokenizer (functions/text.py), so the
+    schedule is reproducible by the SQL oracle. The layout needs a global
+    prefix sum, computed with operators/ordering.distributed_cumsum — NOT a
+    single-task window — so the schedule stage scales to corpus size; the
+    per-doc pack expansion is a bounded explode (ceil(tok/seq_len)+1 rows).
+    """
+    from ..functions.text import token_count_bpe
+    from .ordering import distributed_cumsum
+
+    toks = docs.select(
+        F.col(id_col), token_count_bpe(F.col(text_col)).alias("tok")
+    ).where(F.col("tok") > 0)
+    laid = distributed_cumsum(
+        toks, [id_col], "tok", out_col="cum", num_partitions=num_partitions
+    )
+    L = F.lit(seq_len)
+    first = (F.col("cum") / L).cast("long")
+    last = ((F.col("cum") + F.col("tok") - 1) / L).cast("long")
+    out = laid.select(
+        F.col(id_col),
+        "tok",
+        "cum",
+        F.explode(F.sequence(first, last)).alias("pack_id"),
+    ).select(
+        "pack_id",
+        F.col(id_col),
+        F.greatest(F.lit(0), F.col("pack_id") * L - F.col("cum")).alias(
+            "slice_start"
+        ),
+        (
+            F.least(F.col("tok"), (F.col("pack_id") + 1) * L - F.col("cum"))
+            - F.greatest(F.lit(0), F.col("pack_id") * L - F.col("cum"))
+        ).alias("slice_len"),
+        F.greatest(F.col("cum") - F.col("pack_id") * L, F.lit(0)).alias(
+            "pack_pos"
+        ),
+    )
+    return out
+
+
 def contamination_pairs(
     train: DataFrame,
     eval_docs: DataFrame,

@@ -26,6 +26,65 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def distributed_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``out_col`` = EXCLUSIVE prefix sum of ``value_col`` under the
+    total order ``order_cols`` — ``sum(value) OVER (ORDER BY ... ROWS
+    UNBOUNDED PRECEDING EXCLUDING CURRENT)`` without the single-task global
+    window. Same two-phase shape as :func:`distributed_rank`: range
+    partition + in-partition sort, per-partition SUMS to the driver (one
+    long per partition), broadcast offsets, then a numpy cumsum per
+    partition."""
+    cols = [F.col(c).asc() for c in order_cols]
+    if num_partitions:
+        ranged = df.repartitionByRange(num_partitions, *cols)
+    else:
+        ranged = df.repartitionByRange(*cols)
+    ranged = ranged.sortWithinPartitions(*cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    ranged = ranged.localCheckpoint(eager=True)  # sums + final pass share it
+
+    sums = {
+        r["__pid"]: r["s"]
+        for r in ranged.groupBy("__pid")
+        .agg(F.sum(value_col).alias("s"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += int(sums[pid] or 0)
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    base_fields = [f for f in ranged.schema.fields if f.name != "__pid"]
+    out_schema = StructType(base_fields + [StructField(out_col, LongType(), False)])
+    schema_out = [f.name for f in base_fields] + [out_col]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if local is None:
+                local = offsets.get(int(pdf["__pid"].iloc[0]), 0)
+            pdf = pdf.drop(columns=["__pid"])
+            vals = pdf[value_col].to_numpy()
+            ends = vals.cumsum()
+            pdf[out_col] = local + ends - vals  # exclusive prefix
+            local += int(ends[-1])
+            yield pdf[schema_out]
+
+    return ranged.mapInPandas(gen, schema=out_schema)
+
+
 def distributed_rank(
     df: DataFrame,
     order_cols: list[str],

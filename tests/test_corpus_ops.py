@@ -137,3 +137,71 @@ def test_repetition_stats_and_gopher_pass(spark):
     assert rows[2]["keep"] is False  # all-bullet + too few words
     assert rows[3]["s"]["dup_line_frac"] == 0.9
     assert rows[3]["keep"] is False
+
+
+def test_pack_sequences_schedule(spark):
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import pack_sequences
+    from mcp_crawl4ai_rag_spark.functions.text import token_count_bpe
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"tok{j}" for j in range((i * 13) % 40 + 1))) for i in range(30)],
+        "doc_id long, text string",
+    )
+    L = 64
+    sched = pack_sequences(docs, L, num_partitions=4).collect()
+    toks = {
+        r["doc_id"]: r["t"]
+        for r in docs.select(
+            "doc_id", token_count_bpe(F.col("text")).alias("t")
+        ).collect()
+    }
+    # every doc's slices tile [0, tok)
+    by_doc = {}
+    for r in sched:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d, pieces in by_doc.items():
+        pieces.sort(key=lambda r: r["slice_start"])
+        assert pieces[0]["slice_start"] == 0
+        end = 0
+        for p in pieces:
+            assert p["slice_start"] == end
+            assert p["slice_len"] > 0
+            end += p["slice_len"]
+        assert end == toks[d]
+    # every pack except the last is exactly full, pieces tile [0, L)
+    by_pack = {}
+    for r in sched:
+        by_pack.setdefault(r["pack_id"], []).append(r)
+    last_pack = max(by_pack)
+    for pk, pieces in by_pack.items():
+        pieces.sort(key=lambda r: r["pack_pos"])
+        pos = 0
+        for p in pieces:
+            assert p["pack_pos"] == pos
+            pos += p["slice_len"]
+        if pk != last_pack:
+            assert pos == L
+        else:
+            assert 0 < pos <= L
+    # total tokens conserved
+    assert sum(toks.values()) == sum(r["slice_len"] for r in sched)
+
+
+def test_redact_pii(spark):
+    from mcp_crawl4ai_rag_spark.functions.text import redact_pii_expr
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b-c_d@foo-bar.org or 555-123-4567 now"),
+            (2, "server at 192.168.0.1 and 10.0.0.254 no phone"),
+            (3, "clean text only"),
+        ],
+        "doc_id long, text string",
+    )
+    r = redact_pii_expr(F.col("text"))
+    rows = {x["doc_id"]: x for x in docs.select("doc_id", r.alias("r")).collect()}
+    assert rows[1]["r"]["clean"] == "mail <EMAIL> or <PHONE> now"
+    assert rows[1]["r"]["n_emails"] == 1 and rows[1]["r"]["n_phones"] == 1
+    assert rows[2]["r"]["clean"] == "server at <IP> and <IP> no phone"
+    assert rows[2]["r"]["n_ips"] == 2
+    assert rows[3]["r"]["clean"] == "clean text only"

@@ -83,3 +83,21 @@ def test_seed_df_paths_agree(spark):
     big = {r["url"]: r["seq"] for r in _seed_df(spark, urls, n_rows=10**9).collect()}
     assert small == big
     assert sorted(small.values()) == list(range(2000))
+
+
+def test_distributed_cumsum_matches_python(spark):
+    import random
+
+    from mcp_crawl4ai_rag_spark.operators.ordering import distributed_cumsum
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(0, 50)) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(7)
+    got = {
+        r["k"]: r["c"]
+        for r in distributed_cumsum(df, ["k"], "v", out_col="c", num_partitions=5).collect()
+    }
+    acc = 0
+    for k, v in rows:  # rows already in k order
+        assert got[k] == acc, k
+        acc += v
