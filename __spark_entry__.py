@@ -524,6 +524,56 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PR_ITERS = 5
+
+
+def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the synthetic corpus link graph
+    (t_j(i) = (31i+7j+1) mod n, j<3) — crawl-prioritization ranking.
+    Integer arithmetic makes the ranks bit-identical across engines."""
+    from mcp_crawl4ai_rag_spark.operators.graph import pagerank
+
+    n = _lineitem_count(spark, sf_dir)
+    v = spark.range(0, n).select(F.col("id"))
+    j = spark.range(0, C.OUT_DEGREE).select(F.col("id").alias("j"))
+    e = v.crossJoin(j).select(
+        F.col("id").alias("src"),
+        ((F.lit(C.EDGE_A) * F.col("id") + F.lit(C.EDGE_B) * F.col("j") + F.lit(C.EDGE_C)) % F.lit(n)).alias("dst"),
+    )
+    return pagerank(e, v, iters=_PR_ITERS)
+
+
+def _oracle_link_pagerank() -> str:
+    from mcp_crawl4ai_rag_spark.operators.graph import PR_SCALE
+
+    base = (15 * PR_SCALE) // 100
+    js = ", ".join(f"({j})" for j in range(C.OUT_DEGREE))
+    rounds = []
+    for k in range(1, _PR_ITERS + 1):
+        rounds.append(f"""pr{k} AS (
+    SELECT v.id,
+           CAST({base} + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS pr
+    FROM verts v LEFT JOIN (
+        SELECT e.dst AS id, SUM(p.pr // e.deg) AS c
+        FROM e JOIN pr{k-1} p ON p.id = e.src
+        GROUP BY e.dst
+    ) s ON s.id = v.id
+)""")
+    chain = ",\n".join(rounds)
+    return f"""
+WITH verts AS (SELECT unnest(generate_series(0, {N_SQL} - 1)) AS id),
+e AS (
+    SELECT v.id AS src,
+           ({C.EDGE_A} * v.id + {C.EDGE_B} * t.j + {C.EDGE_C}) % {N_SQL} AS dst,
+           {C.OUT_DEGREE} AS deg
+    FROM verts v, (VALUES {js}) t(j)
+),
+pr0 AS (SELECT id, CAST({PR_SCALE} AS BIGINT) AS pr FROM verts),
+{chain}
+SELECT id, pr FROM pr{_PR_ITERS}
+"""
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub: emails/phones/IPv4s planted per doc are redacted to typed
     placeholders; output carries md5 of the cleaned text plus match counts
@@ -2324,6 +2374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": q_gopher_filter,
         "pii_scrub": q_pii_scrub,
         "pack_schedule": q_pack_schedule,
+        "link_pagerank": q_link_pagerank,
         "embedding_topk": q_embedding_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2382,6 +2433,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_filter": _oracle_gopher_filter(),
         "pii_scrub": _oracle_pii_scrub(),
         "pack_schedule": _oracle_pack_schedule(),
+        "link_pagerank": _oracle_link_pagerank(),
         "embedding_topk": _oracle_embedding_topk(),
         "ann_lsh_topk": _oracle_ann_lsh_topk(),
         "ann_ivf_topk": _oracle_ann_ivf_topk(),

@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "gopher_filter",
     "pii_scrub",
     "pack_schedule",
+    "link_pagerank",
     "embedding_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
