@@ -524,6 +524,37 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_RATES = {"src0": 0.0, "src1": 0.25, "src2": 0.5, "src3": 1.0}
+_MIX_DEFAULT = 0.75
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source corpus mixing (pretraining data recipe):
+    src0 dropped, src1 kept at 25%, src2 at 50%, src3 fully, everything
+    else at the 75% default — membership a pure function of (salt, id)."""
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import mix_corpus
+
+    return mix_corpus(
+        _docs(spark, sf_dir).select("doc_id", "source"),
+        _MIX_RATES,
+        default_rate=_MIX_DEFAULT,
+    )
+
+
+def _oracle_corpus_mix() -> str:
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import sql_split_fraction
+
+    frac = sql_split_fraction("doc_id", "mix")
+    whens = " ".join(
+        f"WHEN source = '{s}' THEN {r!r}" for s, r in _MIX_RATES.items()
+    )
+    return f"""
+SELECT doc_id, source
+FROM documents
+WHERE {frac} < (CASE {whens} ELSE {_MIX_DEFAULT!r} END)
+"""
+
+
 _PR_ITERS = 5
 
 
@@ -2375,6 +2406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "pack_schedule": q_pack_schedule,
         "link_pagerank": q_link_pagerank,
+        "corpus_mix": q_corpus_mix,
         "embedding_topk": q_embedding_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2434,6 +2466,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _oracle_pii_scrub(),
         "pack_schedule": _oracle_pack_schedule(),
         "link_pagerank": _oracle_link_pagerank(),
+        "corpus_mix": _oracle_corpus_mix(),
         "embedding_topk": _oracle_embedding_topk(),
         "ann_lsh_topk": _oracle_ann_lsh_topk(),
         "ann_ivf_topk": _oracle_ann_ivf_topk(),

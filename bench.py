@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "pii_scrub",
     "pack_schedule",
     "link_pagerank",
+    "corpus_mix",
     "embedding_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

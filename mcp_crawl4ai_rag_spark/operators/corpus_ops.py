@@ -102,6 +102,31 @@ def vocab_topk(
     return counts.orderBy(F.col("tf").desc(), F.col("token").asc()).limit(k)
 
 
+def mix_corpus(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    salt: str = "mix",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Deterministic corpus mixing: keep each row with its source's
+    sampling rate — the per-domain up/down-weighting step of a pretraining
+    data recipe. Membership is a pure function of (salt, id), so the mix is
+    reproducible, stable under appends, and re-rollable by changing the
+    salt. One stateless filter projection — no shuffle, no sampling pass;
+    the rate table is a literal map (a broadcast join for corpus-scale rate
+    tables drops in trivially)."""
+    rate_map = F.create_map(
+        *[F.lit(x) for kv in rates.items() for x in kv]
+    )
+    rate = F.coalesce(
+        rate_map[F.col(source_col)], F.lit(float(default_rate))
+    )
+    frac = split_fraction_expr(id_col, salt)
+    return docs.where(frac < rate)
+
+
 def pack_sequences(
     docs: DataFrame,
     seq_len: int,

@@ -205,3 +205,26 @@ def test_redact_pii(spark):
     assert rows[2]["r"]["clean"] == "server at <IP> and <IP> no phone"
     assert rows[2]["r"]["n_ips"] == 2
     assert rows[3]["r"]["clean"] == "clean text only"
+
+
+def test_mix_corpus_rates_and_determinism(spark):
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import mix_corpus
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(600)], "doc_id long, source string"
+    )
+    rates = {"s0": 0.0, "s1": 1.0}
+    kept = mix_corpus(docs, rates, default_rate=0.5, salt="m1")
+    by_src = {r["source"]: r["n"] for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert "s0" not in by_src          # rate 0 -> dropped entirely
+    assert by_src["s1"] == 200         # rate 1 -> all kept
+    assert 60 < by_src.get("s2", 0) < 140  # ~50% of 200
+    # deterministic: same salt -> same set; python twin agrees
+    ids1 = sorted(r["doc_id"] for r in kept.collect())
+    ids2 = sorted(r["doc_id"] for r in mix_corpus(docs, rates, default_rate=0.5, salt="m1").collect())
+    assert ids1 == ids2
+    expect = [
+        i for i in range(600)
+        if {0: 0.0, 1: 1.0, 2: 0.5}[i % 3] > _py_frac("m1", i)
+    ]
+    assert ids1 == expect

@@ -271,6 +271,65 @@ def main():
         ],
     ))
 
+    # 13. BM25: query-term-filtered explode, broadcast stats, top-k
+    from mcp_crawl4ai_rag_spark.operators.search import bm25_search
+
+    bm25_plan = formatted(
+        bm25_search(docs, "hash join scan", topk=15, id_col="doc_id", text_col="text")
+    )
+    sections.append((
+        "BM25 keyword search",
+        bm25_plan,
+        [
+            ("BroadcastHashJoin", "df/corpus stats joined broadcast, never shuffled"),
+            ("TakeOrderedAndProject", "top-k merge, no global sort"),
+        ],
+    ))
+
+    # 14. PageRank round: equi-join + map-side-combined sum, no cartesian.
+    # (pagerank() localCheckpoints per round, which hides the round plan —
+    # audit the round shape inline, pre-checkpoint.)
+    vr = spark.range(0, 2000).select(F.col("id"))
+    er = vr.select(
+        F.col("id").alias("src"), ((F.col("id") * 31 + 1) % 2000).alias("dst")
+    ).withColumn("__deg", F.lit(1).cast("long"))
+    pr0 = vr.select("id", F.lit(10**9).cast("long").alias("pr"))
+    contribs = (
+        er.join(pr0.select(F.col("id").alias("src"), "pr"), "src")
+        .select(F.col("dst").alias("id"), F.expr("pr DIV __deg").alias("__c"))
+        .groupBy("id")
+        .agg(F.sum("__c").alias("__s"))
+    )
+    round_pr = vr.join(contribs, "id", "left").select(
+        "id", (F.lit(150000000) + F.expr("(85 * coalesce(__s, 0L)) DIV 100")).alias("pr")
+    )
+    pr_plan = formatted(round_pr)
+    checks = [("partial_sum", "contribution sum combines map-side")]
+    if "CartesianProduct" in pr_plan or "BroadcastNestedLoopJoin" in pr_plan:
+        checks.append(("never", "CROSS JOIN FOUND in pagerank round"))
+    sections.append(("PageRank round (contribs join + sum)", pr_plan, checks))
+
+    # 15. sequence packing prefix sum: range exchange only, NO single-task
+    # Window. (distributed_cumsum localCheckpoints mid-plan; audit the
+    # pre-checkpoint layout stage.)
+    laid = (
+        docs.select("doc_id", F.length("text").alias("tok"))
+        .repartitionByRange(8, F.col("doc_id").asc())
+        .sortWithinPartitions(F.col("doc_id").asc())
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    pack_plan = formatted(laid)
+    checks = [
+        ("rangepartitioning", "prefix sum rides a range repartition"),
+    ]
+    if "Window" in pack_plan:
+        checks.append(("never", "GLOBAL WINDOW FOUND — packing must not single-task"))
+    sections.append((
+        "Sequence packing layout stage (distributed prefix sum, no Window)",
+        pack_plan,
+        checks,
+    ))
+
     out = ["# Physical-plan audit (auto-generated by tools/explain_plans.py)",
            "", f"sf_dir: {sf_dir}", ""]
     n_fail = 0
