@@ -965,6 +965,59 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(embs, centroids, q, 5, n_probe=_IVF_N_PROBE)
 
 
+def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized ANN: integer-dot candidate scan over 4×-smaller codes
+    (top-20), exact-cosine rescore of the candidates (top-5). Quantization
+    uses floor(x·127/max + 0.5) so codes — and the candidate set — are
+    engine-reproducible."""
+    from mcp_crawl4ai_rag_spark.operators.similarity import (
+        quantize_embeddings,
+        quantized_topk,
+    )
+
+    embs = _embs(spark, sf_dir)
+    base = embs.where(F.col("vec_id") > 0)
+    q = list(embs.where(F.col("vec_id") == 0).select("embedding").head()[0])
+    return quantized_topk(base, quantize_embeddings(base), q, 5)
+
+
+def _oracle_ann_quantized() -> str:
+    cos = _sql_cosine("e.embedding", "q.qe")
+    return f"""
+WITH q AS (
+    SELECT embedding AS qe,
+           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS qmx
+    FROM embeddings WHERE vec_id = 0
+),
+qz AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5) AS BIGINT)) AS qvec,
+           mx / 127.0 AS scale
+    FROM (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        FROM embeddings WHERE vec_id > 0
+    )
+),
+qq AS (
+    SELECT list_transform(qe, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / qmx + 0.5) AS BIGINT)) AS qv
+    FROM q
+),
+approx AS (
+    SELECT z.vec_id,
+           CAST(list_reduce(list_transform(list_zip(z.qvec, qq.qv),
+                x -> x[1] * x[2]), (a, b) -> a + b) AS DOUBLE) * z.scale AS ap
+    FROM qz z CROSS JOIN qq
+),
+cand AS (SELECT vec_id FROM approx ORDER BY ap DESC, vec_id ASC LIMIT 20)
+SELECT e.vec_id, round({cos}, 4) AS sim
+FROM embeddings e JOIN cand c ON c.vec_id = e.vec_id CROSS JOIN q
+ORDER BY sim DESC, e.vec_id ASC
+LIMIT 5
+"""
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (sim ≥ 0.99) over augmented corpus,
     LSH-bucket-blocked (equi-join, not cross join — the 10^9-vector shape)."""
@@ -2410,6 +2463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_quantized": q_ann_quantized,
         "embedding_neardup": q_embedding_neardup,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
@@ -2470,6 +2524,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk": _oracle_embedding_topk(),
         "ann_lsh_topk": _oracle_ann_lsh_topk(),
         "ann_ivf_topk": _oracle_ann_ivf_topk(),
+        "ann_quantized": _oracle_ann_quantized(),
         "embedding_neardup": _oracle_embedding_neardup(),
         "events_hourly": _oracle_events_hourly(),
         "events_sessionize": _oracle_events_sessionize(),

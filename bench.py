@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "embedding_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_quantized",
     "embedding_neardup",
     "events_hourly",
     "events_sessionize",

@@ -226,3 +226,45 @@ def test_lsh_written_index_prunes_and_matches(spark, tmp_path):
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_quantize_embeddings_matches_numpy(spark):
+    import numpy as np
+
+    from mcp_crawl4ai_rag_spark.operators.similarity import quantize_embeddings
+
+    vecs = [
+        (1, [0.5, -1.0, 0.25, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),  # zero vector edge case
+        (3, [3.0, 2.0, -3.0, 1.5]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    for vid, v in vecs:
+        a = np.asarray(v)
+        mx = float(np.max(np.abs(a)))
+        if mx == 0.0:
+            assert got[vid]["scale"] == 0.0
+            assert got[vid]["qvec"] == [0, 0, 0, 0]
+        else:
+            exp = [int(np.floor(x * 127.0 / mx + 0.5)) for x in v]
+            assert got[vid]["qvec"] == exp
+            assert got[vid]["scale"] == mx / 127.0
+            assert max(abs(c) for c in got[vid]["qvec"]) == 127
+
+
+def test_quantized_topk_matches_brute(spark, embs):
+    from mcp_crawl4ai_rag_spark.operators.similarity import (
+        brute_topk,
+        quantize_embeddings,
+        quantized_topk,
+    )
+
+    q = embs.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    base = embs.where(F.col("vec_id") > 0)
+    qz = quantize_embeddings(base)
+    got = quantized_topk(base, qz, list(q), 5).collect()
+    exp = brute_topk(base, list(q), 5).collect()
+    assert [(r["vec_id"], r["sim"]) for r in got] == [
+        (r["vec_id"], r["sim"]) for r in exp
+    ]
