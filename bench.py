@@ -39,6 +39,9 @@ BENCH_QUERIES = [
     "urlseen_antijoin",
     "urlseen_cuckoo",
     "url_kernels",
+    "politeness_budgets",
+    "sources_distinct",
+    "doc_token_stats",
     "chunk_documents",
     "quality_score",
     "lang_id",
