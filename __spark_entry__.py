@@ -524,6 +524,34 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level boilerplate removal: a nav header and footer planted on
+    every page of each source must be line-frequency-detected (appear on
+    100% ≥ 50% of the host's pages) and stripped, leaving exactly the
+    original body — so the cleaned text is closed-form for the oracle."""
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import strip_boilerplate
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.expr(
+            "concat('NAV ', source, ' | HOME | ABOUT', '\n', text, "
+            "'\n', 'FOOTER (c) ', source)"
+        ).alias("text"),
+    )
+    out = strip_boilerplate(docs, min_host_pages=3, frac_threshold=0.5)
+    return out.select(
+        "doc_id", "source", F.md5("clean").alias("clean_md5"), "n_removed"
+    )
+
+
+def _oracle_boilerplate_strip() -> str:
+    return """
+SELECT doc_id, source, md5(text) AS clean_md5, CAST(2 AS BIGINT) AS n_removed
+FROM documents
+"""
+
+
 _MIX_RATES = {"src0": 0.0, "src1": 0.25, "src2": 0.5, "src3": 1.0}
 _MIX_DEFAULT = 0.75
 
@@ -2460,6 +2488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_schedule": q_pack_schedule,
         "link_pagerank": q_link_pagerank,
         "corpus_mix": q_corpus_mix,
+        "boilerplate_strip": q_boilerplate_strip,
         "embedding_topk": q_embedding_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2521,6 +2550,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_schedule": _oracle_pack_schedule(),
         "link_pagerank": _oracle_link_pagerank(),
         "corpus_mix": _oracle_corpus_mix(),
+        "boilerplate_strip": _oracle_boilerplate_strip(),
         "embedding_topk": _oracle_embedding_topk(),
         "ann_lsh_topk": _oracle_ann_lsh_topk(),
         "ann_ivf_topk": _oracle_ann_ivf_topk(),

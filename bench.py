@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "pack_schedule",
     "link_pagerank",
     "corpus_mix",
+    "boilerplate_strip",
     "embedding_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

@@ -102,6 +102,85 @@ def vocab_topk(
     return counts.orderBy(F.col("tf").desc(), F.col("token").asc()).limit(k)
 
 
+def strip_boilerplate(
+    docs: DataFrame,
+    min_host_pages: int = 3,
+    frac_threshold: float = 0.5,
+    id_col: str = "doc_id",
+    host_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, host, clean, n_removed): remove per-host boilerplate — lines
+    (nav, footer, cookie banner) that appear on ≥ ``frac_threshold`` of a
+    host's pages, for hosts with ≥ ``min_host_pages`` pages. The standard
+    line-frequency boilerplate pass of a crawl cleaning pipeline.
+
+    Scale shape: one explode → per-(host, line) distinct-page counts
+    (map-side combined) → the boilerplate line set is a small per-host
+    table joined back with a left-anti equi-join on (host, line) — never
+    per-row Python, never a cross join. Reconstruction re-joins surviving
+    lines in original order via sort-within-group (array_sort on (pos,
+    line) structs), so the output text is deterministic."""
+    lines = docs.select(
+        F.col(id_col),
+        F.col(host_col).alias("__host"),
+        F.posexplode(F.split(F.col(text_col), F.lit("\n"))).alias(
+            "__pos", "__line"
+        ),
+    )
+    host_sizes = docs.groupBy(F.col(host_col).alias("__host")).agg(
+        F.countDistinct(id_col).alias("__total")
+    )
+    line_counts = (
+        lines.where(F.length("__line") > 0)
+        .groupBy("__host", "__line")
+        .agg(F.countDistinct(id_col).alias("__n"))
+    )
+    boiler = (
+        line_counts.join(host_sizes, "__host")
+        .where(
+            (F.col("__total") >= min_host_pages)
+            & (
+                F.col("__n").cast("double")
+                >= F.lit(frac_threshold) * F.col("__total").cast("double")
+            )
+        )
+        .select("__host", "__line")
+    )
+    kept = lines.join(boiler, ["__host", "__line"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "__line"))
+                ),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias("clean"),
+        F.count("*").alias("__kept_lines"),
+    )
+    orig_lines = lines.groupBy(id_col).agg(F.count("*").alias("__orig_lines"))
+    # left join from the full doc set: an all-boilerplate page survives
+    # with empty text instead of silently disappearing
+    return (
+        docs.select(F.col(id_col), F.col(host_col))
+        .join(rebuilt, id_col, "left")
+        .join(orig_lines, id_col)
+        .select(
+            F.col(id_col),
+            F.col(host_col),
+            F.coalesce(F.col("clean"), F.lit("")).alias("clean"),
+            (
+                F.col("__orig_lines")
+                - F.coalesce(F.col("__kept_lines"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
 def mix_corpus(
     docs: DataFrame,
     rates: dict[str, float],

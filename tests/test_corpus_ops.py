@@ -228,3 +228,41 @@ def test_mix_corpus_rates_and_determinism(spark):
         if {0: 0.0, 1: 1.0, 2: 0.5}[i % 3] > _py_frac("m1", i)
     ]
     assert ids1 == expect
+
+
+def test_strip_boilerplate(spark):
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import strip_boilerplate
+
+    nav, foot = "HOME | ABOUT | CONTACT", "(c) example.com"
+    rows = [
+        (i, "h1", f"{nav}\nunique body {i}\n{foot}") for i in range(4)
+    ] + [
+        (10, "h1", f"{nav}\n{foot}"),            # all-boilerplate page
+        (20, "h2", f"{nav}\nother host body\n{foot}"),  # h2 below min pages
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["doc_id"]: r
+        for r in strip_boilerplate(docs, min_host_pages=3, frac_threshold=0.5).collect()
+    }
+    for i in range(4):
+        assert got[i]["clean"] == f"unique body {i}"
+        assert got[i]["n_removed"] == 2
+    # all-boilerplate page survives, empty
+    assert got[10]["clean"] == "" and got[10]["n_removed"] == 2
+    # small host: nothing classified as boilerplate
+    assert got[20]["clean"] == rows[-1][2]
+    assert got[20]["n_removed"] == 0
+
+
+def test_strip_boilerplate_preserves_line_order_and_dups(spark):
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import strip_boilerplate
+
+    # duplicate body lines within ONE page are not boilerplate (distinct-page
+    # counting) and must all survive in order
+    docs = spark.createDataFrame(
+        [(1, "h", "b\na\nb\nc"), (2, "h", "x\ny"), (3, "h", "p\nq")],
+        "doc_id long, source string, text string",
+    )
+    got = {r["doc_id"]: r["clean"] for r in strip_boilerplate(docs).collect()}
+    assert got[1] == "b\na\nb\nc"
