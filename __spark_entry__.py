@@ -611,7 +611,8 @@ def _oracle_link_pagerank() -> str:
     for k in range(1, _PR_ITERS + 1):
         rounds.append(f"""pr{k} AS (
     SELECT v.id,
-           CAST({base} + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS pr
+           CAST({base} + 85 * (COALESCE(s.c, 0) // 100)
+                + (85 * (COALESCE(s.c, 0) % 100)) // 100 AS BIGINT) AS pr
     FROM verts v LEFT JOIN (
         SELECT e.dst AS id, SUM(p.pr // e.deg) AS c
         FROM e JOIN pr{k-1} p ON p.id = e.src

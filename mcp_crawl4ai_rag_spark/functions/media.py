@@ -101,8 +101,16 @@ def decode_audio(blob: bytes) -> tuple[str, int, np.ndarray]:
     if blob[:4] != _AUDIO_MAGIC:
         raise ValueError("not a fake-codec audio clip")
     code, sr, n = struct.unpack("<BII", blob[4:13])
+    if sr <= 0:
+        raise ValueError(f"corrupt audio header: sr={sr}")
     raw = zlib.decompress(blob[13:])
-    samples = np.frombuffer(raw, dtype="<i2")[:n]
+    samples = np.frombuffer(raw, dtype="<i2")
+    # a truncated/padded payload must fail decode, not silently shorten —
+    # mirrors decode_image, whose reshape((h, w)) rejects bad lengths
+    if len(samples) != n:
+        raise ValueError(
+            f"corrupt audio payload: header says {n} samples, got {len(samples)}"
+        )
     return ("qpcm" if code == 1 else "pcm"), sr, samples
 
 

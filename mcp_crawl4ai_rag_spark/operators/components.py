@@ -117,8 +117,13 @@ def connected_components(
                 ),
             )
         labels = labels.localCheckpoint(eager=True)
+        # coalesce: SUM over zero rows is NULL, which would never equal
+        # itself round-to-round and spin an empty graph through max_rounds
         cur = labels.agg(
-            F.sum(F.col("component_id").cast("decimal(38,0)")).alias("s")
+            F.coalesce(
+                F.sum(F.col("component_id").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("s")
         ).head()[0]
         if prev_sum is not None and cur == prev_sum:
             break

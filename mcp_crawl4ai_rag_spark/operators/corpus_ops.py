@@ -48,7 +48,9 @@ def split_fraction_expr(id_col: Column | str, salt: str) -> Column:
 
 def sql_split_fraction(id_expr: str, salt: str) -> str:
     """DuckDB twin of :func:`split_fraction_expr`."""
-    h = f"CAST(('0x' || substr(md5('{salt}:' || CAST({id_expr} AS VARCHAR)), 1, 15)) AS BIGINT)"
+    from ..functions.hashing import sql_md5int64
+
+    h = sql_md5int64(f"'{salt}:' || CAST({id_expr} AS VARCHAR)")
     return f"(CAST({h} AS DOUBLE) / {_HASH_SPACE})"
 
 
@@ -161,18 +163,19 @@ def strip_boilerplate(
         F.count("*").alias("__kept_lines"),
     )
     orig_lines = lines.groupBy(id_col).agg(F.count("*").alias("__orig_lines"))
-    # left join from the full doc set: an all-boilerplate page survives
-    # with empty text instead of silently disappearing
+    # left joins from the full doc set: an all-boilerplate page survives
+    # with empty text, and a NULL-text page (split yields no rows at all)
+    # survives as clean='' / n_removed=0 instead of silently disappearing
     return (
         docs.select(F.col(id_col), F.col(host_col))
         .join(rebuilt, id_col, "left")
-        .join(orig_lines, id_col)
+        .join(orig_lines, id_col, "left")
         .select(
             F.col(id_col),
             F.col(host_col),
             F.coalesce(F.col("clean"), F.lit("")).alias("clean"),
             (
-                F.col("__orig_lines")
+                F.coalesce(F.col("__orig_lines"), F.lit(0))
                 - F.coalesce(F.col("__kept_lines"), F.lit(0))
             )
             .cast("long")
@@ -189,13 +192,15 @@ def mix_corpus(
     id_col: str = "doc_id",
     source_col: str = "source",
 ) -> DataFrame:
-    """Deterministic corpus mixing: keep each row with its source's
-    sampling rate — the per-domain up/down-weighting step of a pretraining
-    data recipe. Membership is a pure function of (salt, id), so the mix is
-    reproducible, stable under appends, and re-rollable by changing the
-    salt. One stateless filter projection — no shuffle, no sampling pass;
-    the rate table is a literal map (a broadcast join for corpus-scale rate
-    tables drops in trivially)."""
+    """Deterministic corpus mixing: emit each row ``rate`` times in
+    expectation — the per-domain up/down-weighting step of a pretraining
+    data recipe. rate < 1 down-samples; rate > 1 up-weights by duplication
+    (floor(rate) guaranteed copies plus one more with probability
+    frac(rate)). The copy count is a pure function of (salt, id), so the
+    mix is reproducible, stable under appends, and re-rollable by changing
+    the salt. One stateless projection + bounded explode — no shuffle, no
+    sampling pass; the rate table is a literal map (a broadcast join for
+    corpus-scale rate tables drops in trivially)."""
     rate_map = F.create_map(
         *[F.lit(x) for kv in rates.items() for x in kv]
     )
@@ -203,7 +208,18 @@ def mix_corpus(
         rate_map[F.col(source_col)], F.lit(float(default_rate))
     )
     frac = split_fraction_expr(id_col, salt)
-    return docs.where(frac < rate)
+    n_copies = (
+        F.floor(rate).cast("long")
+        + (frac < (rate - F.floor(rate))).cast("long")
+    )
+    return (
+        docs.withColumn("__n_copies", n_copies)
+        .where(F.col("__n_copies") > 0)
+        .withColumn(
+            "__copy", F.explode(F.sequence(F.lit(1), F.col("__n_copies")))
+        )
+        .drop("__n_copies", "__copy")
+    )
 
 
 def pack_sequences(

@@ -242,9 +242,17 @@ def minhash_pairs_incremental(
         .distinct()
     )
 
-    old_sets = old_docs.select(
-        F.col(id_col).alias("id_a"),
-        word_shingles_expr(F.col(text_col), shingle_k).alias("sh_a"),
+    # restrict the old corpus to candidate ids BEFORE shingling: the whole
+    # point of the persisted index is that an increment never recomputes
+    # full-corpus text kernels (a semi-join the optimizer cannot derive
+    # from the inner join below on its own)
+    cand_ids = cand.select(F.col("id_a").alias(id_col)).distinct()
+    old_sets = (
+        old_docs.join(cand_ids, id_col, "left_semi")
+        .select(
+            F.col(id_col).alias("id_a"),
+            word_shingles_expr(F.col(text_col), shingle_k).alias("sh_a"),
+        )
     )
     new_sets = new_docs.select(
         F.col(id_col).alias("id_b"),

@@ -65,13 +65,20 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("__c").alias("__s"))
         )
+        # (85·s) DIV 100 decomposed as 85·(s DIV 100) + (85·(s MOD 100)) DIV
+        # 100 — algebraically identical (85s = 8500q + 85r) but free of the
+        # 85× intermediate, so a hub vertex whose summed contributions
+        # approach 2^63 cannot overflow int64.
         pr = (
             v.join(contribs, "id", "left")
             .select(
                 "id",
                 (
                     F.lit(base)
-                    + F.expr("(85 * coalesce(__s, 0L)) DIV 100")
+                    + F.expr(
+                        "85 * (coalesce(__s, 0L) DIV 100)"
+                        " + (85 * (coalesce(__s, 0L) % 100)) DIV 100"
+                    )
                 ).cast("long").alias("pr"),
             )
             .localCheckpoint(eager=True)

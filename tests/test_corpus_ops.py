@@ -266,3 +266,35 @@ def test_strip_boilerplate_preserves_line_order_and_dups(spark):
     )
     got = {r["doc_id"]: r["clean"] for r in strip_boilerplate(docs).collect()}
     assert got[1] == "b\na\nb\nc"
+
+
+def test_mix_corpus_upweights_above_one(spark):
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import mix_corpus
+
+    docs = spark.createDataFrame(
+        [(i, "wiki") for i in range(200)], "doc_id long, source string"
+    )
+    out = mix_corpus(docs, {"wiki": 2.5}, salt="up1")
+    per_doc = {
+        r["doc_id"]: r["n"]
+        for r in out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    # every doc gets 2 guaranteed copies, +1 with prob 0.5 from (salt, id)
+    assert set(per_doc.values()) <= {2, 3}
+    assert len(per_doc) == 200
+    expected_total = sum(
+        2 + (1 if _py_frac("up1", i) < 0.5 else 0) for i in range(200)
+    )
+    assert out.count() == expected_total
+
+
+def test_strip_boilerplate_null_text_survives(spark):
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import strip_boilerplate
+
+    docs = spark.createDataFrame(
+        [(1, "h", "a\nb"), (2, "h", None), (3, "h", "c\nd")],
+        "doc_id long, source string, text string",
+    )
+    got = {r["doc_id"]: r for r in strip_boilerplate(docs).collect()}
+    assert got[2]["clean"] == "" and got[2]["n_removed"] == 0
+    assert len(got) == 3

@@ -113,3 +113,22 @@ def test_video_features(spark):
         assert got["n_frames"] == r["n_frames"] and got["fps"] == r["fps"]
         assert got["duration_ms"] == r["n_frames"] * 1000 // r["fps"]
         assert got["motion"] > 0.0
+
+
+def test_decode_audio_rejects_truncated_and_corrupt_header():
+    import struct
+    import zlib
+
+    import pytest
+
+    w = gen_waveform("aud_t", 8000, 1000)
+    blob = encode_audio(w, 8000, "pcm")
+    # truncate the payload: header still claims 1000 samples
+    head, payload = blob[:13], zlib.decompress(blob[13:])
+    truncated = head + zlib.compress(payload[: len(payload) // 2], 6)
+    with pytest.raises(ValueError, match="corrupt audio payload"):
+        decode_audio(truncated)
+    # zero sample rate in the header
+    bad_sr = blob[:4] + struct.pack("<BII", 0, 0, 1000) + blob[13:]
+    with pytest.raises(ValueError, match="corrupt audio header"):
+        decode_audio(bad_sr)
