@@ -293,9 +293,24 @@ def cpu_ceiling(lo: int, hi: int) -> dict[str, float]:
 def main() -> None:
     kernel_n = FRONTIER_N * 4
 
-    spark = _mk_spark(CPUS)
-    qtimes = run_queries(spark)
-    spark.stop()
+    # SPARK_GRAFT_PHASES=queries|scaling|all (default all): lets a polluted
+    # phase be re-measured alone — per-query and scaling numbers are
+    # independent jobs, and ambient VM load rarely ruins both at once.
+    phases = os.environ.get("SPARK_GRAFT_PHASES", "all")
+
+    qtimes: dict[str, float] = {}
+    if phases in ("all", "queries"):
+        spark = _mk_spark(CPUS)
+        qtimes = run_queries(spark)
+        spark.stop()
+    if phases == "queries":
+        print(json.dumps({
+            "metric": "urls_scheduled_deduped_per_sec",
+            "value": None, "unit": "sec", "queries": qtimes,
+            "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
+            "scaling": None,
+        }))
+        return
 
     # One FRESH JVM per (phase, parallelism) cell. Round-1 lesson: the
     # kernel scan sharing a JVM with the 16M-row frontier runs inherits its

@@ -301,7 +301,14 @@ def main():
         .agg(F.sum("__c").alias("__s"))
     )
     round_pr = vr.join(contribs, "id", "left").select(
-        "id", (F.lit(150000000) + F.expr("(85 * coalesce(__s, 0L)) DIV 100")).alias("pr")
+        "id",
+        (
+            F.lit(150000000)
+            + F.expr(
+                "85 * (coalesce(__s, 0L) DIV 100)"
+                " + (85 * (coalesce(__s, 0L) % 100)) DIV 100"
+            )
+        ).alias("pr"),
     )
     pr_plan = formatted(round_pr)
     checks = [("partial_sum", "contribution sum combines map-side")]
