@@ -524,6 +524,49 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding cache: a corpus where every doc appears 3× must embed only
+    the distinct third, and the cached result must equal the direct
+    embed-everything path vector-for-vector (compared Spark-side; the
+    oracle pins the closed-form counts and zero mismatches)."""
+    from mcp_crawl4ai_rag_spark.functions.embedding import (
+        with_embeddings,
+        with_embeddings_cached,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    d3 = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    ).unionByName(
+        docs.select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+    )
+    direct = with_embeddings(d3, "text", dim=64).select(
+        "doc_id", F.col("embedding").alias("e_direct")
+    )
+    cached = with_embeddings_cached(d3, "text", dim=64).select(
+        "doc_id", F.col("embedding").alias("e_cached")
+    )
+    cmp = direct.join(cached, "doc_id")
+    return cmp.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct(F.md5(F.col("e_direct").cast("string")))
+        .cast("long")
+        .alias("n_unique_vectors"),
+        F.sum(
+            (F.col("e_direct") != F.col("e_cached")).cast("int")
+        ).cast("long").alias("n_mismatch"),
+    )
+
+
+def _oracle_embed_cache() -> str:
+    return f"""
+SELECT CAST(3 * count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT text) AS BIGINT) AS n_unique_vectors,
+       CAST(0 AS BIGINT) AS n_mismatch
+FROM documents
+"""
+
+
 def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level boilerplate removal: a nav header and footer planted on
     every page of each source must be line-frequency-detected (appear on
@@ -1044,6 +1087,102 @@ SELECT e.vec_id, round({cos}, 4) AS sim
 FROM embeddings e JOIN cand c ON c.vec_id = e.vec_id CROSS JOIN q
 ORDER BY sim DESC, e.vec_id ASC
 LIMIT 5
+"""
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality harness: recall@5 of LSH-bucket search vs exact cosine
+    truth, per query, over an 8-query sample — the evaluation loop that
+    keeps an approximate index honest. Per-query ranking windows partition
+    by query id (bounded, never a global single-task window).
+
+    On this corpus the harness correctly reports LOW recall: the synthetic
+    embeddings are isotropic gaussian, so true nearest neighbors rarely
+    share a single 8-plane bucket — the finding that tells an operator to
+    widen to multi-probe (flip 1-2 bucket bits) or switch to IVF. The gate
+    checks the measurement, not a quality target."""
+    from pyspark.sql import Window
+
+    from mcp_crawl4ai_rag_spark.functions.vectors import cosine_expr
+    from mcp_crawl4ai_rag_spark.operators.similarity import recall_at_k
+
+    embs = _embs(spark, sf_dir)
+    corpus = embs.where(F.col("vec_id") >= 8).withColumn(
+        "bucket", bucket_expr(F.col("embedding"), EMB_DIM, _LSH_PLANES)
+    )
+    qs = embs.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+    ).withColumn("qbucket", bucket_expr(F.col("qvec"), EMB_DIM, _LSH_PLANES))
+
+    pairs = corpus.join(F.broadcast(qs)).withColumn(
+        "sim", F.round(cosine_expr(F.col("embedding"), F.col("qvec")), 4)
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    truth = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("qid", "vec_id")
+    )
+    lsh = (
+        pairs.where(F.col("bucket") == F.col("qbucket"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("qid", "vec_id")
+    )
+    return recall_at_k(truth, lsh, 5).select(
+        F.col("qid").cast("long").alias("qid"), "recall"
+    )
+
+
+def _oracle_ann_recall() -> str:
+    def bucket_terms(vec: str) -> str:
+        return " + ".join(
+            f"CASE WHEN {_sql_dot(vec, _plane_sql(p, EMB_DIM))} > 0 "
+            f"THEN {1 << p} ELSE 0 END"
+            for p in range(_LSH_PLANES)
+        )
+
+    cos = _sql_cosine("c.embedding", "q.qvec")
+    return f"""
+WITH q AS (
+    SELECT vec_id AS qid, embedding AS qvec,
+           ({bucket_terms('embedding')}) AS qbucket
+    FROM embeddings WHERE vec_id < 8
+),
+c AS (
+    SELECT vec_id, embedding,
+           ({bucket_terms('embedding')}) AS bucket
+    FROM embeddings WHERE vec_id >= 8
+),
+pairs AS (
+    SELECT q.qid, c.vec_id, c.bucket, q.qbucket,
+           round({cos}, 4) AS sim
+    FROM c CROSS JOIN q
+),
+truth AS (
+    SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
+        FROM pairs
+    ) WHERE rn <= 5
+),
+lsh AS (
+    SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
+        FROM pairs WHERE bucket = qbucket
+    ) WHERE rn <= 5
+),
+hits AS (
+    SELECT t.qid, count(*) AS h
+    FROM truth t JOIN lsh l ON t.qid = l.qid AND t.vec_id = l.vec_id
+    GROUP BY t.qid
+)
+SELECT CAST(q2.qid AS BIGINT) AS qid,
+       round(COALESCE(h.h, 0) / 5.0, 4) AS recall
+FROM (SELECT DISTINCT qid FROM truth) q2
+LEFT JOIN hits h ON h.qid = q2.qid
 """
 
 
@@ -2490,10 +2629,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pagerank": q_link_pagerank,
         "corpus_mix": q_corpus_mix,
         "boilerplate_strip": q_boilerplate_strip,
+        "embed_cache": q_embed_cache,
         "embedding_topk": q_embedding_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_quantized": q_ann_quantized,
+        "ann_recall": q_ann_recall,
         "embedding_neardup": q_embedding_neardup,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
@@ -2552,10 +2693,12 @@ def oracle_sql() -> dict[str, str]:
         "link_pagerank": _oracle_link_pagerank(),
         "corpus_mix": _oracle_corpus_mix(),
         "boilerplate_strip": _oracle_boilerplate_strip(),
+        "embed_cache": _oracle_embed_cache(),
         "embedding_topk": _oracle_embedding_topk(),
         "ann_lsh_topk": _oracle_ann_lsh_topk(),
         "ann_ivf_topk": _oracle_ann_ivf_topk(),
         "ann_quantized": _oracle_ann_quantized(),
+        "ann_recall": _oracle_ann_recall(),
         "embedding_neardup": _oracle_embedding_neardup(),
         "events_hourly": _oracle_events_hourly(),
         "events_sessionize": _oracle_events_sessionize(),

@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_quantized",
+    "ann_recall",
+    "embed_cache",
     "embedding_neardup",
     "events_hourly",
     "events_sessionize",

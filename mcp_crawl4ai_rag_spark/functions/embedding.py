@@ -74,6 +74,34 @@ def with_embeddings(
     return df.withColumn(out_col, embed_udf(dim)(F.col(text_col)))
 
 
+def with_embeddings_cached(
+    df: DataFrame,
+    text_col: str = "content",
+    out_col: str = "embedding",
+    dim: int = EMBEDDING_DIM,
+) -> DataFrame:
+    """Embed each DISTINCT text once and join the vectors back — the cost
+    lever for corpora with duplicated chunks (boilerplate, re-crawls, exact
+    dups): an embedding API is priced per call, and at 100 TB the dup rate
+    of chunk text is routinely 20-50%.
+
+    Shape: md5-fingerprint projection → distinct (map-side combined) →
+    embed only distinct rows → equi-join back on the fingerprint. The
+    distinct side is strictly smaller than the corpus; Spark broadcasts it
+    when small. Output rows/columns match :func:`with_embeddings` plus a
+    ``__text_md5`` is NOT retained. Adds ``n_unique``-sized embed work
+    instead of ``n_rows``."""
+    fp = F.md5(F.col(text_col))
+    with_fp = df.withColumn("__text_md5", fp)
+    uniq = (
+        with_fp.select("__text_md5", F.col(text_col).alias("__t"))
+        .dropDuplicates(["__text_md5"])
+        .withColumn(out_col, embed_udf(dim)(F.col("__t")))
+        .select("__text_md5", out_col)
+    )
+    return with_fp.join(uniq, "__text_md5").drop("__text_md5")
+
+
 def embed_texts_mapinpandas(
     df: DataFrame,
     text_col: str = "content",

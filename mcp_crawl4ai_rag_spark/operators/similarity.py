@@ -163,6 +163,29 @@ def quantized_topk(
     )
 
 
+def recall_at_k(
+    truth: DataFrame,
+    approx: DataFrame,
+    k: int,
+    query_col: str = "qid",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(qid, recall): |approx ∩ truth| / k per query — the standard ANN
+    quality metric. Inputs are per-query top-k lists (query_col, id_col);
+    the intersection is an equi-join on (query, id), counts aggregate
+    map-side. An EVALUATION harness shape: run on a query sample, not in
+    the serving path."""
+    hits = truth.join(approx, [query_col, id_col], "left_semi")
+    n_hits = hits.groupBy(query_col).agg(F.count("*").alias("__h"))
+    qids = truth.select(query_col).distinct()
+    return qids.join(n_hits, query_col, "left").select(
+        F.col(query_col),
+        F.round(
+            F.coalesce(F.col("__h"), F.lit(0)).cast("double") / F.lit(float(k)), 4
+        ).alias("recall"),
+    )
+
+
 def lsh_bucket_ann(
     embs: DataFrame,
     query_vec: list[float],

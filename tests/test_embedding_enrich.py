@@ -133,3 +133,19 @@ def test_embedder_applies_token_cap():
     assert tok.count(clipped) == 8191
     # truncation changes the embedded payload (the cap is actually applied)
     assert not np.allclose(embed_text(clipped, 16), embed_text(long, 16))
+
+
+def test_with_embeddings_cached_equals_direct(spark):
+    from pyspark.sql import functions as F
+
+    from mcp_crawl4ai_rag_spark.functions.embedding import (
+        with_embeddings,
+        with_embeddings_cached,
+    )
+
+    rows = [(i, f"text number {i % 7}") for i in range(50)]  # 7 unique texts
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    direct = {r["doc_id"]: r["embedding"] for r in with_embeddings(df, dim=16).collect()}
+    cached = {r["doc_id"]: r["embedding"] for r in with_embeddings_cached(df, dim=16).collect()}
+    assert cached == direct
+    assert len(cached) == 50

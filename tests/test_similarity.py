@@ -268,3 +268,19 @@ def test_quantized_topk_matches_brute(spark, embs):
     assert [(r["vec_id"], r["sim"]) for r in got] == [
         (r["vec_id"], r["sim"]) for r in exp
     ]
+
+
+def test_recall_at_k(spark):
+    from mcp_crawl4ai_rag_spark.operators.similarity import recall_at_k
+
+    truth = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (1, 13), (1, 14), (2, 20), (2, 21), (2, 22), (2, 23), (2, 24)],
+        "qid long, vec_id long",
+    )
+    approx = spark.createDataFrame(
+        # q1: 3 of 5 right; q2: nothing returned
+        [(1, 10), (1, 11), (1, 12), (1, 99), (1, 98)],
+        "qid long, vec_id long",
+    )
+    got = {r["qid"]: r["recall"] for r in recall_at_k(truth, approx, 5).collect()}
+    assert got == {1: 0.6, 2: 0.0}
