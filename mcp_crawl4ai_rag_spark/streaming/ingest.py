@@ -75,6 +75,25 @@ def crawl_metrics_stream(
     )
 
 
+def dedup_url_stream(
+    fetched: DataFrame,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming URL-seen dedup: keep the first fetch of each
+    ``canonical_url`` within the watermark horizon, dropping re-fetches —
+    the streaming twin of the batch URL-seen anti-join (J1).
+
+    ``dropDuplicatesWithinWatermark`` keys state by url and evicts entries
+    once the watermark passes their event time, so state is bounded by the
+    re-fetch horizon instead of growing with the whole crawl (the batch
+    path's bloom/cuckoo sets cover the unbounded-history case; this covers
+    the within-run duplicate storm — e.g. the same URL discovered by many
+    referrers in one window)."""
+    return fetched.withWatermark("fetched_at", watermark).dropDuplicatesWithinWatermark(
+        ["canonical_url"]
+    )
+
+
 def chunk_store_stream(
     fetched: DataFrame,
     out_dir: str,

@@ -156,3 +156,48 @@ def test_stateful_per_host_state_carries_across_batches(spark, tmp_path):
     assert got["h1.example.com"]["max_depth"] == 1
     assert got["h1.example.com"]["depth_alert"]
     assert str(got["h1.example.com"]["last_fetch"]).startswith("2024-01-01 10:00:50")
+
+
+def test_dedup_url_stream_drops_refetches(spark, tmp_path):
+    from mcp_crawl4ai_rag_spark.streaming.ingest import dedup_url_stream
+
+    src = str(tmp_path / "dsrc")
+    out = str(tmp_path / "dsink")
+    ckpt = str(tmp_path / "dckpt")
+
+    def run_once():
+        q = (
+            dedup_url_stream(stream_fetch_results(spark, src + "/*"))
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: p/1 appears twice (two referrers in the same window)
+    dup = [
+        ("https://h1.example.com/p/1", "h1.example.com", 0, 1, "# a", _ts("2024-01-01 10:00:10")),
+        ("https://h1.example.com/p/1", "h1.example.com", 1, 2, "# a again", _ts("2024-01-01 10:00:20")),
+        ("https://h1.example.com/p/2", "h1.example.com", 0, 3, "# b", _ts("2024-01-01 10:00:30")),
+    ]
+    _write_fetch(spark, src, dup, "b0")
+    run_once()
+    # batch 2: p/1 re-fetched within the watermark horizon -> still dropped
+    _write_fetch(
+        spark, src,
+        [("https://h1.example.com/p/1", "h1.example.com", 2, 4, "# a 3rd", _ts("2024-01-01 10:02:00"))],
+        "b1",
+    )
+    run_once()
+    got = spark.read.parquet(out)
+    urls = sorted(r["canonical_url"] for r in got.select("canonical_url").collect())
+    assert urls == [
+        "https://h1.example.com/p/1",
+        "https://h1.example.com/p/2",
+    ]
+    # the FIRST fetch won (streaming arrival order within the batch)
+    kept = got.where("canonical_url like '%p/1'").head()
+    assert kept["seq"] == 1
