@@ -502,6 +502,63 @@ WHERE id_a < 1000000 AND id_b >= 1000000
 """
 
 
+_RS_K = 20
+
+
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication pass (Lee et al. 2021 shape): maximal
+    token spans covered by globally-repeated 20-token windows, over the
+    docs2 corpus whose +1M twins share their whole suffix with the
+    originals."""
+    from mcp_crawl4ai_rag_spark.operators.dedup import repeated_spans
+
+    return repeated_spans(_docs2(spark, sf_dir), k=_RS_K).select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("n_windows").cast("long").alias("n_windows"),
+    )
+
+
+def _oracle_repeated_spans() -> str:
+    from mcp_crawl4ai_rag_spark.functions.hashing import sql_md5int64
+
+    k = _RS_K
+    wh = sql_md5int64(f"'rs:' || array_to_string(toks[i + 1:i + {k}], ' ')")
+    return f"""
+WITH {_DOCS2_SQL.strip()},
+w AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '{_WS_RE}') AS toks
+    FROM docs2
+),
+wins AS (
+    SELECT doc_id, t.i AS pos, {wh} AS wh
+    FROM (SELECT * FROM w WHERE len(toks) >= {k}) w,
+         unnest(generate_series(0, len(w.toks) - {k})) t(i)
+),
+dup AS (SELECT wh FROM wins GROUP BY wh HAVING count(*) >= 2),
+dp AS (SELECT doc_id, pos FROM wins WHERE wh IN (SELECT wh FROM dup)),
+marked AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                     <= {k} THEN 0 ELSE 1 END AS nw
+    FROM dp
+),
+sp AS (
+    SELECT doc_id, pos,
+           SUM(COALESCE(nw, 1)) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+    FROM marked
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {k} AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM sp GROUP BY doc_id, span
+"""
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup cluster formation: MinHash+LSH pair graph (jaccard ≥ 0.5) →
     hash-min connected components → canonical keep-list. The docs3 corpus
@@ -2616,6 +2673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sources_distinct": q_sources_distinct,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_incremental": q_minhash_incremental,
+        "repeated_spans": q_repeated_spans,
         "dedup_components": q_dedup_components,
         "simhash_pairs": q_simhash_pairs,
         "corpus_split": q_corpus_split,
@@ -2680,6 +2738,7 @@ def oracle_sql() -> dict[str, str]:
         "sources_distinct": _oracle_sources_distinct(),
         "minhash_lsh_pairs": _oracle_minhash_lsh_pairs(),
         "minhash_incremental": _oracle_minhash_incremental(),
+        "repeated_spans": _oracle_repeated_spans(),
         "dedup_components": _oracle_dedup_components(),
         "simhash_pairs": _oracle_simhash_pairs(),
         "corpus_split": _oracle_corpus_split(),

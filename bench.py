@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "exact_dedup",
     "minhash_lsh_pairs",
     "minhash_incremental",
+    "repeated_spans",
     "dedup_components",
     "simhash_pairs",
     "corpus_split",

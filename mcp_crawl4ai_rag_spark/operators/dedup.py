@@ -276,6 +276,84 @@ def minhash_pairs_incremental(
     return out
 
 
+def repeated_spans(
+    docs: DataFrame,
+    k: int = 50,
+    min_occurrences: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, span_start, span_end, n_windows): maximal token spans covered by
+    k-token windows that occur ≥ ``min_occurrences`` times across the
+    corpus — the exact-substring duplication pass of Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better"),
+    re-expressed relationally instead of with a suffix array.
+
+    span_start/span_end are 0-based token offsets, end exclusive; a span at
+    [s, e) means tokens s..e-1 sit inside some globally-repeated k-window.
+
+    Scale shape: one explode to (window-hash, doc, pos) — linear in corpus
+    tokens; repeated hashes found by a map-side-combined count; a doc's
+    duplicated windows come back via semi-join; the interval merge is a
+    per-document window function (partitioned by doc id — bounded, never
+    global). Window hashes are 60-bit md5s so the DuckDB twin reproduces
+    them exactly.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.hashing import md5int64
+    from ..functions.text import words_expr
+
+    # k-token window starting at pos: hash of the joined slice (docs with
+    # fewer than k tokens contribute no windows)
+    w_arr = words_expr(F.col(text_col))
+    idx = F.when(
+        F.size(w_arr) >= k,
+        F.sequence(F.lit(0), F.size(w_arr) - F.lit(k)),
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    windows = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                idx,
+                lambda i: md5int64(
+                    F.concat(
+                        F.lit("rs:"), F.array_join(F.slice(w_arr, i + 1, k), " ")
+                    )
+                ),
+            )
+        ).alias("pos", "wh"),
+    )
+    dup_h = (
+        windows.groupBy("wh")
+        .agg(F.count("*").alias("__n"))
+        .where(F.col("__n") >= min_occurrences)
+        .select("wh")
+    )
+    dup_pos = windows.join(dup_h, "wh", "left_semi")
+
+    wspec = Window.partitionBy(id_col).orderBy("pos")
+    # windows at pos and prev cover overlapping/adjacent token ranges iff
+    # pos <= prev + k; a larger gap starts a new merged span
+    marked = dup_pos.withColumn(
+        "__new",
+        (
+            F.coalesce(
+                (F.col("pos") - F.lag("pos").over(wspec)) > k, F.lit(True)
+            )
+        ).cast("int"),
+    ).withColumn("__span", F.sum("__new").over(wspec))
+    return (
+        marked.groupBy(id_col, "__span")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k)).alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .drop("__span")
+    )
+
+
 def simhash_docs(
     docs: DataFrame,
     text_col: str = "text",

@@ -278,3 +278,52 @@ def test_minhash_index_append_roundtrip(spark, tmp_path):
     got = spark.read.parquet(idx)
     assert got.select("doc_id").distinct().count() == 10
     assert got.count() == 40  # 10 docs x 4 bands
+
+
+def test_repeated_spans_matches_python(spark):
+    from mcp_crawl4ai_rag_spark.operators.dedup import repeated_spans
+
+    # doc 1 and 2 share tokens 5..14 of doc 1 (planted); doc 3 is unique;
+    # doc 4 repeats a window twice WITHIN itself
+    base = [f"w{i}" for i in range(30)]
+    shared = base[5:15]
+    docs_py = {
+        1: base,
+        2: [f"x{i}" for i in range(4)] + shared + [f"y{i}" for i in range(6)],
+        3: [f"z{i}" for i in range(25)],
+        4: [f"q{i}" for i in range(3)] + ["r0", "r1", "r2", "r3", "r4"] * 2 + ["tail"],
+    }
+    k = 5
+    df = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in docs_py.items()], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"]): r["n_windows"]
+        for r in repeated_spans(df, k=k).collect()
+    }
+
+    # python reference: same hashing irrelevant — windows compare by content
+    from collections import Counter
+
+    win = {
+        d: [" ".join(t[i : i + k]) for i in range(len(t) - k + 1)]
+        for d, t in docs_py.items()
+    }
+    counts = Counter(w for ws in win.values() for w in ws)
+    expected = {}
+    for d, ws in win.items():
+        dup = [i for i, w in enumerate(ws) if counts[w] >= 2]
+        # merge: extend the current span while the gap between duplicated
+        # window starts is <= k, else begin a new one
+        merged = []
+        for i in dup:
+            if merged and i - merged[-1][1] <= k:
+                merged[-1] = (merged[-1][0], i, merged[-1][2] + 1)
+            else:
+                merged.append((i, i, 1))
+        for s, e, n in merged:
+            expected[(d, s, e + k)] = n
+    assert got == expected
+    # sanity on the planted structure
+    assert (1, 5, 15) in got and (2, 4, 14) in got
+    assert not any(d == 3 for d, _, _ in got)
