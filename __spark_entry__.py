@@ -559,6 +559,65 @@ FROM sp GROUP BY doc_id, span
 """
 
 
+def q_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply step of exact-substring dedup: excise every repeated-window
+    span found by the detector and rebuild the text (docs without spans
+    pass through byte-identical)."""
+    from mcp_crawl4ai_rag_spark.operators.dedup import (
+        remove_spans,
+        repeated_spans,
+    )
+
+    docs = _docs2(spark, sf_dir)
+    spans = repeated_spans(docs, k=_RS_K)
+    return remove_spans(docs, spans).select(
+        "doc_id",
+        F.md5("clean").alias("clean_md5"),
+        F.col("n_tokens_removed").cast("long").alias("n_tokens_removed"),
+    )
+
+
+def _oracle_span_removal() -> str:
+    inner = _oracle_repeated_spans().strip()
+    return f"""
+WITH {_DOCS2_SQL.strip()},
+spans AS ({inner}),
+toks AS (
+    SELECT doc_id, t.i AS pos,
+           (regexp_extract_all(text, '{_WS_RE}'))[t.i + 1] AS tok
+    FROM docs2,
+         unnest(generate_series(0, len(regexp_extract_all(text, '{_WS_RE}')) - 1)) t(i)
+),
+removed AS (
+    SELECT DISTINCT t.doc_id, t.pos
+    FROM toks t JOIN spans s
+      ON s.doc_id = t.doc_id
+     AND t.pos >= s.span_start AND t.pos < s.span_end
+),
+kept AS (
+    SELECT t.doc_id, t.pos, t.tok
+    FROM toks t LEFT JOIN removed r
+      ON r.doc_id = t.doc_id AND r.pos = t.pos
+    WHERE r.pos IS NULL
+),
+rebuilt AS (
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean
+    FROM kept GROUP BY doc_id
+),
+nrem AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS nr FROM removed GROUP BY doc_id
+)
+SELECT d.doc_id,
+       md5(CASE WHEN COALESCE(nrem.nr, 0) > 0
+                THEN COALESCE(rebuilt.clean, '')
+                ELSE d.text END) AS clean_md5,
+       COALESCE(nrem.nr, 0) AS n_tokens_removed
+FROM docs2 d
+LEFT JOIN rebuilt ON rebuilt.doc_id = d.doc_id
+LEFT JOIN nrem ON nrem.doc_id = d.doc_id
+"""
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup cluster formation: MinHash+LSH pair graph (jaccard ≥ 0.5) →
     hash-min connected components → canonical keep-list. The docs3 corpus
@@ -2674,6 +2733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_incremental": q_minhash_incremental,
         "repeated_spans": q_repeated_spans,
+        "span_removal": q_span_removal,
         "dedup_components": q_dedup_components,
         "simhash_pairs": q_simhash_pairs,
         "corpus_split": q_corpus_split,
@@ -2739,6 +2799,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _oracle_minhash_lsh_pairs(),
         "minhash_incremental": _oracle_minhash_incremental(),
         "repeated_spans": _oracle_repeated_spans(),
+        "span_removal": _oracle_span_removal(),
         "dedup_components": _oracle_dedup_components(),
         "simhash_pairs": _oracle_simhash_pairs(),
         "corpus_split": _oracle_corpus_split(),

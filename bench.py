@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs",
     "minhash_incremental",
     "repeated_spans",
+    "span_removal",
     "dedup_components",
     "simhash_pairs",
     "corpus_split",

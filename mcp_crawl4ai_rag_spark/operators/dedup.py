@@ -354,6 +354,69 @@ def repeated_spans(
     )
 
 
+def remove_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, clean, n_tokens_removed): excise the tokens covered by
+    :func:`repeated_spans` output and rebuild the text — the apply step of
+    the exact-substring dedup pass.
+
+    Tokens are the original-case ``\\S+`` runs (same boundaries as the
+    span detector's lowercased tokens, so positions align); documents WITH
+    spans are rebuilt single-space-joined (whitespace canonicalized),
+    documents without spans pass through byte-identical. Per-doc work is an
+    equi-join on the doc id plus a range predicate — span tables are tiny
+    relative to the corpus."""
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)
+        ).alias("pos", "tok"),
+    )
+    removed = (
+        toks.join(spans, id_col)
+        .where(
+            (F.col("pos") >= F.col("span_start"))
+            & (F.col("pos") < F.col("span_end"))
+        )
+        .select(id_col, "pos")
+        .distinct()
+    )
+    kept = toks.join(removed, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("__clean"),
+    )
+    n_removed = removed.groupBy(id_col).agg(
+        F.count("*").alias("__n_removed")
+    )
+    return (
+        docs.select(F.col(id_col), F.col(text_col))
+        .join(rebuilt, id_col, "left")
+        .join(n_removed, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(
+                F.coalesce(F.col("__n_removed"), F.lit(0)) > 0,
+                F.coalesce(F.col("__clean"), F.lit("")),
+            )
+            .otherwise(F.col(text_col))
+            .alias("clean"),
+            F.coalesce(F.col("__n_removed"), F.lit(0))
+            .cast("long")
+            .alias("n_tokens_removed"),
+        )
+    )
+
+
 def simhash_docs(
     docs: DataFrame,
     text_col: str = "text",

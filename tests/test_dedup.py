@@ -327,3 +327,43 @@ def test_repeated_spans_matches_python(spark):
     # sanity on the planted structure
     assert (1, 5, 15) in got and (2, 4, 14) in got
     assert not any(d == 3 for d, _, _ in got)
+
+
+def test_remove_spans_applies_and_passes_through(spark):
+    from mcp_crawl4ai_rag_spark.operators.dedup import remove_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "A B C D E F G H"),
+            (2, "Keep  original   WHITESPACE untouched"),
+            (3, "X Y Z"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = spark.createDataFrame(
+        # doc 1: remove tokens [2,5) and [6,8) ; doc 3: remove everything
+        [(1, 2, 5), (1, 6, 8), (3, 0, 3)],
+        "doc_id long, span_start long, span_end long",
+    )
+    got = {r["doc_id"]: r for r in remove_spans(docs, spans).collect()}
+    assert got[1]["clean"] == "A B F" and got[1]["n_tokens_removed"] == 5
+    # no spans -> byte-identical original text, odd whitespace and all
+    assert got[2]["clean"] == "Keep  original   WHITESPACE untouched"
+    assert got[2]["n_tokens_removed"] == 0
+    assert got[3]["clean"] == "" and got[3]["n_tokens_removed"] == 3
+
+
+def test_remove_spans_roundtrip_with_detector(spark):
+    from mcp_crawl4ai_rag_spark.operators.dedup import remove_spans, repeated_spans
+
+    base = " ".join(f"w{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " extra unique suffix here")],
+        "doc_id long, text string",
+    )
+    spans = repeated_spans(docs, k=10)
+    out = {r["doc_id"]: r for r in remove_spans(docs, spans).collect()}
+    # the shared 30-token prefix is excised from both docs
+    assert out[1]["clean"] == "" and out[1]["n_tokens_removed"] == 30
+    assert out[2]["clean"] == "extra unique suffix here"
+    assert out[2]["n_tokens_removed"] == 30
