@@ -114,6 +114,21 @@ def fingerprint_expr(text: Column | str) -> Column:
     return F.md5(F.array_join(words_expr(text), " "))
 
 
+def ordered_rebuild_agg(pos_col: str, val_col: str, sep: str) -> Column:
+    """Aggregate expression: ``val_col`` values joined by ``sep`` in
+    ``pos_col`` order — the order-preserving text-rebuild step shared by
+    boilerplate removal and span excision (collect_list is unordered;
+    array_sort on (pos, val) structs restores the original sequence
+    deterministically)."""
+    return F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(pos_col, val_col))),
+            lambda s: s[val_col],
+        ),
+        sep,
+    )
+
+
 # PII scrubbing patterns — ASCII-only, backtracking-free, identical
 # semantics under Java regex (Spark) and RE2 (DuckDB oracle).
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

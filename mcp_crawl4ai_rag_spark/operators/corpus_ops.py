@@ -149,17 +149,11 @@ def strip_boilerplate(
         )
         .select("__host", "__line")
     )
+    from ..functions.text import ordered_rebuild_agg
+
     kept = lines.join(boiler, ["__host", "__line"], "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("__pos", "__line"))
-                ),
-                lambda s: s["__line"],
-            ),
-            "\n",
-        ).alias("clean"),
+        ordered_rebuild_agg("__pos", "__line", "\n").alias("clean"),
         F.count("*").alias("__kept_lines"),
     )
     orig_lines = lines.groupBy(id_col).agg(F.count("*").alias("__orig_lines"))

@@ -385,15 +385,11 @@ def remove_spans(
         .select(id_col, "pos")
         .distinct()
     )
+    from ..functions.text import ordered_rebuild_agg
+
     kept = toks.join(removed, [id_col, "pos"], "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
-            ),
-            " ",
-        ).alias("__clean"),
+        ordered_rebuild_agg("pos", "tok", " ").alias("__clean"),
     )
     n_removed = removed.groupBy(id_col).agg(
         F.count("*").alias("__n_removed")

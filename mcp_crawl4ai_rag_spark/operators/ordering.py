@@ -93,43 +93,18 @@ def distributed_rank(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Add ``out_col`` = deterministic 0-based global rank of each row under
-    ``ORDER BY order_cols`` (must be a total order), plus ``offset``."""
-    cols = [F.col(c).asc() for c in order_cols]
-    if num_partitions:
-        ranged = df.repartitionByRange(num_partitions, *cols)
-    else:
-        ranged = df.repartitionByRange(*cols)
-    ranged = ranged.sortWithinPartitions(*cols).withColumn(
-        "__pid", F.spark_partition_id()
-    )
-    ranged = ranged.localCheckpoint(eager=True)  # counts + final pass share it
+    ``ORDER BY order_cols`` (must be a total order), plus ``offset``.
 
-    counts = {
-        r["__pid"]: r["cnt"]
-        for r in ranged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
-    }
-    offsets: dict[int, int] = {}
-    acc = offset
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    base_fields = [f for f in ranged.schema.fields if f.name != "__pid"]
-    out_schema = StructType(base_fields + [StructField(out_col, LongType(), False)])
-    schema_out = [f.name for f in base_fields] + [out_col]
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        local = None
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            if local is None:
-                local = offsets.get(int(pdf["__pid"].iloc[0]), offset)
-            pdf = pdf.drop(columns=["__pid"])
-            pdf[out_col] = range(local, local + len(pdf))
-            local += len(pdf)
-            yield pdf[schema_out]
-
-    return ranged.mapInPandas(gen, schema=out_schema)
+    A rank is the exclusive prefix sum of ones, so this delegates to
+    :func:`distributed_cumsum` (same two-phase machinery, no duplicate
+    implementation)."""
+    out = distributed_cumsum(
+        df.withColumn("__ones", F.lit(1).cast("long")),
+        order_cols,
+        "__ones",
+        out_col=out_col,
+        num_partitions=num_partitions,
+    ).drop("__ones")
+    if offset:
+        out = out.withColumn(out_col, F.col(out_col) + F.lit(offset))
+    return out
