@@ -1240,15 +1240,33 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("qid", "vec_id")
     )
-    lsh = (
-        pairs.where(F.col("bucket") == F.col("qbucket"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 5)
-        .select("qid", "vec_id")
-    )
-    return recall_at_k(truth, lsh, 5).select(
-        F.col("qid").cast("long").alias("qid"), "recall"
-    )
+
+    def top5(restricted):
+        return (
+            restricted.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 5)
+            .select("qid", "vec_id")
+        )
+
+    methods = {
+        # single-bucket probing vs the radius-1 multi-probe remedy
+        "lsh1": pairs.where(F.col("bucket") == F.col("qbucket")),
+        "lsh_multiprobe": pairs.where(
+            F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket"))) <= 1
+        ),
+    }
+    outs = [
+        recall_at_k(truth, top5(df), 5).select(
+            F.lit(name).alias("method"),
+            F.col("qid").cast("long").alias("qid"),
+            "recall",
+        )
+        for name, df in methods.items()
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
 
 
 def _oracle_ann_recall() -> str:
@@ -1283,22 +1301,38 @@ truth AS (
         FROM pairs
     ) WHERE rn <= 5
 ),
-lsh AS (
+lsh1 AS (
     SELECT qid, vec_id FROM (
         SELECT qid, vec_id,
                row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
         FROM pairs WHERE bucket = qbucket
     ) WHERE rn <= 5
 ),
-hits AS (
+lshm AS (
+    SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
+        FROM pairs WHERE bit_count(xor(bucket, qbucket)) <= 1
+    ) WHERE rn <= 5
+),
+hits1 AS (
     SELECT t.qid, count(*) AS h
-    FROM truth t JOIN lsh l ON t.qid = l.qid AND t.vec_id = l.vec_id
+    FROM truth t JOIN lsh1 l ON t.qid = l.qid AND t.vec_id = l.vec_id
     GROUP BY t.qid
-)
-SELECT CAST(q2.qid AS BIGINT) AS qid,
+),
+hitsm AS (
+    SELECT t.qid, count(*) AS h
+    FROM truth t JOIN lshm l ON t.qid = l.qid AND t.vec_id = l.vec_id
+    GROUP BY t.qid
+),
+qids AS (SELECT DISTINCT qid FROM truth)
+SELECT 'lsh1' AS method, CAST(q2.qid AS BIGINT) AS qid,
        round(COALESCE(h.h, 0) / 5.0, 4) AS recall
-FROM (SELECT DISTINCT qid FROM truth) q2
-LEFT JOIN hits h ON h.qid = q2.qid
+FROM qids q2 LEFT JOIN hits1 h ON h.qid = q2.qid
+UNION ALL
+SELECT 'lsh_multiprobe' AS method, CAST(q2.qid AS BIGINT) AS qid,
+       round(COALESCE(h.h, 0) / 5.0, 4) AS recall
+FROM qids q2 LEFT JOIN hitsm h ON h.qid = q2.qid
 """
 
 
@@ -2050,6 +2084,41 @@ LIMIT 5
 """
 
 
+def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: exact cosine top-5 over the radius-1 bucket
+    ball around the query's bucket (bit_count(xor) ≤ 1) — the recall remedy
+    the ann_recall harness motivates."""
+    from mcp_crawl4ai_rag_spark.operators.similarity import lsh_multiprobe_ann
+
+    embs = _embs(spark, sf_dir)
+    q = list(embs.where(F.col("vec_id") == 0).select("embedding").head()[0])
+    return lsh_multiprobe_ann(
+        embs.where(F.col("vec_id") > 0), q, 5, EMB_DIM, _LSH_PLANES
+    )
+
+
+def _oracle_ann_multiprobe() -> str:
+    bucket_terms = " + ".join(
+        f"CASE WHEN {_sql_dot('e.embedding', _plane_sql(p, EMB_DIM))} > 0 "
+        f"THEN {1 << p} ELSE 0 END"
+        for p in range(_LSH_PLANES)
+    )
+    cos = _sql_cosine("b.embedding", "q.qe")
+    return f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+b AS (
+    SELECT e.vec_id, e.embedding, ({bucket_terms}) AS bucket
+    FROM embeddings e
+),
+qb AS (SELECT bucket FROM b WHERE vec_id = 0)
+SELECT b.vec_id, round({cos}, 4) AS sim
+FROM b CROSS JOIN q CROSS JOIN qb
+WHERE b.vec_id > 0 AND bit_count(xor(b.bucket, qb.bucket)) <= 1
+ORDER BY sim DESC, b.vec_id
+LIMIT 5
+"""
+
+
 def _sql_l2sq(a: str, b: str) -> str:
     return (
         f"list_reduce(list_transform(list_zip({a}, {b}), "
@@ -2753,6 +2822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_quantized": q_ann_quantized,
         "ann_recall": q_ann_recall,
+        "ann_multiprobe": q_ann_multiprobe,
         "embedding_neardup": q_embedding_neardup,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
@@ -2819,6 +2889,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _oracle_ann_ivf_topk(),
         "ann_quantized": _oracle_ann_quantized(),
         "ann_recall": _oracle_ann_recall(),
+        "ann_multiprobe": _oracle_ann_multiprobe(),
         "embedding_neardup": _oracle_embedding_neardup(),
         "events_hourly": _oracle_events_hourly(),
         "events_sessionize": _oracle_events_sessionize(),

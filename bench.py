@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "ann_quantized",
     "ann_recall",
+    "ann_multiprobe",
     "embed_cache",
     "embedding_neardup",
     "events_hourly",

@@ -186,6 +186,47 @@ def recall_at_k(
     )
 
 
+def lsh_multiprobe_ann(
+    embs: DataFrame,
+    query_vec: list[float],
+    k: int,
+    dim: int,
+    n_planes: int = DEFAULT_LSH_PLANES,
+    radius: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, sim): exact cosine top-k restricted to buckets within hamming
+    ``radius`` of the query's LSH bucket — multi-probe LSH. Single-bucket
+    probing misses neighbors that land one sign-flip away (the recall@k
+    harness measures ≈0 on isotropic vectors); probing the radius-1 ball
+    (1 + n_planes buckets) recovers most of them for (1+n)× the scan of one
+    bucket, still a tiny fraction of the corpus. The probe predicate is
+    ``bit_count(bucket XOR q_bucket) <= radius`` — pure codegen, no bucket
+    list to enumerate, and partition-prunable when the corpus is stored
+    bucket-partitioned (write-time layout, operators/similarity
+    lsh_write_index)."""
+    # left-fold dot, matching F.aggregate / list_reduce summation order
+    # exactly (numpy's pairwise summation could flip a near-zero sign)
+    q_bucket = 0
+    for p in range(n_planes):
+        acc = 0.0
+        for x, hh in zip(query_vec, hyperplane(p, dim)):
+            acc += float(x) * float(hh)
+        if acc > 0:
+            q_bucket |= 1 << p
+    bucketed = embs.withColumn(
+        "__bucket", bucket_expr(F.col(vec_col), dim, n_planes)
+    )
+    probed = bucketed.where(
+        F.bit_count(
+            F.col("__bucket").bitwiseXOR(F.lit(q_bucket))
+        )
+        <= radius
+    )
+    return brute_topk(probed, query_vec, k, id_col=id_col, vec_col=vec_col)
+
+
 def lsh_bucket_ann(
     embs: DataFrame,
     query_vec: list[float],

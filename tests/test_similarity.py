@@ -284,3 +284,32 @@ def test_recall_at_k(spark):
     )
     got = {r["qid"]: r["recall"] for r in recall_at_k(truth, approx, 5).collect()}
     assert got == {1: 0.6, 2: 0.0}
+
+
+def test_lsh_multiprobe_beats_single_bucket(spark, embs):
+    from mcp_crawl4ai_rag_spark.operators.similarity import (
+        brute_topk,
+        bucket_expr,
+        lsh_multiprobe_ann,
+    )
+
+    base = embs.where(F.col("vec_id") > 0)
+    total_r1 = 0
+    total_rm = 0
+    for qid in range(4):
+        q = list(embs.where(F.col("vec_id") == qid).select("embedding").head()[0])
+        truth = {r["vec_id"] for r in brute_topk(base, q, 5).collect()}
+        multi = {
+            r["vec_id"]
+            for r in lsh_multiprobe_ann(base, q, 5, DIM).collect()
+        }
+        # single bucket = radius 0
+        single = {
+            r["vec_id"]
+            for r in lsh_multiprobe_ann(base, q, 5, DIM, radius=0).collect()
+        }
+        total_r1 += len(single & truth)
+        total_rm += len(multi & truth)
+    # multi-probe recall strictly dominates single-bucket on this corpus
+    assert total_rm >= total_r1
+    assert total_rm > 0
