@@ -1248,12 +1248,33 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("qid", "vec_id")
         )
 
+    # IVF leg: corpus assigned to nearest of the 8 deterministic centroids
+    # (zero-shuffle argmin); each query probes its 2 nearest lists
+    from mcp_crawl4ai_rag_spark.operators.similarity import ivf_assign, l2sq_expr
+
+    centroids = embs.where(F.col("vec_id") < _IVF_K_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    assign = ivf_assign(corpus, centroids).select("vec_id", "cid")
+    wq = Window.partitionBy("qid").orderBy(F.asc("__d"), F.asc("cid"))
+    probes = (
+        qs.crossJoin(F.broadcast(centroids))
+        .withColumn("__d", l2sq_expr(F.col("qvec"), F.col("ce")))
+        .withColumn("__rn", F.row_number().over(wq))
+        .where(F.col("__rn") <= _IVF_N_PROBE)
+        .select("qid", "cid")
+    )
+    ivf_pairs = pairs.join(assign, "vec_id").join(
+        probes, ["qid", "cid"], "left_semi"
+    )
+
     methods = {
-        # single-bucket probing vs the radius-1 multi-probe remedy
+        # single-bucket probing vs the radius-1 multi-probe remedy vs IVF
         "lsh1": pairs.where(F.col("bucket") == F.col("qbucket")),
         "lsh_multiprobe": pairs.where(
             F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket"))) <= 1
         ),
+        "ivf2of8": ivf_pairs,
     }
     outs = [
         recall_at_k(truth, top5(df), 5).select(
@@ -1315,6 +1336,34 @@ lshm AS (
         FROM pairs WHERE bit_count(xor(bucket, qbucket)) <= 1
     ) WHERE rn <= 5
 ),
+cents AS (
+    SELECT vec_id AS cid, embedding AS ce FROM embeddings
+    WHERE vec_id < {_IVF_K_CENTROIDS}
+),
+probes AS (
+    SELECT qid, cid FROM (
+        SELECT q.qid, cents.cid,
+               row_number() OVER (PARTITION BY q.qid
+                   ORDER BY {_sql_l2sq('cents.ce', 'q.qvec')} ASC, cents.cid ASC) AS rn
+        FROM q CROSS JOIN cents
+    ) WHERE rn <= {_IVF_N_PROBE}
+),
+assign AS (
+    SELECT e.vec_id, cents.cid,
+           {_sql_l2sq('e.embedding', 'cents.ce')} AS d
+    FROM embeddings e CROSS JOIN cents
+    WHERE e.vec_id >= 8
+    QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY d ASC, cents.cid ASC) = 1
+),
+ivf AS (
+    SELECT qid, vec_id FROM (
+        SELECT p.qid, p.vec_id,
+               row_number() OVER (PARTITION BY p.qid ORDER BY p.sim DESC, p.vec_id ASC) AS rn
+        FROM pairs p
+        JOIN assign a ON a.vec_id = p.vec_id
+        JOIN probes pr ON pr.qid = p.qid AND pr.cid = a.cid
+    ) WHERE rn <= 5
+),
 hits1 AS (
     SELECT t.qid, count(*) AS h
     FROM truth t JOIN lsh1 l ON t.qid = l.qid AND t.vec_id = l.vec_id
@@ -1325,6 +1374,11 @@ hitsm AS (
     FROM truth t JOIN lshm l ON t.qid = l.qid AND t.vec_id = l.vec_id
     GROUP BY t.qid
 ),
+hitsi AS (
+    SELECT t.qid, count(*) AS h
+    FROM truth t JOIN ivf l ON t.qid = l.qid AND t.vec_id = l.vec_id
+    GROUP BY t.qid
+),
 qids AS (SELECT DISTINCT qid FROM truth)
 SELECT 'lsh1' AS method, CAST(q2.qid AS BIGINT) AS qid,
        round(COALESCE(h.h, 0) / 5.0, 4) AS recall
@@ -1333,6 +1387,10 @@ UNION ALL
 SELECT 'lsh_multiprobe' AS method, CAST(q2.qid AS BIGINT) AS qid,
        round(COALESCE(h.h, 0) / 5.0, 4) AS recall
 FROM qids q2 LEFT JOIN hitsm h ON h.qid = q2.qid
+UNION ALL
+SELECT 'ivf2of8' AS method, CAST(q2.qid AS BIGINT) AS qid,
+       round(COALESCE(h.h, 0) / 5.0, 4) AS recall
+FROM qids q2 LEFT JOIN hitsi h ON h.qid = q2.qid
 """
 
 
