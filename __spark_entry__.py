@@ -1008,6 +1008,26 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 through the persisted stats index (df table pruned to the
+    query's terms at the scan): must return exactly what the on-the-fly
+    path returns — the oracle is the same SQL as bm25_search."""
+    import tempfile
+
+    from mcp_crawl4ai_rag_spark.operators.search import (
+        bm25_search,
+        bm25_write_stats,
+    )
+
+    docs = _docs(spark, sf_dir)
+    idx = tempfile.mkdtemp(prefix="bm25_idx_gate_")
+    bm25_write_stats(docs, idx, id_col="doc_id", text_col="text")
+    return bm25_search(
+        docs, _BM25_QUERY_A + " scan", topk=15,
+        id_col="doc_id", text_col="text", stats_path=idx,
+    )
+
+
 def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: reciprocal-rank fusion of two ranked lists (two
     BM25 legs here — the embedding leg fuses identically)."""
@@ -2867,6 +2887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "contamination": q_contamination,
         "bm25_search": q_bm25_search,
+        "bm25_indexed": q_bm25_indexed,
         "hybrid_rrf": q_hybrid_rrf,
         "gopher_filter": q_gopher_filter,
         "pii_scrub": q_pii_scrub,
@@ -2934,6 +2955,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk": _oracle_vocab_topk(),
         "contamination": _oracle_contamination(),
         "bm25_search": _oracle_bm25_search(),
+        "bm25_indexed": _oracle_bm25_search(),
         "hybrid_rrf": _oracle_hybrid_rrf(),
         "gopher_filter": _oracle_gopher_filter(),
         "pii_scrub": _oracle_pii_scrub(),

@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "vocab_topk",
     "contamination",
     "bm25_search",
+    "bm25_indexed",
     "hybrid_rrf",
     "gopher_filter",
     "pii_scrub",

@@ -13,10 +13,10 @@ Scale shape
   per matching doc, not the whole posting list. Corpus stats (N, avgdl) are
   scalar aggregates; per-term document frequencies are a tiny table joined
   broadcast. Top-k ends in TakeOrderedAndProject.
-- At 100 TB the df/avgdl statistics should be precomputed once per corpus
-  snapshot and passed in — both entry points accept precomputed stats for
-  that (``stats`` / ``doc_freq`` parameters), falling back to computing them
-  from the corpus.
+- At 100 TB the df/avgdl statistics are precomputed once per corpus
+  snapshot (:func:`bm25_write_stats`) and served from the persisted index
+  via ``bm25_search(..., stats_path=...)``, falling back to computing them
+  from the corpus when no index exists.
 - RRF is a full-outer join of two small top-k lists — driver-scale inputs,
   never corpus-scale.
 
@@ -35,6 +35,30 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
+def bm25_write_stats(
+    chunks: DataFrame,
+    path: str,
+    id_col: str = "chunk_id",
+    text_col: str = "content",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the BM25 corpus statistics: ``path/df`` holds the full
+    vocabulary's document frequencies, ``path/corpus`` the scalar
+    (n_docs, avgdl) row. Computed once per corpus snapshot so the serving
+    path never re-aggregates the corpus per query."""
+    toks = chunks.select(
+        F.col(id_col), words_expr(F.col(text_col)).alias("__w")
+    )
+    toks.select(
+        F.col(id_col), F.explode(F.array_distinct("__w")).alias("term")
+    ).groupBy("term").agg(
+        F.countDistinct(id_col).alias("df")
+    ).write.mode(mode).parquet(path + "/df")
+    toks.select(F.size("__w").alias("dl")).agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).write.mode(mode).parquet(path + "/corpus")
+
+
 def bm25_search(
     chunks: DataFrame,
     query: str,
@@ -43,12 +67,18 @@ def bm25_search(
     text_col: str = "content",
     k1: float = BM25_K1,
     b: float = BM25_B,
+    stats_path: str | None = None,
 ) -> DataFrame:
     """(id, score): Okapi BM25 top-k for a whitespace-tokenized query.
 
     idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5));
     score(d) = Σ_t idf·tf·(k1+1)/(tf + k1·(1 - b + b·dl/avgdl)).
     Scores rounded to 4dp; ties broken by id for determinism.
+
+    With ``stats_path`` (written by :func:`bm25_write_stats`) the per-term
+    document frequencies and corpus stats come from the persisted index —
+    the df read prunes to the query's terms at the parquet scan — instead
+    of re-aggregating the corpus per query (the serving-path shape).
     """
     q_terms = sorted(set(query.lower().split()))
     if not q_terms:
@@ -65,11 +95,6 @@ def bm25_search(
             F.col("__w"), q_lit
         ).alias("__hit_terms"),
         F.col("__w"),
-    )
-
-    # corpus stats: one scalar row (N, avgdl) — broadcast by construction
-    stats = toks.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
 
     # per-(doc, query-term) term frequency; explode ONLY matching terms
@@ -89,8 +114,19 @@ def bm25_search(
         )
     )
 
-    # document frequency per query term — ≤ |query| rows, broadcast
-    df_t = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    if stats_path is not None:
+        spark = chunks.sparkSession
+        stats = spark.read.parquet(stats_path + "/corpus")
+        df_t = spark.read.parquet(stats_path + "/df").where(
+            F.col("term").isin(q_terms)
+        )
+    else:
+        # corpus stats: one scalar row (N, avgdl) — broadcast by construction
+        stats = toks.agg(
+            F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+        )
+        # document frequency per query term — ≤ |query| rows, broadcast
+        df_t = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
 
     scored = (
         tf.join(F.broadcast(df_t), "term")

@@ -84,3 +84,17 @@ def test_rrf_fuse(spark):
     # tie between 2 and 4 (both 1/62) broken by id
     ids = [r["chunk_id"] for r in rows]
     assert ids.index(2) < ids.index(4)
+
+
+def test_bm25_indexed_equals_on_the_fly(spark, chunks, tmp_path):
+    from mcp_crawl4ai_rag_spark.operators.search import bm25_search, bm25_write_stats
+
+    idx = str(tmp_path / "bm25_stats")
+    bm25_write_stats(chunks, idx)
+    direct = bm25_search(chunks, "quick fox dog", topk=10).collect()
+    indexed = bm25_search(chunks, "quick fox dog", topk=10, stats_path=idx).collect()
+    assert [(r["chunk_id"], r["score"]) for r in direct] == [
+        (r["chunk_id"], r["score"]) for r in indexed
+    ]
+    # absent query terms neither crash nor contribute
+    assert bm25_search(chunks, "zzz", topk=5, stats_path=idx).count() == 0
