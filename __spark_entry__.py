@@ -1426,6 +1426,56 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_caption_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-score-style image↔caption alignment filter
+    (operators/similarity.alignment_filter — the LAION-shape cleaning gate
+    for an image+caption corpus). Deterministic pairs over the embeddings
+    table: pair i carries text embedding vec_id=i and an image embedding
+    that is a lossy-encoder perturbation of it (0.9·v + 0.01); every 10th
+    pair's image embedding is swapped with its neighbor's — a planted
+    caption mismatch. keep = alignment ≥ 0.8 drops exactly the swaps."""
+    from mcp_crawl4ai_rag_spark.operators.similarity import alignment_filter
+
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+    nxt = embs.select(
+        (F.col("vec_id") - 1).alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("mis"),
+    )
+    pairs = embs.join(nxt, "vec_id")
+    img = F.when(F.col("vec_id") % 10 == 0, F.col("mis")).otherwise(
+        F.transform(F.col("embedding"), lambda v: v.cast("double") * 0.9 + 0.01)
+    )
+    pairs = pairs.select(
+        F.col("vec_id").alias("pair_id"),
+        img.alias("img_vec"),
+        F.col("embedding").alias("txt_vec"),
+    )
+    return alignment_filter(pairs, "img_vec", "txt_vec", threshold=0.8)
+
+
+def _oracle_caption_alignment() -> str:
+    cos = _sql_cosine("p.img_vec", "p.txt_vec")
+    return f"""
+WITH nxt AS (
+  SELECT vec_id - 1 AS vec_id, embedding AS mis FROM embeddings
+),
+p AS (
+  SELECT e.vec_id AS pair_id,
+         CASE WHEN e.vec_id % 10 = 0
+              THEN list_transform(n.mis, v -> CAST(v AS DOUBLE))
+              ELSE list_transform(e.embedding,
+                                  v -> CAST(v AS DOUBLE) * 0.9 + 0.01)
+         END AS img_vec,
+         e.embedding AS txt_vec
+  FROM embeddings e JOIN nxt n USING (vec_id)
+)
+SELECT p.pair_id,
+       round({cos}, 4) AS alignment,
+       round({cos}, 4) >= 0.8 AS keep
+FROM p
+"""
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1-analog: tumbling 1h window aggregation over the events stream."""
     _utc(spark)
@@ -2776,6 +2826,119 @@ LIMIT 5
 """
 
 
+# -- weak-label quality classifier (linear probe, exact normal equations) --
+# Closed-form synthetic training table (the _KM pattern) so the DuckDB
+# oracle's Python twin can retrain bit-identically and receive the learned
+# weights as literals. Features are fixed-point ints in [-1000, 1000];
+# the weak label is a noisy linear rule over them.
+_QP_N, _QP_K = 4000, 3
+_QP_FEATS = [f"f{d}" for d in range(_QP_K)]
+
+
+def _qp_feat_expr(i, d: int):
+    from mcp_crawl4ai_rag_spark.functions.hashing import md5int64
+
+    return (
+        md5int64(F.concat(F.lit("qf:"), i.cast("string"), F.lit(f":{d}"))) % 2001
+        - 1000
+    )
+
+
+def _qp_noise_expr(i):
+    from mcp_crawl4ai_rag_spark.functions.hashing import md5int64
+
+    return md5int64(F.concat(F.lit("qn:"), i.cast("string"))) % 601 - 300
+
+
+def _qp_py_row(i: int) -> tuple:
+    from mcp_crawl4ai_rag_spark.functions.hashing import py_md5int64
+
+    f = [py_md5int64(f"qf:{i}:{d}") % 2001 - 1000 for d in range(_QP_K)]
+    noise = py_md5int64(f"qn:{i}") % 601 - 300
+    label = 1 if 3 * f[0] + 2 * f[1] - f[2] + noise > 0 else 0
+    return (*f, label)
+
+
+def _qp_feats_df(spark: SparkSession) -> DataFrame:
+    i = F.col("id")
+    base = spark.range(_QP_N).select(
+        i.alias("doc_i"),
+        *[_qp_feat_expr(i, d).alias(f"f{d}") for d in range(_QP_K)],
+        _qp_noise_expr(i).alias("noise"),
+    )
+    return base.select(
+        "doc_i",
+        *_QP_FEATS,
+        (
+            (
+                3 * F.col("f0") + 2 * F.col("f1") - F.col("f2") + F.col("noise")
+                > 0
+            ).cast("long")
+        ).alias("label"),
+    )
+
+
+def q_quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed weak-label quality classifier
+    (operators/corpus_ops.train_linear_probe): least-squares linear probe
+    fit by exact normal equations — one map-side-combined Gram-matrix
+    aggregation over the corpus, exact rational solve on the driver — then
+    every row scored in one codegen projection. The CCNet/fastText-
+    distillation shape for corpus quality filtering; weights are a pure
+    function of the data, so the oracle retrains via the Python twin and
+    scores with the same literals."""
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import (
+        linear_probe_score_expr,
+        train_linear_probe,
+    )
+
+    feats = _qp_feats_df(spark)
+    w = train_linear_probe(feats, _QP_FEATS, "label")
+    score = F.round(linear_probe_score_expr(w, _QP_FEATS), 4)
+    return feats.select(
+        "doc_i",
+        score.alias("score"),
+        (score >= 0.5).alias("pred"),
+        "label",
+    )
+
+
+def _oracle_quality_probe() -> str:
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import (
+        py_train_linear_probe,
+        sql_linear_probe_score,
+    )
+
+    w = py_train_linear_probe([_qp_py_row(i) for i in range(_QP_N)], _QP_K)
+
+    def feat_sql(d: int) -> str:
+        src = f"'qf:' || CAST(i AS VARCHAR) || ':{d}'"
+        return f"({_sql_md5int64(src)} % 2001 - 1000)"
+
+    noise = f"({_sql_md5int64(chr(39) + 'qn:' + chr(39) + ' || CAST(i AS VARCHAR)')} % 601 - 300)"
+    score = sql_linear_probe_score(w, _QP_FEATS)
+    return f"""
+WITH base AS (
+  SELECT i AS doc_i,
+         {feat_sql(0)} AS f0,
+         {feat_sql(1)} AS f1,
+         {feat_sql(2)} AS f2,
+         {noise} AS noise
+  FROM (SELECT unnest(generate_series(0, {_QP_N - 1})) AS i)
+),
+t AS (
+  SELECT doc_i, f0, f1, f2,
+         CASE WHEN 3*f0 + 2*f1 - f2 + noise > 0 THEN 1 ELSE 0 END AS label
+  FROM base
+)
+SELECT doc_i,
+       round({score}, 4) AS score,
+       round({score}, 4) >= 0.5 AS pred,
+       CAST(label AS BIGINT) AS label
+FROM t
+"""
+
+
 def q_crawl_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6+T3+A5: the reference tool-response JSON (src/crawl4ai_mcp.py:
     841-862) — counts, 5-URL preview + "...", partial-failures block with
@@ -2903,6 +3066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "ann_multiprobe": q_ann_multiprobe,
         "embedding_neardup": q_embedding_neardup,
+        "caption_alignment": q_caption_alignment,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "image_verify": q_image_verify,
@@ -2919,6 +3083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_params": q_crawl_params,
         "contextual_concat": q_contextual_concat,
         "ann_ivf_trained": q_ann_ivf_trained,
+        "quality_probe": q_quality_probe,
         "chunk_metadata": q_chunk_metadata,
         "streaming_window": q_streaming_window,
         "link_counts": q_link_counts,
@@ -2971,6 +3136,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall": _oracle_ann_recall(),
         "ann_multiprobe": _oracle_ann_multiprobe(),
         "embedding_neardup": _oracle_embedding_neardup(),
+        "caption_alignment": _oracle_caption_alignment(),
         "events_hourly": _oracle_events_hourly(),
         "events_sessionize": _oracle_events_sessionize(),
         "crawl_report": _oracle_crawl_report(),
@@ -2986,6 +3152,7 @@ def oracle_sql() -> dict[str, str]:
         # media_features: intentionally no oracle (waveform/frame math is
         # not SQL-expressible) → rows-only check, like image_features.
         "ann_ivf_trained": _oracle_ann_ivf_trained(),
+        "quality_probe": _oracle_quality_probe(),
         "chunk_metadata": _oracle_chunk_metadata(),
         "streaming_window": _oracle_streaming_window(),
         "link_counts": _oracle_link_counts(),

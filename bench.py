@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "bm25_indexed",
     "hybrid_rrf",
     "gopher_filter",
+    "quality_probe",
     "pii_scrub",
     "pack_schedule",
     "link_pagerank",
@@ -72,6 +73,7 @@ BENCH_QUERIES = [
     "ann_multiprobe",
     "embed_cache",
     "embedding_neardup",
+    "caption_alignment",
     "events_hourly",
     "events_sessionize",
     "image_verify",

@@ -315,3 +315,106 @@ def contamination_pairs(
             F.col("n_common").cast("double") / F.col("eval_shingles").cast("double"), 4
         ).alias("overlap_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weak-label quality classifier: least-squares linear probe via exact
+# normal equations (the CCNet/fastText-distillation shape: score every
+# document with a tiny linear model trained on weak labels such as
+# lang_id / gopher_pass, then threshold).
+# ---------------------------------------------------------------------------
+
+
+def _solve_normal_eqs(xx: list[list[int]], xy: list[int]) -> list[float]:
+    """Solve (X^T X) w = X^T y in exact rational arithmetic (Fraction
+    Gaussian elimination, first-nonzero pivot). Exact inputs + exact solve
+    make the weights a pure function of the data — independent of row
+    order, partitioning, and summation order. Raises on a singular system
+    (degenerate/constant features)."""
+    from fractions import Fraction
+
+    n = len(xy)
+    a = [[Fraction(xx[r][c]) for c in range(n)] + [Fraction(xy[r])] for r in range(n)]
+    for col in range(n):
+        piv = next((r for r in range(col, n) if a[r][col] != 0), None)
+        if piv is None:
+            raise ValueError("singular normal equations (degenerate features)")
+        a[col], a[piv] = a[piv], a[col]
+        inv = a[col][col]
+        a[col] = [v / inv for v in a[col]]
+        for r in range(n):
+            if r != col and a[r][col] != 0:
+                f = a[r][col]
+                a[r] = [v - f * p for v, p in zip(a[r], a[col])]
+    return [float(a[r][n]) for r in range(n)]
+
+
+def train_linear_probe(
+    df: DataFrame, feat_cols: list[str], label_col: str
+) -> list[float]:
+    """Fit ``label ≈ w0 + Σ wi·feat_i`` by least squares over the whole
+    corpus, distributed. ``feat_cols`` must be integer (fixed-point)
+    columns and ``label_col`` an integer 0/1 weak label, so every moment is
+    an exact long sum.
+
+    One aggregation computes the (k+1)×(k+1) Gram matrix X^T X and X^T y —
+    map-side combined, so the shuffle carries (k+1)(k+2)/2 + (k+1) partial
+    sums per partition regardless of row count; at 10^10 docs this is a
+    single corpus scan. The tiny system is solved on the driver in exact
+    rational arithmetic (:func:`_solve_normal_eqs`), so the learned weights
+    are bit-identical across engines and partitionings — the property that
+    lets a SQL oracle receive them as literals (the trained-centroids
+    pattern). Bound: |feat| ≤ F implies |Σ feat_a·feat_b| ≤ n·F²; with
+    F = 10³ the long sums are exact up to n ≈ 9·10¹² rows.
+
+    Returns ``[w0, w1, ..., wk]`` (bias first) as float64.
+    """
+    k = len(feat_cols)
+    cols = [F.lit(1).cast("long")] + [F.col(c).cast("long") for c in feat_cols]
+    y = F.col(label_col).cast("long")
+    aggs = []
+    for a in range(k + 1):
+        for b in range(a, k + 1):
+            aggs.append(F.sum(cols[a] * cols[b]).alias(f"xx_{a}_{b}"))
+    for a in range(k + 1):
+        aggs.append(F.sum(cols[a] * y).alias(f"xy_{a}"))
+    row = df.agg(*aggs).collect()[0]
+    xx = [
+        [row[f"xx_{min(a, b)}_{max(a, b)}"] for b in range(k + 1)]
+        for a in range(k + 1)
+    ]
+    xy = [row[f"xy_{a}"] for a in range(k + 1)]
+    return _solve_normal_eqs(xx, xy)
+
+
+def py_train_linear_probe(rows: list[tuple], k: int) -> list[float]:
+    """Pure-Python twin of :func:`train_linear_probe` (oracle/test use).
+    ``rows`` are ``(feat_1, ..., feat_k, label)`` integer tuples."""
+    xx = [[0] * (k + 1) for _ in range(k + 1)]
+    xy = [0] * (k + 1)
+    for r in rows:
+        x = (1,) + tuple(int(v) for v in r[:k])
+        yv = int(r[k])
+        for a in range(k + 1):
+            for b in range(k + 1):
+                xx[a][b] += x[a] * x[b]
+            xy[a] += x[a] * yv
+    return _solve_normal_eqs(xx, xy)
+
+
+def linear_probe_score_expr(weights: list[float], feat_cols: list[str]) -> Column:
+    """Score a row with trained weights: ``w0 + Σ feat_i·wi`` as one codegen
+    projection (left-to-right fold; the SQL twin writes the same chain, so
+    the float64 result is bit-identical)."""
+    expr: Column = F.lit(float(weights[0]))
+    for w, c in zip(weights[1:], feat_cols):
+        expr = expr + F.col(c).cast("double") * F.lit(float(w))
+    return expr
+
+
+def sql_linear_probe_score(weights: list[float], feat_exprs: list[str]) -> str:
+    """DuckDB twin of :func:`linear_probe_score_expr` (same fold order)."""
+    parts = [repr(float(weights[0]))]
+    for w, e in zip(weights[1:], feat_exprs):
+        parts.append(f"CAST({e} AS DOUBLE) * {float(w)!r}")
+    return "(" + " + ".join(parts) + ")"

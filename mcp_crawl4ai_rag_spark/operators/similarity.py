@@ -581,3 +581,33 @@ def lsh_query_index(
             q_bucket |= 1 << p
     lists = spark.read.parquet(path).where(F.col("bucket") == q_bucket)
     return brute_topk(lists, query_vec, k, id_col, vec_col)
+
+
+def alignment_filter(
+    pairs: DataFrame,
+    image_col: str,
+    text_col: str,
+    threshold: float,
+    keep_cols: tuple[str, ...] = ("pair_id",),
+) -> DataFrame:
+    """CLIP-score-style image↔caption alignment filter — the LAION-shape
+    gate a web-scale image+caption corpus is cleaned with: score each pair
+    by cosine between its image-encoder and text-encoder embeddings, keep
+    pairs at or above ``threshold``.
+
+    The encoders themselves are upstream (functions/images.py
+    extract_image_features fills the image slot; functions/embedding.py the
+    text slot); this operator is the filter over their outputs. Pure
+    Catalyst — one codegen projection per row, no shuffle, no UDF — so at
+    10^10 pairs it is a single scan whose cost is the embedding reads.
+    ``alignment`` is rounded to 4dp at the output boundary and the keep
+    decision is made on the rounded value, so any engine reproducing the
+    left-to-right float64 fold (see module docstring) makes the identical
+    keep/drop call.
+    """
+    score = F.round(cosine_expr(F.col(image_col), F.col(text_col)), 4)
+    return pairs.select(
+        *keep_cols,
+        score.alias("alignment"),
+        (score >= F.lit(float(threshold))).alias("keep"),
+    )

@@ -298,3 +298,71 @@ def test_strip_boilerplate_null_text_survives(spark):
     got = {r["doc_id"]: r for r in strip_boilerplate(docs).collect()}
     assert got[2]["clean"] == "" and got[2]["n_removed"] == 0
     assert len(got) == 3
+
+
+def test_linear_probe_exact_and_partition_invariant(spark):
+    """Normal-equations linear probe: Spark training equals the pure-Python
+    twin bit-for-bit (exact integer Gram sums + exact rational solve), is
+    invariant to repartitioning, and agrees with numpy lstsq to float64
+    tolerance."""
+    import numpy as np
+
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import (
+        linear_probe_score_expr,
+        py_train_linear_probe,
+        train_linear_probe,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    k, n = 3, 400
+    feats = rng.integers(-1000, 1001, size=(n, k))
+    noise = rng.integers(-300, 301, size=n)
+    labels = (feats @ np.array([3, 2, -1]) + noise > 0).astype(int)
+    rows = [tuple(int(v) for v in feats[i]) + (int(labels[i]),) for i in range(n)]
+
+    df = spark.createDataFrame(rows, "f0 long, f1 long, f2 long, label long")
+    w = train_linear_probe(df, ["f0", "f1", "f2"], "label")
+    w_twin = py_train_linear_probe(rows, k)
+    assert w == w_twin  # bit-identical, not approx
+
+    w_repart = train_linear_probe(
+        df.repartition(7, "f1"), ["f0", "f1", "f2"], "label"
+    )
+    assert w_repart == w
+
+    x = np.hstack([np.ones((n, 1)), feats.astype(np.float64)])
+    w_np, *_ = np.linalg.lstsq(x, labels.astype(np.float64), rcond=None)
+    assert np.allclose(w, w_np, atol=1e-9)
+
+    scored = df.select(
+        F.round(
+            linear_probe_score_expr(w, ["f0", "f1", "f2"]), 4
+        ).alias("score")
+    ).collect()
+    py_scores = sorted(
+        round(
+            float(
+                np.float64(w[0])
+                + np.float64(r[0]) * w[1]
+                + np.float64(r[1]) * w[2]
+                + np.float64(r[2]) * w[3]
+            ),
+            4,
+        )
+        for r in rows
+    )
+    assert sorted(r["score"] for r in scored) == py_scores
+
+
+def test_linear_probe_singular_raises(spark):
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import train_linear_probe
+
+    df = spark.createDataFrame(
+        [(5, 1), (5, 0), (5, 1)], "f0 long, label long"
+    )
+    try:
+        train_linear_probe(df, ["f0"], "label")
+    except ValueError as e:
+        assert "singular" in str(e)
+    else:  # pragma: no cover
+        raise AssertionError("expected singular system to raise")

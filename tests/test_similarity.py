@@ -313,3 +313,31 @@ def test_lsh_multiprobe_beats_single_bucket(spark, embs):
     # multi-probe recall strictly dominates single-bucket on this corpus
     assert total_rm >= total_r1
     assert total_rm > 0
+
+
+def test_alignment_filter_drops_planted_swaps(spark, embs):
+    """CLIP-score-style filter: genuine pairs (image emb = lossy perturbation
+    of the text emb) stay; planted caption swaps (neighbor's image emb) drop.
+    Scores match a numpy float64 oracle rounded at the same boundary."""
+    from mcp_crawl4ai_rag_spark.operators.similarity import alignment_filter
+
+    v = _vecs()
+    rows = []
+    for i in range(N - 1):
+        txt = v[i]
+        img = v[i + 1] if i % 10 == 0 else v[i] * 0.9 + 0.01
+        rows.append((i, [float(x) for x in img], [float(x) for x in txt]))
+    pairs = spark.createDataFrame(
+        rows, "pair_id long, img array<double>, txt array<double>"
+    )
+    out = alignment_filter(pairs, "img", "txt", threshold=0.8).collect()
+    assert len(out) == N - 1
+    for r in out:
+        # float32 storage in `rows` above is avoided (array<double>), so the
+        # numpy twin reproduces the engine's fold exactly at 4dp
+        i = r["pair_id"]
+        img = v[i + 1] if i % 10 == 0 else v[i] * 0.9 + 0.01
+        assert r["alignment"] == pytest.approx(
+            round(_np_cos(img, v[i]), 4), abs=1e-9
+        )
+        assert r["keep"] == (i % 10 != 0)
