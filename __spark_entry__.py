@@ -2826,6 +2826,45 @@ LIMIT 5
 """
 
 
+def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-perplexity-shape filter (operators/corpus_ops.unigram_lm_scores):
+    unigram LM trained on the corpus itself, every document scored by mean
+    token log-likelihood and perplexity."""
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import unigram_lm_scores
+
+    return unigram_lm_scores(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _oracle_unigram_lm() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_WS_RE}') AS w
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (
+    SELECT doc_id, len(w) AS dl, unnest(w) AS term
+    FROM toks WHERE len(w) > 0
+  )
+  GROUP BY doc_id, dl, term
+),
+counts AS (SELECT term, sum(tf) AS c FROM tf GROUP BY term),
+tot AS (SELECT sum(c) AS t_total FROM counts),
+s AS (
+  SELECT tf.doc_id, tf.dl,
+         sum(tf.tf * ln(CAST(counts.c AS DOUBLE) / CAST(tot.t_total AS DOUBLE))) AS ll
+  FROM tf JOIN counts USING (term) CROSS JOIN tot
+  GROUP BY tf.doc_id, tf.dl
+)
+SELECT doc_id,
+       CAST(dl AS BIGINT) AS n_tokens,
+       round(ll / dl, 4) AS mean_logprob,
+       round(exp(-(ll / dl)), 4) AS ppl
+FROM s
+"""
+
+
 # -- weak-label quality classifier (linear probe, exact normal equations) --
 # Closed-form synthetic training table (the _KM pattern) so the DuckDB
 # oracle's Python twin can retrain bit-identically and receive the learned
@@ -3084,6 +3123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contextual_concat": q_contextual_concat,
         "ann_ivf_trained": q_ann_ivf_trained,
         "quality_probe": q_quality_probe,
+        "unigram_lm": q_unigram_lm,
         "chunk_metadata": q_chunk_metadata,
         "streaming_window": q_streaming_window,
         "link_counts": q_link_counts,
@@ -3153,6 +3193,7 @@ def oracle_sql() -> dict[str, str]:
         # not SQL-expressible) → rows-only check, like image_features.
         "ann_ivf_trained": _oracle_ann_ivf_trained(),
         "quality_probe": _oracle_quality_probe(),
+        "unigram_lm": _oracle_unigram_lm(),
         "chunk_metadata": _oracle_chunk_metadata(),
         "streaming_window": _oracle_streaming_window(),
         "link_counts": _oracle_link_counts(),

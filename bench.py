@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "hybrid_rrf",
     "gopher_filter",
     "quality_probe",
+    "unigram_lm",
     "pii_scrub",
     "pack_schedule",
     "link_pagerank",

@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5int64
-from ..functions.text import word_shingles_expr
+from ..functions.text import word_shingles_expr, words_expr
 
 # 2^60: md5int64 yields 15 hex digits = 60 bits, uniform on [0, 2^60).
 _HASH_SPACE = float(1 << 60)
@@ -418,3 +418,55 @@ def sql_linear_probe_score(weights: list[float], feat_exprs: list[str]) -> str:
     for w, e in zip(weights[1:], feat_exprs):
         parts.append(f"CAST({e} AS DOUBLE) * {float(w)!r}")
     return "(" + " + ".join(parts) + ")"
+
+
+def unigram_lm_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unigram language-model document scoring — the CCNet-perplexity
+    filtering shape: train a unigram LM on the corpus itself (token
+    maximum-likelihood frequencies), then score every document by mean
+    token log-likelihood; ``ppl = exp(-mean_logprob)`` is the quantity
+    CCNet buckets on (head/middle/tail).
+
+    Returns ``(id, n_tokens, mean_logprob, ppl)``, 4dp at the boundary.
+
+    Scale shape: one explode → per-(doc, term) tf groupBy (map-side
+    combine: shuffle carries distinct (doc, term) pairs, not occurrences) →
+    token-count groupBy over the tf table (vocab-size output) → equi-join
+    tf ⋈ counts on term (stop-words are hot keys — AQE skew-join splits
+    them) → per-doc sum. The corpus total is a one-row broadcast. No
+    cross joins, no per-row Python; ln/exp stay in codegen, and both
+    engines fold IEEE doubles so 4dp rounding is engine-stable (the BM25
+    precedent in operators/search.py)."""
+    toks = docs.select(
+        F.col(id_col), words_expr(F.col(text_col)).alias("__w")
+    ).where(F.size("__w") > 0)
+    tf = (
+        toks.select(
+            F.col(id_col),
+            F.size("__w").alias("dl"),
+            F.explode("__w").alias("term"),
+        )
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    counts = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    total = counts.agg(F.sum("c").alias("t_total"))
+    mean_lp = F.col("ll") / F.col("dl")
+    return (
+        tf.join(counts, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col, "dl")
+        .agg(
+            F.sum(
+                F.col("tf") * F.log(F.col("c") / F.col("t_total"))
+            ).alias("ll")
+        )
+        .select(
+            F.col(id_col),
+            F.col("dl").cast("long").alias("n_tokens"),
+            F.round(mean_lp, 4).alias("mean_logprob"),
+            F.round(F.exp(-mean_lp), 4).alias("ppl"),
+        )
+    )

@@ -366,3 +366,38 @@ def test_linear_probe_singular_raises(spark):
         assert "singular" in str(e)
     else:  # pragma: no cover
         raise AssertionError("expected singular system to raise")
+
+
+def test_unigram_lm_matches_python_twin(spark):
+    """Unigram LM scores equal a transparent Python implementation at 4dp."""
+    import math
+
+    import pytest
+
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import unigram_lm_scores
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the dog",
+        3: "rare unique tokens here",
+        4: "the the the",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in unigram_lm_scores(docs).collect()}
+
+    counts: dict[str, int] = {}
+    for t in texts.values():
+        for w in t.lower().split():
+            counts[w] = counts.get(w, 0) + 1
+    total = sum(counts.values())
+    for i, t in texts.items():
+        ws = t.lower().split()
+        ll = sum(math.log(counts[w] / total) for w in ws)
+        mean = ll / len(ws)
+        assert got[i]["n_tokens"] == len(ws)
+        assert got[i]["mean_logprob"] == pytest.approx(round(mean, 4), abs=1e-9)
+        assert got[i]["ppl"] == pytest.approx(round(math.exp(-mean), 4), abs=1e-9)
+    # the all-stopword doc is the most likely (highest mean logprob)
+    assert max(got, key=lambda i: got[i]["mean_logprob"]) == 4
