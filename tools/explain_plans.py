@@ -337,6 +337,46 @@ def main():
         checks,
     ))
 
+    # 16. linear-probe training: one Gram-matrix aggregation, map-side
+    # combined — the shuffle carries partial sums, not rows.
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import unigram_lm_scores
+    from mcp_crawl4ai_rag_spark.operators.similarity import alignment_filter
+
+    feats = E._qp_feats_df(spark)
+    cols = [F.lit(1).cast("long")] + [F.col(c).cast("long") for c in E._QP_FEATS]
+    aggs = []
+    for a in range(len(cols)):
+        for b in range(a, len(cols)):
+            aggs.append(F.sum(cols[a] * cols[b]).alias(f"xx_{a}_{b}"))
+    gram_plan = formatted(feats.agg(*aggs))
+    checks = [("partial_sum", "Gram sums combine map-side (shuffle = partial sums, not rows)")]
+    sections.append((
+        "Linear-probe training (exact Gram aggregation)", gram_plan, checks,
+    ))
+
+    # 17. unigram LM: tf groupBy + vocab join, one-row total broadcast;
+    # partial aggregation everywhere, no corpus-side cartesian blowup.
+    lm_plan = formatted(unigram_lm_scores(docs))
+    checks = [
+        ("partial_count", "per-(doc,term) tf combines map-side"),
+        ("partial_sum", "token counts / per-doc log-likelihood combine map-side"),
+        ("BroadcastExchange", "the one-row corpus total is broadcast"),
+    ]
+    sections.append(("Unigram-LM scoring (tf ⋈ vocab + broadcast total)", lm_plan, checks))
+
+    # 18. alignment filter: pure projection over the pair scan — zero
+    # Exchange, whole plan in codegen.
+    pairs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("pair_id"),
+        F.col("embedding").alias("img"),
+        F.col("embedding").alias("txt"),
+    )
+    al_plan = formatted(alignment_filter(pairs, "img", "txt", threshold=0.8))
+    checks = [("codegen id", "score+keep are one WholeStageCodegen projection")]
+    if "Exchange" in al_plan:
+        checks.append(("never", "EXCHANGE FOUND — alignment filter must not shuffle"))
+    sections.append(("Caption-alignment filter (zero-shuffle projection)", al_plan, checks))
+
     out = ["# Physical-plan audit (auto-generated by tools/explain_plans.py)",
            "", f"sf_dir: {sf_dir}", ""]
     n_fail = 0
