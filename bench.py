@@ -308,7 +308,11 @@ def main() -> None:
     phases = os.environ.get("SPARK_GRAFT_PHASES", "all")
 
     qtimes: dict[str, float] = {}
+    queries_load = None
     if phases in ("all", "queries"):
+        # same witness as the scaling cells: 1-min loadavg at phase start,
+        # so a drifted per-query snapshot is self-identifying
+        queries_load = round(os.getloadavg()[0], 1)
         spark = _mk_spark(CPUS)
         qtimes = run_queries(spark)
         spark.stop()
@@ -318,6 +322,7 @@ def main() -> None:
             "value": None, "unit": "sec", "queries": qtimes,
             "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
             "scaling": None,
+            "loadavg_at_queries_start": queries_load,
         }))
         return
 
