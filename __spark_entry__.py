@@ -897,10 +897,10 @@ ks AS (
         (SELECT CAST((sum(tok) - 1) // {L} AS BIGINT) FROM t))) AS pack_id
 )
 SELECT ks.pack_id, c.doc_id,
-       GREATEST(0, ks.pack_id * {L} - c.cum) AS slice_start,
-       LEAST(c.tok, (ks.pack_id + 1) * {L} - c.cum)
-           - GREATEST(0, ks.pack_id * {L} - c.cum) AS slice_len,
-       GREATEST(c.cum - ks.pack_id * {L}, 0) AS pack_pos
+       CAST(GREATEST(0, ks.pack_id * {L} - c.cum) AS BIGINT) AS slice_start,
+       CAST(LEAST(c.tok, (ks.pack_id + 1) * {L} - c.cum)
+           - GREATEST(0, ks.pack_id * {L} - c.cum) AS BIGINT) AS slice_len,
+       CAST(GREATEST(c.cum - ks.pack_id * {L}, 0) AS BIGINT) AS pack_pos
 FROM c JOIN ks
   ON ks.pack_id >= c.cum // {L}
  AND ks.pack_id <= (c.cum + c.tok - 1) // {L}

@@ -90,8 +90,14 @@ def with_embeddings_cached(
     distinct side is strictly smaller than the corpus; Spark broadcasts it
     when small. Output rows/columns match :func:`with_embeddings` plus a
     ``__text_md5`` is NOT retained. Adds ``n_unique``-sized embed work
-    instead of ``n_rows``."""
-    fp = F.md5(F.col(text_col))
+    instead of ``n_rows``.
+
+    NULL-text contract: the embedder clips NULL to "" before hashing
+    (``_clip_series`` fillna), so the fingerprint is md5(coalesce(text, ''))
+    — NULL and empty text share one cache slot and one embedding, and the
+    equi-join never sees a NULL key, so no row is silently dropped; output
+    matches :func:`with_embeddings` row-for-row."""
+    fp = F.md5(F.coalesce(F.col(text_col), F.lit("")))
     with_fp = df.withColumn("__text_md5", fp)
     uniq = (
         with_fp.select("__text_md5", F.col(text_col).alias("__t"))

@@ -245,8 +245,11 @@ def pack_sequences(
         toks, [id_col], "tok", out_col="cum", num_partitions=num_partitions
     )
     L = F.lit(seq_len)
-    first = (F.col("cum") / L).cast("long")
-    last = ((F.col("cum") + F.col("tok") - 1) / L).cast("long")
+    # integer DIV (not float /): float64 division is exact only below 2^53
+    # cumulative tokens — a petatoken corpus overflows that, and the DuckDB
+    # oracle's `//` is integer from the start
+    first = F.expr(f"cum DIV {int(seq_len)}")
+    last = F.expr(f"(cum + tok - 1) DIV {int(seq_len)}")
     out = laid.select(
         F.col(id_col),
         "tok",

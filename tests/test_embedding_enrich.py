@@ -149,3 +149,22 @@ def test_with_embeddings_cached_equals_direct(spark):
     cached = {r["doc_id"]: r["embedding"] for r in with_embeddings_cached(df, dim=16).collect()}
     assert cached == direct
     assert len(cached) == 50
+
+
+def test_with_embeddings_cached_null_and_empty_text(spark):
+    """NULL-text contract: the cached path must keep NULL/empty rows (the
+    embedder clips NULL to "" before hashing), row-for-row with the direct
+    path — an inner join on md5(text) would silently drop NULL rows."""
+    from mcp_crawl4ai_rag_spark.functions.embedding import (
+        with_embeddings,
+        with_embeddings_cached,
+    )
+
+    rows = [(0, None), (1, ""), (2, "alpha"), (3, None), (4, "alpha")]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    direct = {r["doc_id"]: r["embedding"] for r in with_embeddings(df, dim=16).collect()}
+    cached = {r["doc_id"]: r["embedding"] for r in with_embeddings_cached(df, dim=16).collect()}
+    assert len(cached) == 5  # no silent row loss
+    assert cached == direct
+    # NULL and "" share one embedding (fillna("") in the clip stage)
+    assert cached[0] == cached[1] == cached[3]
