@@ -878,32 +878,46 @@ def q_pack_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_pack_schedule() -> str:
-    L = _PACK_SEQ_LEN
-    return f"""
-WITH t AS (
+def _pack_ctes(src: str, L: int) -> str:
+    """CTE chain ``pt, pc, pks`` laying out the BPE-ish token stream of a
+    docs CTE named ``src`` in doc_id order — shared by the pack_schedule
+    oracle and the pipeline_e2e composition oracle."""
+    return f"""pt AS (
     SELECT doc_id, CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS tok
-    FROM documents
+    FROM {src}
     WHERE len(regexp_extract_all(text, '{_BPE_RE}')) > 0
 ),
-c AS (
+pc AS (
     SELECT doc_id, tok,
            COALESCE(SUM(tok) OVER (ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
-    FROM t
+    FROM pt
 ),
-ks AS (
+pks AS (
     SELECT unnest(generate_series(0,
-        (SELECT CAST((sum(tok) - 1) // {L} AS BIGINT) FROM t))) AS pack_id
-)
-SELECT ks.pack_id, c.doc_id,
-       CAST(GREATEST(0, ks.pack_id * {L} - c.cum) AS BIGINT) AS slice_start,
-       CAST(LEAST(c.tok, (ks.pack_id + 1) * {L} - c.cum)
-           - GREATEST(0, ks.pack_id * {L} - c.cum) AS BIGINT) AS slice_len,
-       CAST(GREATEST(c.cum - ks.pack_id * {L}, 0) AS BIGINT) AS pack_pos
-FROM c JOIN ks
-  ON ks.pack_id >= c.cum // {L}
- AND ks.pack_id <= (c.cum + c.tok - 1) // {L}
+        (SELECT CAST((sum(tok) - 1) // {L} AS BIGINT) FROM pt))) AS pack_id
+)"""
+
+
+def _pack_select(L: int) -> str:
+    """Final pack-schedule projection over ``pc``/``pks`` (CASTs to BIGINT:
+    DuckDB's SUM/GREATEST widen to HUGEINT while Spark emits long, and the
+    driver's value hash is type-sensitive)."""
+    return f"""SELECT pks.pack_id, pc.doc_id,
+       CAST(GREATEST(0, pks.pack_id * {L} - pc.cum) AS BIGINT) AS slice_start,
+       CAST(LEAST(pc.tok, (pks.pack_id + 1) * {L} - pc.cum)
+           - GREATEST(0, pks.pack_id * {L} - pc.cum) AS BIGINT) AS slice_len,
+       CAST(GREATEST(pc.cum - pks.pack_id * {L}, 0) AS BIGINT) AS pack_pos
+FROM pc JOIN pks
+  ON pks.pack_id >= pc.cum // {L}
+ AND pks.pack_id <= (pc.cum + pc.tok - 1) // {L}"""
+
+
+def _oracle_pack_schedule() -> str:
+    L = _PACK_SEQ_LEN
+    return f"""
+WITH {_pack_ctes('documents', L)}
+{_pack_select(L)}
 """
 
 
@@ -937,34 +951,19 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_gopher_filter() -> str:
-    from mcp_crawl4ai_rag_spark.functions.text import (
-        GOPHER_MAX_BULLET_FRAC,
-        GOPHER_MAX_DUP_LINE_FRAC,
-        GOPHER_MAX_ELLIPSIS_FRAC,
-        GOPHER_MAX_MEAN_WORD_LEN,
-        GOPHER_MAX_SYMBOL_RATIO,
-        GOPHER_MAX_WORDS,
-        GOPHER_MIN_MEAN_WORD_LEN,
-        GOPHER_MIN_WORDS,
-    )
-
-    return f"""
-WITH d AS (
-    SELECT doc_id,
-           concat_ws(chr(10), text, substr(text, 1, 50), substr(text, 1, 50),
-                     '- bullet item', 'trailing...') AS text
-    FROM documents
-),
-base AS (
+def _gopher_metrics_ctes(src: str) -> str:
+    """CTE chain ``gbase, gm`` computing the Gopher shape signals over a
+    docs CTE named ``src`` — shared by the gopher_filter oracle and the
+    pipeline_e2e composition oracle."""
+    return f"""gbase AS (
     SELECT doc_id,
            regexp_extract_all(lower(text), '{_WS_RE}') AS w,
            list_filter(string_split(text, chr(10)), x -> len(x) > 0) AS lines,
            CAST(len(regexp_extract_all(text, '#')) AS DOUBLE)
              + CAST(len(regexp_extract_all(text, '\\.\\.\\.|…')) AS DOUBLE) AS n_sym
-    FROM d
+    FROM {src}
 ),
-m AS (
+gm AS (
     SELECT doc_id,
            CAST(len(w) AS BIGINT) AS n_words,
            round(CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE)
@@ -978,18 +977,47 @@ m AS (
                  / GREATEST(CAST(len(lines) AS DOUBLE), 1.0), 4) AS ellipsis_frac,
            round((CAST(len(lines) AS DOUBLE) - CAST(len(list_distinct(lines)) AS DOUBLE))
                  / GREATEST(CAST(len(lines) AS DOUBLE), 1.0), 4) AS dup_line_frac
-    FROM base
-)
+    FROM gbase
+)"""
+
+
+def _gopher_keep_sql() -> str:
+    """The Gopher keep predicate over ``gm``'s columns."""
+    from mcp_crawl4ai_rag_spark.functions.text import (
+        GOPHER_MAX_BULLET_FRAC,
+        GOPHER_MAX_DUP_LINE_FRAC,
+        GOPHER_MAX_ELLIPSIS_FRAC,
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MIN_WORDS,
+    )
+
+    return (
+        f"(n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}\n"
+        f"        AND mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN!r}\n"
+        f"        AND mean_word_len <= {GOPHER_MAX_MEAN_WORD_LEN!r}\n"
+        f"        AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO!r}\n"
+        f"        AND bullet_frac <= {GOPHER_MAX_BULLET_FRAC!r}\n"
+        f"        AND ellipsis_frac <= {GOPHER_MAX_ELLIPSIS_FRAC!r}\n"
+        f"        AND dup_line_frac <= {GOPHER_MAX_DUP_LINE_FRAC!r})"
+    )
+
+
+def _oracle_gopher_filter() -> str:
+    return f"""
+WITH d AS (
+    SELECT doc_id,
+           concat_ws(chr(10), text, substr(text, 1, 50), substr(text, 1, 50),
+                     '- bullet item', 'trailing...') AS text
+    FROM documents
+),
+{_gopher_metrics_ctes('d')}
 SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
        ellipsis_frac, dup_line_frac,
-       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
-        AND mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN!r}
-        AND mean_word_len <= {GOPHER_MAX_MEAN_WORD_LEN!r}
-        AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO!r}
-        AND bullet_frac <= {GOPHER_MAX_BULLET_FRAC!r}
-        AND ellipsis_frac <= {GOPHER_MAX_ELLIPSIS_FRAC!r}
-        AND dup_line_frac <= {GOPHER_MAX_DUP_LINE_FRAC!r}) AS keep
-FROM m
+       {_gopher_keep_sql()} AS keep
+FROM gm
 """
 
 
@@ -3035,6 +3063,516 @@ FROM n, prev
 
 
 # ---------------------------------------------------------------------------
+# merged gates
+#
+# The correctness driver records at most 50 registry rows, so closely-related
+# queries are unioned into one gate with a discriminator column (`method` /
+# `kind` / `mode`). Every leg keeps its exact per-leg Spark plan and its
+# exact per-leg oracle SQL — the merge is a UNION ALL on both sides with
+# identical tags and casts, so nothing is weakened: every value of every leg
+# is still hash-compared. Per-leg bench timings keep the leg names
+# (bench.py resolves q_<leg> directly).
+# ---------------------------------------------------------------------------
+
+
+def _tagged(sql: str, select: str) -> str:
+    """Wrap a full oracle query (may carry its own WITH/ORDER/LIMIT) as a
+    subquery and project ``select`` over it."""
+    return f"SELECT {select} FROM (\n{sql.strip()}\n) __leg"
+
+
+def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 + the ANN family behind one gate: brute-force exact cosine,
+    single-bucket LSH, radius-1 multiprobe LSH, IVF (fixed codebook), int8
+    quantized rescore, and IVF with the distributed-k-means-trained
+    codebook. Schema (method, vec_id, sim); each leg is the unchanged
+    per-leg plan."""
+    legs = {
+        "brute": q_embedding_topk,
+        "lsh": q_ann_lsh_topk,
+        "multiprobe": q_ann_multiprobe,
+        "ivf": q_ann_ivf_topk,
+        "quantized": q_ann_quantized,
+        "ivf_trained": q_ann_ivf_trained,
+    }
+    out = None
+    for tag, fn in legs.items():
+        leg = fn(spark, sf_dir).select(
+            F.lit(tag).alias("method"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("sim").cast("double").alias("sim"),
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out
+
+
+def _oracle_ann_suite() -> str:
+    legs = {
+        "brute": _oracle_embedding_topk(),
+        "lsh": _oracle_ann_lsh_topk(),
+        "multiprobe": _oracle_ann_multiprobe(),
+        "ivf": _oracle_ann_ivf_topk(),
+        "quantized": _oracle_ann_quantized(),
+        "ivf_trained": _oracle_ann_ivf_trained(),
+    }
+    sel = "'{tag}' AS method, CAST(vec_id AS BIGINT) AS vec_id, CAST(sim AS DOUBLE) AS sim"
+    return "\nUNION ALL\n".join(
+        _tagged(sql, sel.format(tag=tag)) for tag, sql in legs.items()
+    )
+
+
+def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup pair family behind one gate: MinHash+LSH (jaccard),
+    SimHash (hamming), image-phash (hamming over decoded pixels), and
+    embedding-cosine (LSH-blocked). Schema (method, id_a, id_b, score)."""
+    legs = [
+        ("minhash", q_minhash_lsh_pairs(spark, sf_dir), "jaccard"),
+        ("simhash", q_simhash_pairs(spark, sf_dir), "hamming"),
+        ("phash", q_image_phash_pairs(spark, sf_dir), "hamming"),
+        ("cosine", q_embedding_neardup(spark, sf_dir), "sim"),
+    ]
+    out = None
+    for tag, df, score_col in legs:
+        leg = df.select(
+            F.lit(tag).alias("method"),
+            F.col("id_a").cast("string").alias("id_a"),
+            F.col("id_b").cast("string").alias("id_b"),
+            F.col(score_col).cast("double").alias("score"),
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out
+
+
+def _oracle_neardup_pairs() -> str:
+    legs = {
+        "minhash": (_oracle_minhash_lsh_pairs(), "jaccard"),
+        "simhash": (_oracle_simhash_pairs(), "hamming"),
+        "phash": (_oracle_image_phash_pairs(), "hamming"),
+        "cosine": (_oracle_embedding_neardup(), "sim"),
+    }
+    return "\nUNION ALL\n".join(
+        _tagged(
+            sql,
+            f"'{tag}' AS method, CAST(id_a AS VARCHAR) AS id_a, "
+            f"CAST(id_b AS VARCHAR) AS id_b, CAST({score} AS DOUBLE) AS score",
+        )
+        for tag, (sql, score) in legs.items()
+    )
+
+
+def q_media_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C13 + the media-invariant family: image verify (decode, PSNR,
+    phash, caption), audio verify (waveform SNR, metadata), and image
+    resize (decode → resample → re-encode counts). Schema
+    (kind, fmt, n, m1, m2, m3) — m-columns are the per-leg metrics."""
+    img = q_image_verify(spark, sf_dir).select(
+        F.lit("image_verify").alias("kind"), "fmt", "n",
+        F.col("n_pixel_ok").alias("m1"),
+        F.col("n_phash_ok").alias("m2"),
+        F.col("n_caption_ok").alias("m3"),
+    )
+    aud = q_audio_verify(spark, sf_dir).select(
+        F.lit("audio_verify").alias("kind"), "fmt", "n",
+        F.col("n_sample_ok").alias("m1"),
+        F.col("sum_duration_ms").alias("m2"),
+        F.col("sum_samples").alias("m3"),
+    )
+    rsz = q_image_resize(spark, sf_dir).select(
+        F.lit("image_resize").alias("kind"), "fmt", "n",
+        F.col("out_w").alias("m1"),
+        F.col("out_h").alias("m2"),
+        F.col("n_nonempty").alias("m3"),
+    )
+    return img.unionByName(aud).unionByName(rsz)
+
+
+def _oracle_media_verify() -> str:
+    legs = {
+        "image_verify": (
+            _oracle_image_verify(), "n_pixel_ok", "n_phash_ok", "n_caption_ok"
+        ),
+        "audio_verify": (
+            _oracle_audio_verify(), "n_sample_ok", "sum_duration_ms", "sum_samples"
+        ),
+        "image_resize": (_oracle_image_resize(), "out_w", "out_h", "n_nonempty"),
+    }
+    return "\nUNION ALL\n".join(
+        _tagged(
+            sql,
+            f"'{tag}' AS kind, fmt, n, CAST({m1} AS BIGINT) AS m1, "
+            f"CAST({m2} AS BIGINT) AS m2, CAST({m3} AS BIGINT) AS m3",
+        )
+        for tag, (sql, m1, m2, m3) in legs.items()
+    )
+
+
+def q_media_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio resample + video frame sampling behind one gate. Schema
+    (kind, media_id, v1, v2, v3, tag): audio → (sr, n_samples, 0, fmt);
+    video → (frame_idx, w, h, '')."""
+    aud = q_audio_resample(spark, sf_dir).select(
+        F.lit("audio_resample").alias("kind"),
+        F.col("audio_id").alias("media_id"),
+        F.col("sr").alias("v1"),
+        F.col("n_samples").alias("v2"),
+        F.lit(0).cast("long").alias("v3"),
+        F.col("fmt").alias("tag"),
+    )
+    vid = q_video_frames(spark, sf_dir).select(
+        F.lit("video_frames").alias("kind"),
+        F.col("video_id").alias("media_id"),
+        F.col("frame_idx").alias("v1"),
+        F.col("w").alias("v2"),
+        F.col("h").alias("v3"),
+        F.lit("").alias("tag"),
+    )
+    return aud.unionByName(vid)
+
+
+def _oracle_media_transform() -> str:
+    aud = _tagged(
+        _oracle_audio_resample(),
+        "'audio_resample' AS kind, audio_id AS media_id, sr AS v1, "
+        "n_samples AS v2, CAST(0 AS BIGINT) AS v3, fmt AS tag",
+    )
+    vid = _tagged(
+        _oracle_video_frames(),
+        "'video_frames' AS kind, video_id AS media_id, frame_idx AS v1, "
+        "w AS v2, h AS v3, '' AS tag",
+    )
+    return f"{aud}\nUNION ALL\n{vid}"
+
+
+def q_smart_crawl_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """smart_crawl_url dispatch, sitemap + webpage modes behind one gate.
+    Schema (mode, canonical_url, depth); the sitemap mode is a flat batch
+    fetch (no BFS), so its depth is -1."""
+    sm = q_smart_crawl_sitemap(spark, sf_dir).select(
+        F.lit("sitemap").alias("mode"),
+        "canonical_url",
+        F.lit(-1).cast("long").alias("depth"),
+    )
+    wp = q_smart_crawl_webpage(spark, sf_dir).select(
+        F.lit("webpage").alias("mode"), "canonical_url", "depth"
+    )
+    return sm.unionByName(wp)
+
+
+def _oracle_smart_crawl_dispatch() -> str:
+    sm = _tagged(
+        _oracle_smart_crawl_sitemap(),
+        "'sitemap' AS mode, canonical_url, CAST(-1 AS BIGINT) AS depth",
+    )
+    wp = _tagged(
+        _oracle_smart_crawl_webpage(),
+        "'webpage' AS mode, canonical_url, CAST(depth AS BIGINT) AS depth",
+    )
+    return f"{sm}\nUNION ALL\n{wp}"
+
+
+def q_urlseen_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 with both membership prefilters behind one gate: sharded bloom
+    and (sharded-build) cuckoo. Both are lossless prefilters over the exact
+    anti-join, so each leg's output is an exact set difference."""
+    bl = q_urlseen_antijoin(spark, sf_dir).select(
+        F.lit("bloom").alias("filter"), "canonical_url"
+    )
+    ck = q_urlseen_cuckoo(spark, sf_dir).select(
+        F.lit("cuckoo").alias("filter"), "canonical_url"
+    )
+    return bl.unionByName(ck)
+
+
+def _oracle_urlseen_filters() -> str:
+    bl = _tagged(_oracle_urlseen_antijoin(), "'bloom' AS filter, canonical_url")
+    ck = _tagged(_oracle_urlseen_cuckoo(), "'cuckoo' AS filter, canonical_url")
+    return f"{bl}\nUNION ALL\n{ck}"
+
+
+def q_bm25_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 through both execution paths behind one gate: on-the-fly stats
+    and the persisted stats index (df table pruned to the query's terms at
+    the scan). Both must produce the identical ranking."""
+    scan = q_bm25_search(spark, sf_dir).select(
+        F.lit("scan").alias("path"), "doc_id", "score"
+    )
+    idx = q_bm25_indexed(spark, sf_dir).select(
+        F.lit("indexed").alias("path"), "doc_id", "score"
+    )
+    return scan.unionByName(idx)
+
+
+def _oracle_bm25_paths() -> str:
+    base = _oracle_bm25_search()
+    scan = _tagged(base, "'scan' AS path, doc_id, score")
+    idx = _tagged(base, "'indexed' AS path, doc_id, score")
+    return f"{scan}\nUNION ALL\n{idx}"
+
+
+def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 + token counting + language-ID + quality scoring in ONE codegen
+    projection over documents — the per-document scalar-signal family."""
+    t = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.length(t).cast("long").alias("char_count"),
+        token_count_ws(t).cast("long").alias("ws_tokens"),
+        token_count_bpe(t).cast("long").alias("bpe_tokens"),
+        punct_count(t).cast("long").alias("punct_chars"),
+        lang_id_expr(t).alias("lang_pred"),
+        quality_score_expr(t).alias("quality"),
+    )
+
+
+def _oracle_text_signals() -> str:
+    return f"""
+SELECT s.doc_id, s.char_count, s.ws_tokens, s.bpe_tokens, s.punct_chars,
+       l.lang_pred, q.quality
+FROM ({_oracle_doc_token_stats().strip()}) s
+JOIN ({_oracle_lang_id().strip()}) l USING (doc_id)
+JOIN ({_oracle_quality_score().strip()}) q USING (doc_id)
+"""
+
+
+def q_crawl_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10+A4 (parameter clamps + failure-rate gate) and C6+T3+A5 (the
+    tool-response JSON report) behind one gate. Param-sweep rows carry
+    report=''; the report row carries i=-1 and zeroed clamp columns."""
+    params = q_crawl_params(spark, sf_dir).withColumn("report", F.lit(""))
+    rep = q_crawl_report(spark, sf_dir).select(
+        F.lit(-1).cast("long").alias("i"),
+        F.lit(0).cast("long").alias("max_depth"),
+        F.lit(0).cast("long").alias("max_concurrent"),
+        F.lit(0).cast("long").alias("chunk_size"),
+        F.lit(0).cast("long").alias("abort"),
+        "report",
+    )
+    return params.unionByName(rep)
+
+
+def _oracle_crawl_ops() -> str:
+    params = _tagged(
+        _oracle_crawl_params(),
+        "i, max_depth, max_concurrent, chunk_size, abort, '' AS report",
+    )
+    rep = _tagged(
+        _oracle_crawl_report(),
+        "CAST(-1 AS BIGINT) AS i, CAST(0 AS BIGINT) AS max_depth, "
+        "CAST(0 AS BIGINT) AS max_concurrent, CAST(0 AS BIGINT) AS chunk_size, "
+        "CAST(0 AS BIGINT) AS abort, report",
+    )
+    return f"{params}\nUNION ALL\n{rep}"
+
+
+def q_contextual_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3/C5 + J3 behind one gate: the contextual concat kernel alone
+    (mode=concat, key=doc_id, chunk_number=-1) and the chunk→document
+    broadcast-join path feeding the same kernel (mode=join, key=url)."""
+    cc = q_contextual_concat(spark, sf_dir).select(
+        F.lit("concat").alias("mode"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.lit(-1).cast("long").alias("chunk_number"),
+        "contextual_content",
+    )
+    cj = q_contextual_join(spark, sf_dir).select(
+        F.lit("join").alias("mode"),
+        F.col("url").alias("key"),
+        "chunk_number",
+        "contextual_content",
+    )
+    return cc.unionByName(cj)
+
+
+def _oracle_contextual_enrich() -> str:
+    cc = _tagged(
+        _oracle_contextual_concat(),
+        "'concat' AS mode, CAST(doc_id AS VARCHAR) AS key, "
+        "CAST(-1 AS BIGINT) AS chunk_number, contextual_content",
+    )
+    cj = _tagged(
+        _oracle_contextual_join(),
+        "'join' AS mode, url AS key, chunk_number, contextual_content",
+    )
+    return f"{cc}\nUNION ALL\n{cj}"
+
+
+# ---------------------------------------------------------------------------
+# end-to-end training-data pipeline gate
+# ---------------------------------------------------------------------------
+
+
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet/LAION-shape pipeline as ONE composed query — proof the
+    corpus operators chain: Gopher shape filter → PII scrub → exact dedup
+    (fingerprint keep-min) → MinHash near-dup components keep-list →
+    deterministic train split → sequence packing; output is the final
+    packed schedule of the surviving train documents.
+
+    The corpus plants one hazard per stage: every doc carries PII (scrub
+    must fire), every 5th doc has an exact +2M copy (exact dedup must
+    collapse it), every 10th a +1M near-twin (components must drop it),
+    and short docs fail the Gopher word floor naturally. Every stage is
+    the same operator its standalone gate checks; this gate checks the
+    COMPOSITION (each stage consumes the previous stage's actual output).
+    """
+    from mcp_crawl4ai_rag_spark.functions.text import (
+        gopher_pass_expr,
+        redact_pii_expr,
+        repetition_stats_expr,
+    )
+    from mcp_crawl4ai_rag_spark.operators.components import (
+        canonical_docs,
+        connected_components,
+    )
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import (
+        hash_split,
+        pack_sequences,
+    )
+    from mcp_crawl4ai_rag_spark.operators.dedup import (
+        exact_dedup_groups,
+        minhash_lsh_pairs,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    pii = docs.select(
+        "doc_id",
+        F.expr(
+            "concat(text, ' contact user', doc_id, '@example.com or "
+            "555-123-4567 at 10.0.', doc_id % 256, '.7')"
+        ).alias("text"),
+    )
+    corpus = (
+        pii.unionByName(
+            pii.where(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        ).unionByName(
+            pii.where(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.expr("substring(text, 21)").alias("text"),
+            )
+        )
+    )
+    # stage A: Gopher shape filter (one codegen projection)
+    gf = corpus.where(gopher_pass_expr(repetition_stats_expr(F.col("text"))))
+    # stage B: PII scrub (codegen regexp chain)
+    scrub = gf.select(
+        "doc_id", redact_pii_expr(F.col("text"))["clean"].alias("text")
+    )
+    # stage C: exact dedup — fingerprint groups, keep canonical (min id)
+    groups = exact_dedup_groups(scrub)
+    ex = scrub.join(
+        groups.select(F.col("canonical_id").alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    ).localCheckpoint(eager=True)  # consumed by signatures + verify + keep-list
+    # stage D: near-dup components keep-list (MinHash bands → jaccard ≥ 0.5
+    # → hash-min components → canonical survivors)
+    edges = minhash_lsh_pairs(ex, min_jaccard=_COMPONENTS_MIN_JACCARD).select(
+        "id_a", "id_b"
+    )
+    kept = canonical_docs(ex, connected_components(edges))
+    # stage E: deterministic split, keep train
+    train = (
+        hash_split(kept, _SPLIT_WEIGHTS, salt=_SPLIT_SALT)
+        .where(F.col("split") == "train")
+        .drop("split")
+    )
+    # stage F: sequence packing of the survivors
+    return pack_sequences(train, _PACK_SEQ_LEN).select(
+        F.col("pack_id").cast("long").alias("pack_id"),
+        "doc_id",
+        F.col("slice_start").cast("long").alias("slice_start"),
+        F.col("slice_len").cast("long").alias("slice_len"),
+        F.col("pack_pos").cast("long").alias("pack_pos"),
+    )
+
+
+def _oracle_pipeline_e2e() -> str:
+    from mcp_crawl4ai_rag_spark.functions.text import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+    )
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import sql_split_fraction
+
+    def esc(p: str) -> str:
+        return p.replace("'", "''")
+
+    em, ph, ip = esc(PII_EMAIL_RE), esc(PII_PHONE_RE), esc(PII_IPV4_RE)
+    frac = sql_split_fraction("doc_id", _SPLIT_SALT)
+    train_hi = 0.8 / sum(_SPLIT_WEIGHTS.values())  # hash_split's exact float
+    L = _PACK_SEQ_LEN
+    return f"""
+WITH RECURSIVE piid AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com or 555-123-4567 at 10.0.'
+                || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
+    FROM documents
+),
+corpus AS (
+    SELECT doc_id, text FROM piid
+    UNION ALL
+    SELECT doc_id + 2000000, text FROM piid WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id + 1000000, substr(text, 21) FROM piid WHERE doc_id % 10 = 0
+),
+{_gopher_metrics_ctes('corpus')},
+gf AS (
+    SELECT c.doc_id, c.text
+    FROM corpus c JOIN gm USING (doc_id)
+    WHERE {_gopher_keep_sql()}
+),
+scrub AS (
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '{em}', '<EMAIL>', 'g'),
+               '{ph}', '<PHONE>', 'g'),
+               '{ip}', '<IP>', 'g') AS text
+    FROM gf
+),
+fp AS (
+    SELECT doc_id, text,
+           md5(array_to_string(regexp_extract_all(lower(text), '{_WS_RE}'), ' ')) AS f
+    FROM scrub
+),
+ex AS (
+    SELECT doc_id, text FROM fp
+    QUALIFY doc_id = min(doc_id) OVER (PARTITION BY f)
+),
+{_minhash_pairs_ctes('ex')},
+pairs AS (
+    SELECT id_a, id_b FROM ({_PAIRS_SELECT_SQL.strip()}) p
+    WHERE p.jaccard >= {_COMPONENTS_MIN_JACCARD}
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+    SELECT doc_id, doc_id FROM ex
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (
+    SELECT src AS doc_id, MIN(dst) AS component_id FROM reach GROUP BY src
+),
+kept AS (
+    SELECT ex.doc_id, ex.text
+    FROM ex JOIN comp USING (doc_id)
+    WHERE comp.doc_id = comp.component_id
+),
+tr AS (
+    SELECT doc_id, text FROM kept WHERE {frac} < {train_hi!r}
+),
+{_pack_ctes('tr', L)}
+{_pack_select(L)}
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
 
@@ -3067,29 +3605,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_lineage": q_crawl_lineage,
         "politeness_budgets": q_politeness_budgets,
         "politeness_drain": q_politeness_drain,
-        "urlseen_antijoin": q_urlseen_antijoin,
-        "urlseen_cuckoo": q_urlseen_cuckoo,
+        "urlseen_filters": q_urlseen_filters,
         "url_kernels": q_url_kernels,
         "sitemap_expand": q_sitemap_expand,
-        "smart_crawl_sitemap": q_smart_crawl_sitemap,
-        "smart_crawl_webpage": q_smart_crawl_webpage,
+        "smart_crawl_dispatch": q_smart_crawl_dispatch,
+        "smart_crawl_txt": q_smart_crawl_txt,
         "chunk_documents": q_chunk_documents,
-        "doc_token_stats": q_doc_token_stats,
-        "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
+        "chunk_metadata": q_chunk_metadata,
+        "text_signals": q_text_signals,
         "exact_dedup": q_exact_dedup,
         "sources_distinct": q_sources_distinct,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "neardup_pairs": q_neardup_pairs,
         "minhash_incremental": q_minhash_incremental,
         "repeated_spans": q_repeated_spans,
         "span_removal": q_span_removal,
         "dedup_components": q_dedup_components,
-        "simhash_pairs": q_simhash_pairs,
         "corpus_split": q_corpus_split,
         "vocab_topk": q_vocab_topk,
         "contamination": q_contamination,
-        "bm25_search": q_bm25_search,
-        "bm25_indexed": q_bm25_indexed,
+        "bm25_paths": q_bm25_paths,
         "hybrid_rrf": q_hybrid_rrf,
         "gopher_filter": q_gopher_filter,
         "pii_scrub": q_pii_scrub,
@@ -3098,37 +3632,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix": q_corpus_mix,
         "boilerplate_strip": q_boilerplate_strip,
         "embed_cache": q_embed_cache,
-        "embedding_topk": q_embedding_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_quantized": q_ann_quantized,
+        "ann_suite": q_ann_suite,
         "ann_recall": q_ann_recall,
-        "ann_multiprobe": q_ann_multiprobe,
-        "embedding_neardup": q_embedding_neardup,
         "caption_alignment": q_caption_alignment,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
-        "image_verify": q_image_verify,
+        "media_verify": q_media_verify,
+        "media_transform": q_media_transform,
         "image_features": q_image_features,
-        "image_phash_pairs": q_image_phash_pairs,
-        "audio_verify": q_audio_verify,
-        "audio_resample": q_audio_resample,
-        "video_frames": q_video_frames,
         "media_features": q_media_features,
         "rag_pipeline": q_rag_pipeline,
-        "crawl_report": q_crawl_report,
-        "smart_crawl_txt": q_smart_crawl_txt,
+        "crawl_ops": q_crawl_ops,
         "upsert_store": q_upsert_store,
-        "crawl_params": q_crawl_params,
-        "contextual_concat": q_contextual_concat,
-        "ann_ivf_trained": q_ann_ivf_trained,
+        "contextual_enrich": q_contextual_enrich,
         "quality_probe": q_quality_probe,
         "unigram_lm": q_unigram_lm,
-        "chunk_metadata": q_chunk_metadata,
         "streaming_window": q_streaming_window,
         "link_counts": q_link_counts,
-        "contextual_join": q_contextual_join,
-        "image_resize": q_image_resize,
+        "pipeline_e2e": q_pipeline_e2e,
     }
 
 
@@ -3138,29 +3659,25 @@ def oracle_sql() -> dict[str, str]:
         "crawl_lineage": _oracle_crawl_lineage(),
         "politeness_budgets": _oracle_politeness_budgets(),
         "politeness_drain": _oracle_politeness_drain(),
-        "urlseen_antijoin": _oracle_urlseen_antijoin(),
-        "urlseen_cuckoo": _oracle_urlseen_cuckoo(),
+        "urlseen_filters": _oracle_urlseen_filters(),
         "url_kernels": _oracle_url_kernels(),
         "sitemap_expand": _oracle_sitemap_expand(),
-        "smart_crawl_sitemap": _oracle_smart_crawl_sitemap(),
-        "smart_crawl_webpage": _oracle_smart_crawl_webpage(),
+        "smart_crawl_dispatch": _oracle_smart_crawl_dispatch(),
+        "smart_crawl_txt": _oracle_smart_crawl_txt(),
         "chunk_documents": _oracle_chunk_documents(),
-        "doc_token_stats": _oracle_doc_token_stats(),
-        "lang_id": _oracle_lang_id(),
-        "quality_score": _oracle_quality_score(),
+        "chunk_metadata": _oracle_chunk_metadata(),
+        "text_signals": _oracle_text_signals(),
         "exact_dedup": _oracle_exact_dedup(),
         "sources_distinct": _oracle_sources_distinct(),
-        "minhash_lsh_pairs": _oracle_minhash_lsh_pairs(),
+        "neardup_pairs": _oracle_neardup_pairs(),
         "minhash_incremental": _oracle_minhash_incremental(),
         "repeated_spans": _oracle_repeated_spans(),
         "span_removal": _oracle_span_removal(),
         "dedup_components": _oracle_dedup_components(),
-        "simhash_pairs": _oracle_simhash_pairs(),
         "corpus_split": _oracle_corpus_split(),
         "vocab_topk": _oracle_vocab_topk(),
         "contamination": _oracle_contamination(),
-        "bm25_search": _oracle_bm25_search(),
-        "bm25_indexed": _oracle_bm25_search(),
+        "bm25_paths": _oracle_bm25_paths(),
         "hybrid_rrf": _oracle_hybrid_rrf(),
         "gopher_filter": _oracle_gopher_filter(),
         "pii_scrub": _oracle_pii_scrub(),
@@ -3169,37 +3686,22 @@ def oracle_sql() -> dict[str, str]:
         "corpus_mix": _oracle_corpus_mix(),
         "boilerplate_strip": _oracle_boilerplate_strip(),
         "embed_cache": _oracle_embed_cache(),
-        "embedding_topk": _oracle_embedding_topk(),
-        "ann_lsh_topk": _oracle_ann_lsh_topk(),
-        "ann_ivf_topk": _oracle_ann_ivf_topk(),
-        "ann_quantized": _oracle_ann_quantized(),
+        "ann_suite": _oracle_ann_suite(),
         "ann_recall": _oracle_ann_recall(),
-        "ann_multiprobe": _oracle_ann_multiprobe(),
-        "embedding_neardup": _oracle_embedding_neardup(),
         "caption_alignment": _oracle_caption_alignment(),
         "events_hourly": _oracle_events_hourly(),
         "events_sessionize": _oracle_events_sessionize(),
-        "crawl_report": _oracle_crawl_report(),
-        "smart_crawl_txt": _oracle_smart_crawl_txt(),
+        "media_verify": _oracle_media_verify(),
+        "media_transform": _oracle_media_transform(),
+        # image_features / media_features / rag_pipeline: intentionally no
+        # oracle (binary feature extraction, waveform/frame math, and the
+        # seeded embedder are not SQL-expressible) -> rows-only check.
+        "crawl_ops": _oracle_crawl_ops(),
         "upsert_store": _oracle_upsert_store(),
-        "crawl_params": _oracle_crawl_params(),
-        "contextual_concat": _oracle_contextual_concat(),
-        "image_verify": _oracle_image_verify(),
-        "image_phash_pairs": _oracle_image_phash_pairs(),
-        "audio_verify": _oracle_audio_verify(),
-        "audio_resample": _oracle_audio_resample(),
-        "video_frames": _oracle_video_frames(),
-        # media_features: intentionally no oracle (waveform/frame math is
-        # not SQL-expressible) → rows-only check, like image_features.
-        "ann_ivf_trained": _oracle_ann_ivf_trained(),
+        "contextual_enrich": _oracle_contextual_enrich(),
         "quality_probe": _oracle_quality_probe(),
         "unigram_lm": _oracle_unigram_lm(),
-        "chunk_metadata": _oracle_chunk_metadata(),
         "streaming_window": _oracle_streaming_window(),
         "link_counts": _oracle_link_counts(),
-        "contextual_join": _oracle_contextual_join(),
-        "image_resize": _oracle_image_resize(),
-        # image_features / rag_pipeline: intentionally no oracle (binary
-        # feature extraction and the seeded embedder are not SQL-expressible)
-        # → rows-only check.
+        "pipeline_e2e": _oracle_pipeline_e2e(),
     }

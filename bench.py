@@ -142,8 +142,12 @@ def run_queries(spark) -> dict[str, float]:
     qs = E.queries()
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
+        # merged registry gates (ann_suite, neardup_pairs, ...) union several
+        # legs; bench keeps timing each LEG under its historical name so the
+        # per-query cells stay comparable with BASELINE.md across rounds
+        fn = qs.get(name) or getattr(E, f"q_{name}")
         t0 = time.time()
-        df = qs[name](spark, SF_DIR)
+        df = fn(spark, SF_DIR)
         # noop sink: materializes EVERY output column. A count() here lets
         # Catalyst prune computed projections, so scalar-kernel queries
         # would time a parquet metadata row-count instead of the kernel.
