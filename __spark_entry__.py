@@ -72,6 +72,7 @@ from mcp_crawl4ai_rag_spark.plans.rag import (
     build_chunks,
     search_documents,
     store_documents,
+    store_documents_incremental,
 )
 from mcp_crawl4ai_rag_spark.plans.smart import smart_crawl
 from mcp_crawl4ai_rag_spark.sources import corpus as C
@@ -2417,7 +2418,10 @@ def q_upsert_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5: keyed last-writer-wins upsert (reference on_conflict
     'url,chunk_number', src/utils.py:493-500) — existing store from the
     documents table, a batch overwriting every doc_id%3==0 key and adding
-    doc_id%7==0 new keys; output the merged store."""
+    doc_id%7==0 new keys; output the merged store. Runs through the
+    INCREMENTAL path (batch-only window + broadcast anti-join; the store
+    side never shuffles — the 100-TB ingest shape); equality with the
+    windowed store_documents is pinned in tests/test_rag.py."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     key_url = F.concat(F.lit("u"), (F.col("doc_id") % 100).cast("string"))
     key_chunk = F.floor(F.col("doc_id") / 100).cast("long")
@@ -2441,7 +2445,7 @@ def q_upsert_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return store_documents(existing, batch)
+    return store_documents_incremental(existing, batch)
 
 
 def _oracle_upsert_store() -> str:

@@ -101,6 +101,41 @@ def store_documents(existing: DataFrame | None, batch: DataFrame) -> DataFrame:
     )
 
 
+def store_documents_incremental(
+    existing: DataFrame | None, batch: DataFrame
+) -> DataFrame:
+    """Scale-safe upsert on (url, chunk_number): same result as
+    :func:`store_documents` when ``existing`` is a well-formed store
+    (unique keys — the invariant both paths maintain), but the store side
+    NEVER shuffles.
+
+    :func:`store_documents` windows the union of store+batch over every
+    key — at 100 TB that reshuffles the whole store per ingest batch. Here
+    the window runs over the BATCH ONLY (bounded by the ingest batch size:
+    reference DOCUMENT_BATCH_SIZE, src/utils.py:395), then the existing
+    store drops overwritten keys with a broadcast anti-join and unions the
+    winners — a map-side-only plan on the store side (zero Exchange; see
+    PLANS.md "Incremental upsert"). With Iceberg this whole function is
+    the documented ``MERGE INTO`` on the same key (SURVEY §2.5)."""
+    tiebreak = F.md5(F.to_json(F.struct(*[F.col(c) for c in batch.columns])))
+    w = Window.partitionBy("url", "chunk_number").orderBy(tiebreak.asc())
+    winners = (
+        batch.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+    if existing is None:
+        return winners
+    # Keys straight from the raw batch (NOT from `winners`): an anti-join
+    # build side tolerates duplicate keys, and deriving from `winners` would
+    # re-run the dedup window a second time just to feed the broadcast.
+    batch_keys = batch.select("url", "chunk_number")
+    untouched = existing.join(
+        F.broadcast(batch_keys), ["url", "chunk_number"], "left_anti"
+    )
+    return untouched.unionByName(winners)
+
+
 def search_documents(
     store: DataFrame,
     query: str,

@@ -12,6 +12,7 @@ from mcp_crawl4ai_rag_spark.plans.rag import (
     build_chunks,
     search_documents,
     store_documents,
+    store_documents_incremental,
 )
 from mcp_crawl4ai_rag_spark.functions.embedding import with_embeddings
 
@@ -127,6 +128,50 @@ def test_upsert_duplicate_key_winner_is_deterministic(spark):
     batch = spark.createDataFrame([("u", 0, "new")], schema)
     out = {r["url"]: r["content"] for r in store_documents(existing, batch).collect()}
     assert out["u"] == "new"
+
+
+def test_incremental_upsert_matches_windowed(spark):
+    """store_documents_incremental must equal store_documents row-for-row on
+    a well-formed store (unique keys), including batches that carry their own
+    duplicate keys — while its plan keeps the store side shuffle-free."""
+    schema = "url string, chunk_number int, content string"
+    existing = spark.createDataFrame(
+        [(f"u{i % 40}", i // 40, f"old-{i}") for i in range(200)], schema
+    ).repartition(7)
+    batch_rows = (
+        # overwrite half the store's keys
+        [(f"u{i % 40}", i // 40, f"new-{i}") for i in range(0, 200, 2)]
+        # brand-new keys
+        + [(f"w{i}", 0, f"add-{i}") for i in range(25)]
+        # duplicate keys inside the batch (tie-break must pick one winner)
+        + [("u1", 0, "dup-a"), ("u1", 0, "dup-b")]
+    )
+    batch = spark.createDataFrame(batch_rows, schema).repartition(5)
+
+    want = sorted(map(tuple, store_documents(existing, batch).collect()))
+    merged = store_documents_incremental(existing, batch)
+    got = sorted(map(tuple, merged.collect()))
+    assert got == want
+
+    # exactly one required hash Exchange: the bounded-batch window. The store
+    # side is a map-only BroadcastHashJoin(left_anti) — zero store shuffle per
+    # ingest. (Count only ENSURE_REQUIREMENTS exchanges in the final plan:
+    # the test's own repartition() calls and AQE's echoed initial plan would
+    # otherwise pollute the tally.)
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    required = [
+        ln
+        for ln in final.splitlines()
+        if "Exchange hashpartitioning" in ln and "ENSURE_REQUIREMENTS" in ln
+    ]
+    assert len(required) == 1, final[:1500]
+    assert "BroadcastHashJoin" in final and "LeftAnti" in final, final[:1500]
+
+    # no-existing path: identical to the windowed path
+    assert sorted(map(tuple, store_documents_incremental(None, batch).collect())) == sorted(
+        map(tuple, store_documents(None, batch).collect())
+    )
 
 
 def test_search_returns_contextual_content_when_stored(spark):
