@@ -317,10 +317,13 @@ def q_urlseen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_urlseen_cuckoo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 with the CUCKOO prefilter (north_star's deletable membership
-    filter): distributed build + vectorized two-bucket probe. Lossless like
-    the bloom (build raises on overflow), so the oracle is the identical
-    exact set difference."""
-    from mcp_crawl4ai_rag_spark.operators.urlseen import build_cuckoo
+    filter): SHARDED distributed build (pmod(hash, S) shard repartition,
+    per-shard tables, O(capacity/S)-per-shard driver merge — the same shape
+    build_bloom_sharded uses, so the 10^10-key build never materializes a
+    monolithic table) + vectorized two-bucket probe. Lossless like the
+    bloom (build raises on overflow), so the oracle is the identical exact
+    set difference."""
+    from mcp_crawl4ai_rag_spark.operators.urlseen import build_cuckoo_sharded
 
     n = _lineitem_count(spark, sf_dir) // 3
 
@@ -330,7 +333,9 @@ def q_urlseen_cuckoo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cands = urls_of(spark.range(0, n, 1, 32))
     seen = urls_of(spark.range(0, n, 3, 32))
-    cuckoo = build_cuckoo(seen, "url_hash", capacity=2 * (n // 3 + 1))
+    cuckoo = build_cuckoo_sharded(
+        seen, "url_hash", n_shards=8, capacity=2 * (n // 3 + 1)
+    )
     return anti_join_seen(cands, seen, cuckoo).select("canonical_url")
 
 

@@ -232,7 +232,7 @@ def bloom_maybe_contains(bloom: "BloomFilter | ShardedBloom", hash_col: Column) 
 def anti_join_seen(
     candidates: DataFrame,
     url_seen: DataFrame,
-    bloom: "BloomFilter | ShardedBloom | CuckooFilter | None" = None,
+    bloom: "BloomFilter | ShardedBloom | CuckooFilter | ShardedCuckoo | None" = None,
 ) -> DataFrame:
     """Rows of ``candidates`` whose (url_hash, canonical_url) is NOT in
     ``url_seen`` — the J1/J2 visited-membership kernel (SURVEY.md §2.3).
@@ -250,7 +250,7 @@ def anti_join_seen(
         )
     probe = (
         cuckoo_maybe_contains
-        if isinstance(bloom, CuckooFilter)
+        if isinstance(bloom, (CuckooFilter, ShardedCuckoo))
         else bloom_maybe_contains
     )
     flagged = candidates.withColumn(
@@ -314,8 +314,112 @@ def build_cuckoo(
     return out
 
 
-def cuckoo_maybe_contains(cuckoo: "CuckooFilter", hash_col: Column) -> Column:
-    """Arrow-batched cuckoo membership probe (vectorized two-bucket gather)."""
+@dataclass
+class ShardedCuckoo:
+    """Hash-space-sharded cuckoo: shard ``s`` holds only hashes with
+    ``pmod(hash, n_shards) == s``, each in its own capacity/S table.
+
+    Same deployment argument as :class:`ShardedBloom`: at the 10^10-URL
+    north-rule scale a monolithic cuckoo table is ~40 GB and the
+    :func:`build_cuckoo` driver merge re-inserts every fingerprint on one
+    machine. Sharding makes each fold task allocate exactly one
+    shard-sized table and keeps the driver merge O(capacity/S) per shard
+    — the same fix build_bloom_sharded applied to the bloom in round 1.
+    Delete (the reason the cuckoo exists) routes to one shard."""
+
+    shards: list[CuckooFilter]
+    n_shards: int
+
+    def _shard_of(self, hashes: np.ndarray) -> np.ndarray:
+        # numpy's floored mod == Spark pmod for positive modulus
+        return np.mod(hashes.astype(np.int64), self.n_shards)
+
+    def contains_hashes(self, hashes: np.ndarray) -> np.ndarray:
+        h = hashes.astype(np.int64)
+        shard_of = self._shard_of(h)
+        out = np.zeros(len(h), dtype=bool)
+        for s in np.unique(shard_of):
+            mask = shard_of == s
+            out[mask] = self.shards[int(s)].contains_hashes(h[mask])
+        return out
+
+    def delete(self, h: int) -> bool:
+        return self.shards[int(np.mod(np.int64(h), self.n_shards))].delete(h)
+
+
+def build_cuckoo_sharded(
+    df: DataFrame,
+    hash_col: str,
+    n_shards: int = 8,
+    capacity: int | None = None,
+) -> "ShardedCuckoo":
+    """Distributed sharded cuckoo build, mirror of
+    :func:`build_bloom_sharded`: repartition the seen-set on
+    ``pmod(hash, n_shards)`` so each task sees (mostly) one shard, insert
+    each shard's hashes into its own capacity/S table, merge same-shard
+    tables on the driver by fingerprint re-insertion. Lossless per shard
+    (build and merge raise on overflow, so zero false negatives —
+    property-tested across shards)."""
+    if capacity is None:
+        capacity = max(df.count() * 2, 8)
+    per_shard = max(capacity // n_shards, 8)
+    proto = CuckooFilter(capacity=per_shard)
+    n_buckets = proto.n_buckets
+
+    sharded = df.select(
+        F.col(hash_col).alias("h"),
+        F.pmod(F.col(hash_col), F.lit(n_shards)).cast("int").alias("__shard"),
+    ).repartition(n_shards, "__shard")
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local: dict[int, CuckooFilter] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            h = pdf["h"].to_numpy(dtype=np.int64)
+            sh = pdf["__shard"].to_numpy()
+            for s in np.unique(sh):
+                cf = local.setdefault(int(s), CuckooFilter(capacity=n_buckets * 4))
+                cf.add_hashes(h[sh == s])
+        for s, cf in local.items():
+            yield pd.DataFrame({"shard": [s], "table": [cf.table.tobytes()]})
+
+    parts = sharded.mapInPandas(fold, schema="shard int, table binary").collect()
+    shards = [CuckooFilter(capacity=n_buckets * 4) for _ in range(n_shards)]
+    for row in parts:
+        other = CuckooFilter(capacity=n_buckets * 4)
+        other.table = (
+            np.frombuffer(row["table"], dtype=np.uint16)
+            .reshape(n_buckets, 4)
+            .copy()
+        )
+        shards[row["shard"]] = shards[row["shard"]].merge(other)
+    return ShardedCuckoo(shards=shards, n_shards=n_shards)
+
+
+def cuckoo_maybe_contains(
+    cuckoo: "CuckooFilter | ShardedCuckoo", hash_col: Column
+) -> Column:
+    """Arrow-batched cuckoo membership probe (vectorized two-bucket gather).
+    Accepts the monolithic filter or the sharded one (probe routes each
+    hash to its shard's table)."""
+    if isinstance(cuckoo, ShardedCuckoo):
+        payload = [cf.table.tobytes() for cf in cuckoo.shards]
+        n_buckets = cuckoo.shards[0].n_buckets
+        n_shards = cuckoo.n_shards
+
+        @F.pandas_udf(BooleanType())
+        def _probe_sharded(h: pd.Series) -> pd.Series:
+            shards = []
+            for b in payload:
+                cf = CuckooFilter(capacity=n_buckets * 4)
+                cf.table = np.frombuffer(b, dtype=np.uint16).reshape(n_buckets, 4)
+                shards.append(cf)
+            sc = ShardedCuckoo(shards=shards, n_shards=n_shards)
+            return pd.Series(sc.contains_hashes(h.to_numpy(dtype=np.int64)))
+
+        return _probe_sharded(hash_col)
+
     table_bytes = cuckoo.table.tobytes()
     n_buckets = cuckoo.n_buckets
 

@@ -182,6 +182,60 @@ def test_cuckoo_distributed_build_and_antijoin(spark):
     assert not cf.contains_hashes(_np.array(h, dtype=_np.int64)).any() or True
 
 
+def test_sharded_cuckoo_zero_false_negatives_across_shards():
+    from mcp_crawl4ai_rag_spark.operators.urlseen import CuckooFilter, ShardedCuckoo
+
+    rng = np.random.default_rng(13)
+    xs = np.unique(rng.integers(-(2**62), 2**62, 4000, dtype=np.int64))
+    S = 8
+    per_cap = 2 * (len(xs) // S + 1)
+    sc = ShardedCuckoo(
+        shards=[CuckooFilter(capacity=per_cap) for _ in range(S)], n_shards=S
+    )
+    shard_of = np.mod(xs, S)
+    for s in range(S):
+        sc.shards[s].add_hashes(xs[shard_of == s])
+    assert sc.contains_hashes(xs).all()  # no false negative crosses a shard
+    others = np.setdiff1d(rng.integers(-(2**62), 2**62, 20000, dtype=np.int64), xs)
+    assert sc.contains_hashes(others).mean() < 0.01  # 16-bit fp FPP
+    # delete routes to the owning shard and un-members the key
+    victims = xs[:5]
+    for x in victims:
+        assert sc.delete(int(x))
+    # (fingerprint collisions within a bucket could keep a deleted key
+    # "present"; with 16-bit fps at this load that is vanishingly rare)
+    assert sc.contains_hashes(victims).sum() <= 1
+
+
+def test_sharded_cuckoo_distributed_build_and_antijoin(spark):
+    from mcp_crawl4ai_rag_spark.operators.urlseen import build_cuckoo_sharded
+
+    cand = spark.range(0, 1000, 1, 4).select(
+        F.concat(F.lit("u"), F.col("id")).alias("canonical_url"),
+        F.xxhash64(F.concat(F.lit("u"), F.col("id"))).alias("url_hash"),
+    )
+    seen = spark.range(0, 500, 1, 4).select(
+        F.concat(F.lit("u"), (F.col("id") * 2)).alias("canonical_url"),
+        F.xxhash64(F.concat(F.lit("u"), (F.col("id") * 2))).alias("url_hash"),
+    )
+    sc = build_cuckoo_sharded(seen, "url_hash", n_shards=8)
+    # zero false negatives through the distributed build + sharded probe
+    from mcp_crawl4ai_rag_spark.operators.urlseen import cuckoo_maybe_contains
+
+    misses = seen.withColumn(
+        "hit", cuckoo_maybe_contains(sc, F.col("url_hash"))
+    ).where(~F.col("hit"))
+    assert misses.count() == 0
+    exact = set(
+        r[0] for r in anti_join_seen(cand, seen, None).select("canonical_url").collect()
+    )
+    with_sharded = set(
+        r[0]
+        for r in anti_join_seen(cand, seen, sc).select("canonical_url").collect()
+    )
+    assert exact == with_sharded and len(exact) == 500
+
+
 def test_bucketed_anti_join_has_no_exchange(spark, tmp_path):
     """The bucketed-layout anti-join (the 10^10-row deployment shape) must
     plan with ZERO Exchange — both sides pre-clustered on the join keys —
