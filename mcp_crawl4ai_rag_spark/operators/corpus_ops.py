@@ -424,7 +424,10 @@ def sql_linear_probe_score(weights: list[float], feat_exprs: list[str]) -> str:
 
 
 def unigram_lm_scores(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hot_k: int = 256,
 ) -> DataFrame:
     """Unigram language-model document scoring — the CCNet-perplexity
     filtering shape: train a unigram LM on the corpus itself (token
@@ -436,10 +439,23 @@ def unigram_lm_scores(
 
     Scale shape: one explode → per-(doc, term) tf groupBy (map-side
     combine: shuffle carries distinct (doc, term) pairs, not occurrences) →
-    token-count groupBy over the tf table (vocab-size output) → equi-join
-    tf ⋈ counts on term (stop-words are hot keys — AQE skew-join splits
-    them) → per-doc sum. The corpus total is a one-row broadcast. No
-    cross joins, no per-row Python; ln/exp stay in codegen, and both
+    token-count groupBy over the tf table (vocab-size output) → tf ⋈ counts
+    on term → per-doc sum. The corpus total is a one-row broadcast.
+
+    Stop-word skew: the term join's hot keys are by definition the top-K
+    most frequent terms, so with ``hot_k > 0`` the join is split — the
+    top-``hot_k`` rows of counts (a driver-bounded TakeOrdered) broadcast,
+    and tf rows hitting them take a BroadcastHashJoin with ZERO shuffle,
+    while the cold tail (no hot keys left → balanced partitions) takes the
+    equi-join. Output values are identical under any split, so correctness
+    is unaffected; the skew stress test pins the plan shape. AQE's
+    skew-join CANNOT cover this: OptimizeSkewedJoin only fires when both
+    SortMergeJoin children are bare shuffle stages, and the counts side
+    always carries its final HashAggregate directly under the join (an
+    explicit repartition of counts gets collapsed as redundant), so the
+    hot partition never splits — verified empirically on Spark 4.1.
+
+    No cross joins, no per-row Python; ln/exp stay in codegen, and both
     engines fold IEEE doubles so 4dp rounding is engine-stable (the BM25
     precedent in operators/search.py)."""
     toks = docs.select(
@@ -456,10 +472,31 @@ def unigram_lm_scores(
     )
     counts = tf.groupBy("term").agg(F.sum("tf").alias("c"))
     total = counts.agg(F.sum("c").alias("t_total"))
+    if hot_k:
+        # hot/cold split (see docstring): broadcast the top-K term counts,
+        # hot tf rows avoid the term shuffle entirely, the cold tail joins
+        # a hot-free (balanced) key space. tf's aggregate shuffle stage is
+        # reused across both branches, so tokenization runs once.
+        hot = counts.orderBy(F.desc("c"), "term").limit(hot_k)
+        tagged = tf.join(
+            F.broadcast(hot.withColumnRenamed("c", "__c_hot")), "term", "left"
+        )
+        hot_rows = (
+            tagged.where(F.col("__c_hot").isNotNull())
+            .withColumn("c", F.col("__c_hot"))
+            .drop("__c_hot")
+        )
+        cold_rows = (
+            tagged.where(F.col("__c_hot").isNull())
+            .drop("__c_hot")
+            .join(counts, "term")
+        )
+        joined = hot_rows.unionByName(cold_rows)
+    else:
+        joined = tf.join(counts, "term")
     mean_lp = F.col("ll") / F.col("dl")
     return (
-        tf.join(counts, "term")
-        .crossJoin(F.broadcast(total))
+        joined.crossJoin(F.broadcast(total))
         .groupBy(id_col, "dl")
         .agg(
             F.sum(

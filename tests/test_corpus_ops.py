@@ -401,3 +401,64 @@ def test_unigram_lm_matches_python_twin(spark):
         assert got[i]["ppl"] == pytest.approx(round(math.exp(-mean), 4), abs=1e-9)
     # the all-stopword doc is the most likely (highest mean logprob)
     assert max(got, key=lambda i: got[i]["mean_logprob"]) == 4
+
+
+def test_unigram_lm_stopword_skew(spark):
+    """Stop-word skew stress (same style as the LSH hot-band test): one
+    token ('the') is 25% of the token stream AND carries 25% of the tf
+    rows, so an unsplit term join would put ~8x the median load on one
+    partition. The hot/cold split must route hot rows through a
+    BroadcastHashJoin (zero term shuffle), keep the cold tail an equi-join
+    (no cartesian/nested-loop blowup), and the scores must still match a
+    transparent Python twin at 4dp. (AQE skew-join can't fire on this
+    aggregate-dim join shape — see the operator docstring — which is why
+    the split lives in the operator.)"""
+    import math
+
+    import pytest as _pytest
+
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import unigram_lm_scores
+
+    # broadcast disabled: at the 10^12-token scale the vocab-sized counts
+    # table cannot auto-broadcast — only the explicit top-K hint may.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # 6000 docs x 40 tokens: 10 'the' + 1 doc-unique filler (x30)
+        rows = []
+        for i in range(6000):
+            toks = ["the"] * 10 + [f"u{i:06d}"] * 30
+            rows.append((i, " ".join(toks)))
+        docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+        scored = unigram_lm_scores(docs, hot_k=16)
+        got = {r["doc_id"]: r for r in scored.collect()}
+
+        plan = scored._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "CartesianProduct" not in final
+        # the only nested-loop join allowed is the documented 1-row
+        # corpus-total broadcast (crossJoin(broadcast(total)))
+        assert final.count("BroadcastNestedLoopJoin") <= 1
+        # hot rows take the broadcast top-K path; cold tail stays an
+        # equi-join on a hot-free key space
+        assert "BroadcastHashJoin" in final, final[:2000]
+        assert "SortMergeJoin" in final or "ShuffledHashJoin" in final
+
+        total = 240000
+        lp_the = math.log(60000 / total)
+        lp_uniq = math.log(30 / total)
+        mean = (10 * lp_the + 30 * lp_uniq) / 40
+        assert len(got) == 6000
+        for i in (0, 777, 5999):
+            assert got[i]["n_tokens"] == 40
+            assert got[i]["mean_logprob"] == _pytest.approx(round(mean, 4), abs=1e-9)
+
+        # split-invariance: hot_k=0 (single equi-join) yields identical rows
+        plain = {r["doc_id"]: r for r in unigram_lm_scores(docs, hot_k=0).collect()}
+        assert all(
+            plain[i]["mean_logprob"] == got[i]["mean_logprob"]
+            and plain[i]["ppl"] == got[i]["ppl"]
+            for i in got
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
