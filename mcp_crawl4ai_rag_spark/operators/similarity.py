@@ -583,6 +583,46 @@ def lsh_query_index(
     return brute_topk(lists, query_vec, k, id_col, vec_col)
 
 
+def lsh_query_index_multiprobe(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int,
+    dim: int,
+    n_planes: int = DEFAULT_LSH_PLANES,
+    radius: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe over a written LSH index: enumerate the hamming-ball
+    buckets around the query's bucket ON THE DRIVER (``sum_{i<=radius}
+    C(n_planes, i)`` ids — 1 + n_planes for radius 1) and probe them with
+    ``bucket IN (...)``, which prunes at the parquet partition layer
+    (PartitionFilters in the plan). Identical results to
+    :func:`lsh_multiprobe_ann` over the same planes, but the scan touches
+    only the candidate buckets instead of evaluating ``bit_count(xor)``
+    over the whole corpus — the 10^10-vector serving shape, mirroring
+    :func:`ivf_query_index`."""
+    import itertools
+
+    import numpy as np
+
+    qv = np.asarray(query_vec, dtype=np.float64)
+    q_bucket = 0
+    for p in range(n_planes):
+        if float(qv @ np.asarray(hyperplane(p, dim), dtype=np.float64)) > 0:
+            q_bucket |= 1 << p
+    probe = [q_bucket]
+    for r in range(1, radius + 1):
+        for flips in itertools.combinations(range(n_planes), r):
+            b = q_bucket
+            for p in flips:
+                b ^= 1 << p
+            probe.append(b)
+    lists = spark.read.parquet(path).where(F.col("bucket").isin(probe))
+    return brute_topk(lists, query_vec, k, id_col, vec_col)
+
+
 def alignment_filter(
     pairs: DataFrame,
     image_col: str,

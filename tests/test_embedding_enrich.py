@@ -117,6 +117,53 @@ def test_tokenizer_truncation_boundary():
     assert active.count(cut) <= MAX_EMBED_TOKENS < active.count(long)
 
 
+def test_tiktoken_conformance_when_available():
+    """Auto-skip conformance: wherever tiktoken IS installed, the adapter
+    must reproduce the reference's exact truncation boundary
+    (/root/reference/src/utils.py:167-185: ``encoding.encode`` → slice to
+    max_tokens ids → ``decode``) on a fixture set, and get_tokenizer()
+    must select the tiktoken adapter. In this sandbox (no tiktoken) the
+    test skips and the regex stand-in contract tests above are the active
+    coverage."""
+    import pytest as _pytest
+
+    tiktoken = _pytest.importorskip("tiktoken")
+
+    from mcp_crawl4ai_rag_spark.functions.tokenizer import (
+        MAX_EMBED_TOKENS,
+        TiktokenTokenizer,
+        get_tokenizer,
+    )
+
+    enc = tiktoken.get_encoding("cl100k_base")
+    tok = TiktokenTokenizer()
+    fixtures = [
+        "",
+        "hello world",
+        "word " * 10000,                       # > 8191 tokens
+        "a.b,c;d:e!f?g(h)i[j]k{l}m",           # punctuation-dense
+        "naïve café — über-Straße №5",         # accents / unicode punct
+        "print('hi')\n\tfor i in range(10):\n\t\tpass\n" * 400,  # code
+        "数据处理流水线" * 2000,                 # CJK (multi-byte tokens)
+        "🙂🚀🎉 emoji stream " * 1500,          # surrogate-heavy
+        "  leading and   irregular \t whitespace\n\n" * 500,
+    ]
+    for text in fixtures:
+        ids = enc.encode(text)
+        assert tok.count(text) == len(ids)
+        for k in (0, 1, 7, 100, MAX_EMBED_TOKENS):
+            # the reference policy, inlined as a transparent twin
+            want = text if len(ids) <= k else enc.decode(ids[:k])
+            assert tok.truncate(text, k) == want, (len(text), k)
+        # default cap is the reference's 8191
+        want_default = text if len(ids) <= MAX_EMBED_TOKENS else enc.decode(
+            ids[:MAX_EMBED_TOKENS]
+        )
+        assert tok.truncate(text) == want_default
+    # with tiktoken importable, the factory must pick the faithful adapter
+    assert get_tokenizer().name == "tiktoken-cl100k"
+
+
 def test_embedder_applies_token_cap():
     import numpy as np
 

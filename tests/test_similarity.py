@@ -228,6 +228,40 @@ def test_lsh_written_index_prunes_and_matches(spark, tmp_path):
     assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:120]
 
 
+def test_lsh_multiprobe_index_prunes_and_matches(spark, tmp_path):
+    """The bucket-enumerated multiprobe over the written index must equal
+    the full-scan bit_count(xor) multiprobe AND prune at the partition
+    layer (bucket IN (...) as a PartitionFilter, not a post-scan filter)."""
+    from pyspark.sql import functions as F
+
+    from mcp_crawl4ai_rag_spark.operators.similarity import (
+        lsh_multiprobe_ann,
+        lsh_query_index_multiprobe,
+        lsh_write_index,
+    )
+
+    embs = spark.range(400).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[(((F.col("id") + d) * 37) % 23 - 11).cast("double") for d in range(6)]
+        ).alias("embedding"),
+    )
+    q = [float(((5 + d) * 37) % 23 - 11) for d in range(6)]
+    path = str(tmp_path / "lsh_index_mp")
+    lsh_write_index(embs, path, dim=6)
+    for radius in (1, 2):
+        got = lsh_query_index_multiprobe(spark, path, q, 5, dim=6, radius=radius)
+        want = lsh_multiprobe_ann(embs, q, 5, dim=6, radius=radius)
+        assert [tuple(r) for r in got.collect()] == [
+            tuple(r) for r in want.collect()
+        ], radius
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert (
+            "PartitionFilters" in plan
+            and "bucket" in plan.split("PartitionFilters")[1][:160]
+        )
+
+
 def test_quantize_embeddings_matches_numpy(spark):
     import numpy as np
 
