@@ -303,6 +303,50 @@ def cpu_ceiling(lo: int, hi: int) -> dict[str, float]:
     }
 
 
+def emit(out: dict) -> None:
+    """Print the one-line JSON contract, then (optionally) snapshot it.
+
+    SPARK_GRAFT_SNAPSHOT=<path>: also write the JSON to <path> — but REFUSE
+    when the run is witness-dirty (any phase started above
+    SPARK_GRAFT_MAX_LOAD, default 4.0 loadavg) or the path already holds a
+    witness-clean snapshot. BASELINE.md quotes only snapshot cells, so a
+    polluted run must not silently replace a clean one; override with
+    SPARK_GRAFT_FORCE_SNAPSHOT=1 (the witness travels with the file either
+    way, so even forced snapshots stay self-identifying)."""
+    print(json.dumps(out))
+    path = os.environ.get("SPARK_GRAFT_SNAPSHOT")
+    if not path:
+        return
+    max_load = float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "4.0"))
+    force = os.environ.get("SPARK_GRAFT_FORCE_SNAPSHOT") == "1"
+
+    witnesses: dict[str, float] = {}
+    if out.get("loadavg_at_queries_start") is not None:
+        witnesses["queries"] = out["loadavg_at_queries_start"]
+    for tag, w in ((out.get("scaling") or {}).get("loadavg_at_phase_start") or {}).items():
+        witnesses[tag] = w["loadavg"]
+    dirty = {t: w for t, w in witnesses.items() if w > max_load}
+    if dirty and not force:
+        print(
+            f"bench: REFUSING snapshot {path}: witness-dirty phases "
+            f"{dirty} exceed loadavg {max_load} "
+            "(SPARK_GRAFT_FORCE_SNAPSHOT=1 to override)",
+            file=sys.stderr,
+        )
+        return
+    if os.path.exists(path) and not force:
+        print(
+            f"bench: REFUSING to overwrite existing snapshot {path} "
+            "(SPARK_GRAFT_FORCE_SNAPSHOT=1 to override)",
+            file=sys.stderr,
+        )
+        return
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
+    print(f"bench: snapshot written to {path} (witnesses {witnesses})", file=sys.stderr)
+
+
 def main() -> None:
     kernel_n = FRONTIER_N * 4
 
@@ -321,13 +365,13 @@ def main() -> None:
         qtimes = run_queries(spark)
         spark.stop()
     if phases == "queries":
-        print(json.dumps({
+        emit({
             "metric": "urls_scheduled_deduped_per_sec",
             "value": None, "unit": "sec", "queries": qtimes,
             "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
             "scaling": None,
             "loadavg_at_queries_start": queries_load,
-        }))
+        })
         return
 
     # One FRESH JVM per (phase, parallelism) cell. Round-1 lesson: the
@@ -386,14 +430,14 @@ def main() -> None:
     speedup = t_lo / t_hi
     efficiency = speedup / (CPUS / lo_cores)
 
-    print(
-        json.dumps(
+    emit(
             {
                 "metric": "urls_scheduled_deduped_per_sec",
                 "value": round(thr_hi, 1),
                 "unit": "sec",
                 "queries": qtimes,
                 "sf": float(SF_DIR.rstrip("/").split("sf")[-1]),
+                "loadavg_at_queries_start": queries_load,
                 "scaling": {
                     "frontier_urls": FRONTIER_N,
                     "cores_lo": lo_cores,
@@ -417,7 +461,6 @@ def main() -> None:
                     "loadavg_at_phase_start": loads,
                 },
             }
-        )
     )
 
 
