@@ -361,8 +361,9 @@ def main():
         ("partial_count", "per-(doc,term) tf combines map-side"),
         ("partial_sum", "token counts / per-doc log-likelihood combine map-side"),
         ("BroadcastExchange", "the one-row corpus total is broadcast"),
+        ("BroadcastHashJoin", "top-K stop-word counts broadcast — hot tf rows skip the term shuffle"),
     ]
-    sections.append(("Unigram-LM scoring (tf ⋈ vocab + broadcast total)", lm_plan, checks))
+    sections.append(("Unigram-LM scoring (tf ⋈ vocab, hot/cold stop-word split)", lm_plan, checks))
 
     # 18. alignment filter: pure projection over the pair scan — zero
     # Exchange, whole plan in codegen.
@@ -376,6 +377,60 @@ def main():
     if "Exchange" in al_plan:
         checks.append(("never", "EXCHANGE FOUND — alignment filter must not shuffle"))
     sections.append(("Caption-alignment filter (zero-shuffle projection)", al_plan, checks))
+
+    # 19. incremental upsert: the store side is a map-only anti-join against
+    # the broadcast batch keys — the ONLY hash Exchange is the bounded-batch
+    # dedup window. (store_documents would window the whole store per batch.)
+    from mcp_crawl4ai_rag_spark.plans.rag import store_documents_incremental
+
+    existing = docs.select(
+        F.concat(F.lit("u"), (F.col("doc_id") % 100).cast("string")).alias("url"),
+        (F.col("doc_id") / 100).cast("long").alias("chunk_number"),
+        F.col("text").alias("content"),
+    )
+    up_batch = existing.where(F.col("chunk_number") == 0)
+    up_plan = formatted(store_documents_incremental(existing, up_batch))
+    checks = [
+        ("LeftAnti", "store drops overwritten keys via anti-join"),
+        ("BroadcastHashJoin", "batch keys broadcast — the store side never shuffles"),
+        ("Window", "duplicate-key winners elected inside the bounded batch only"),
+    ]
+    if up_plan.count("Exchange hashpartitioning") > 1:
+        checks.append(("never", "EXTRA EXCHANGE FOUND — only the batch window may shuffle"))
+    sections.append((
+        "Incremental upsert (batch window + broadcast anti-join; store side map-only)",
+        up_plan,
+        checks,
+    ))
+
+    # 20. multiprobe LSH over the written bucket-partitioned index: the
+    # hamming-ball bucket ids are enumerated on the driver and prune at the
+    # parquet partition layer — no full-corpus bit_count(xor) scan.
+    import tempfile
+
+    from mcp_crawl4ai_rag_spark.operators.similarity import (
+        lsh_query_index_multiprobe,
+        lsh_write_index,
+    )
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(500)
+    emb_dim = len(embs.select("embedding").head()["embedding"])
+    with tempfile.TemporaryDirectory() as td:
+        lsh_write_index(embs, f"{td}/lsh", dim=emb_dim)
+        mp_plan = formatted(
+            lsh_query_index_multiprobe(
+                spark, f"{td}/lsh", [0.1] * emb_dim, 5, dim=emb_dim, radius=1
+            )
+        )
+    checks = [
+        ("PartitionFilters", "bucket IN (...) prunes at the parquet partition layer"),
+        ("TakeOrderedAndProject", "top-k merges per-partition heads, no global sort"),
+    ]
+    sections.append((
+        "Multiprobe LSH index probe (driver-enumerated hamming ball, partition-pruned)",
+        mp_plan,
+        checks,
+    ))
 
     out = ["# Physical-plan audit (auto-generated by tools/explain_plans.py)",
            "", f"sf_dir: {sf_dir}", ""]
