@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "contextual_join",
     "image_resize",
     "link_counts",
+    "pipeline_e2e",
 ]
 
 
