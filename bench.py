@@ -319,6 +319,7 @@ def emit(out: dict) -> None:
     if not path:
         return
     max_load = float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "4.0"))
+    max_probe = float(os.environ.get("SPARK_GRAFT_MAX_PROBE_MS", "400"))
     force = os.environ.get("SPARK_GRAFT_FORCE_SNAPSHOT") == "1"
 
     witnesses: dict[str, float] = {}
@@ -327,6 +328,12 @@ def emit(out: dict) -> None:
     for tag, w in ((out.get("scaling") or {}).get("loadavg_at_phase_start") or {}).items():
         witnesses[tag] = w["loadavg"]
     dirty = {t: w for t, w in witnesses.items() if w > max_load}
+    # end-of-phase contention probe: a co-tenant arriving MID-phase is
+    # invisible to start loadavg; the busy probe after spark.stop() only
+    # slows when foreign CPU load is present right then
+    pe = out.get("probe_ms_at_queries_end")
+    if pe is not None and pe > max_probe:
+        dirty["queries_end_probe_ms"] = pe
     if dirty and not force:
         print(
             f"bench: REFUSING snapshot {path}: witness-dirty phases "
@@ -356,15 +363,29 @@ def main() -> None:
     # independent jobs, and ambient VM load rarely ruins both at once.
     phases = os.environ.get("SPARK_GRAFT_PHASES", "all")
 
+    def _probe_ms() -> int:
+        # single-thread busy probe: only slows when something ELSE eats CPU
+        # at sample time (loadavg would count the bench's own threads)
+        t0 = time.time()
+        acc = 0
+        for i in range(3_000_000):
+            acc += i * i
+        return round((time.time() - t0) * 1000)
+
     qtimes: dict[str, float] = {}
     queries_load = None
+    queries_probe_end = None
     if phases in ("all", "queries"):
-        # same witness as the scaling cells: 1-min loadavg at phase start,
-        # so a drifted per-query snapshot is self-identifying
+        # witness at phase START (1-min loadavg + probe) and probe again at
+        # phase END (after spark.stop(), so own threads are gone) — a
+        # co-tenant arriving mid-phase (observed in r2/r3 runs: first cells
+        # 4x while later scalar cells were clean) is invisible to the start
+        # sample alone
         queries_load = round(os.getloadavg()[0], 1)
         spark = _mk_spark(CPUS)
         qtimes = run_queries(spark)
         spark.stop()
+        queries_probe_end = _probe_ms()
     if phases == "queries":
         emit({
             "metric": "urls_scheduled_deduped_per_sec",
@@ -372,6 +393,7 @@ def main() -> None:
             "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
             "scaling": None,
             "loadavg_at_queries_start": queries_load,
+            "probe_ms_at_queries_end": queries_probe_end,
         })
         return
 
@@ -439,6 +461,7 @@ def main() -> None:
                 "queries": qtimes,
                 "sf": float(SF_DIR.rstrip("/").split("sf")[-1]),
                 "loadavg_at_queries_start": queries_load,
+                "probe_ms_at_queries_end": queries_probe_end,
                 "scaling": {
                     "frontier_urls": FRONTIER_N,
                     "cores_lo": lo_cores,
