@@ -121,7 +121,7 @@ def _mk_spark(cores: int):
     return spark
 
 
-def run_queries(spark) -> dict[str, float]:
+def run_queries(spark) -> tuple[dict[str, float], dict[str, int]]:
     import gc
 
     import __spark_entry__ as E
@@ -142,6 +142,7 @@ def run_queries(spark) -> dict[str, float]:
 
     qs = E.queries()
     times: dict[str, float] = {}
+    probes: dict[str, int] = {}
     for name in BENCH_QUERIES:
         # merged registry gates (ann_suite, neardup_pairs, ...) union several
         # legs; bench keeps timing each LEG under its historical name so the
@@ -163,7 +164,17 @@ def run_queries(spark) -> dict[str, float]:
             spark.sparkContext._jvm.System.gc()
         except Exception:
             pass
-    return times
+        # per-cell contention canary (untimed, ~0.2 s): the busy probe runs
+        # while Spark is idle, so a slow sample here means FOREIGN load was
+        # present around this cell — co-tenant bursts on a shared VM hit
+        # mid-phase and are invisible to start/end witnesses alone. A cell
+        # is trustworthy iff its own and its neighbors' canaries are fast.
+        t0 = time.time()
+        acc = 0
+        for i in range(3_000_000):
+            acc += i * i
+        probes[name] = round((time.time() - t0) * 1000)
+    return times, probes
 
 
 def frontier_epoch(spark, n: int, pop_fraction: float = 0.4) -> tuple[int, float]:
@@ -334,6 +345,13 @@ def emit(out: dict) -> None:
     pe = out.get("probe_ms_at_queries_end")
     if pe is not None and pe > max_probe:
         dirty["queries_end_probe_ms"] = pe
+    # per-cell canaries: isolated bursts are fine (the affected cells are
+    # identifiable and excluded when quoting), but a phase where >20% of
+    # canaries ran slow is pervasively polluted — refuse it
+    canaries = out.get("probe_ms_per_query") or {}
+    slow = [k for k, v in canaries.items() if v > max_probe]
+    if canaries and len(slow) > 0.2 * len(canaries):
+        dirty["query_canaries_slow"] = len(slow)
     if dirty and not force:
         print(
             f"bench: REFUSING snapshot {path}: witness-dirty phases "
@@ -373,6 +391,7 @@ def main() -> None:
         return round((time.time() - t0) * 1000)
 
     qtimes: dict[str, float] = {}
+    qprobes: dict[str, int] = {}
     queries_load = None
     queries_probe_end = None
     if phases in ("all", "queries"):
@@ -383,7 +402,7 @@ def main() -> None:
         # sample alone
         queries_load = round(os.getloadavg()[0], 1)
         spark = _mk_spark(CPUS)
-        qtimes = run_queries(spark)
+        qtimes, qprobes = run_queries(spark)
         spark.stop()
         queries_probe_end = _probe_ms()
     if phases == "queries":
@@ -394,6 +413,7 @@ def main() -> None:
             "scaling": None,
             "loadavg_at_queries_start": queries_load,
             "probe_ms_at_queries_end": queries_probe_end,
+            "probe_ms_per_query": qprobes,
         })
         return
 
@@ -462,6 +482,7 @@ def main() -> None:
                 "sf": float(SF_DIR.rstrip("/").split("sf")[-1]),
                 "loadavg_at_queries_start": queries_load,
                 "probe_ms_at_queries_end": queries_probe_end,
+                "probe_ms_per_query": qprobes,
                 "scaling": {
                     "frontier_urls": FRONTIER_N,
                     "cores_lo": lo_cores,

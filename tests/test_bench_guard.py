@@ -74,3 +74,14 @@ def test_no_silent_overwrite_and_force(tmp_path, monkeypatch):
     )
     snap = json.loads(p2.read_text())
     assert snap["value"] == 4 and snap["loadavg_at_queries_start"] == 9.9
+
+def test_pervasive_canary_pollution_refused(tmp_path, monkeypatch):
+    clean = {f"q{i}": 200 for i in range(8)}
+    p = _emit(monkeypatch, tmp_path, _out(probe_ms_per_query=clean), name="c1.json")
+    assert p.exists()  # all canaries fast -> accepted
+    polluted = dict(clean, **{f"s{i}": 900 for i in range(3)})  # 3/11 slow
+    p = _emit(monkeypatch, tmp_path, _out(probe_ms_per_query=polluted), name="c2.json")
+    assert not p.exists()  # >20% slow canaries -> refused
+    one_burst = dict(clean, s0=900)  # 1/9 slow: isolated burst, quotable
+    p = _emit(monkeypatch, tmp_path, _out(probe_ms_per_query=one_burst), name="c3.json")
+    assert p.exists()
