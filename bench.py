@@ -336,9 +336,15 @@ def emit(out: dict) -> None:
     witnesses: dict[str, float] = {}
     if out.get("loadavg_at_queries_start") is not None:
         witnesses["queries"] = out["loadavg_at_queries_start"]
-    for tag, w in ((out.get("scaling") or {}).get("loadavg_at_phase_start") or {}).items():
-        witnesses[tag] = w["loadavg"]
     dirty = {t: w for t, w in witnesses.items() if w > max_load}
+    # scaling phases gate on the busy PROBE, not loadavg: each phase starts
+    # right after the previous phase's own JVM stopped, so 1-min loadavg
+    # structurally carries the bench's own decaying threads — only the
+    # probe (run while nothing of ours executes) measures foreign load
+    for tag, w in ((out.get("scaling") or {}).get("loadavg_at_phase_start") or {}).items():
+        witnesses[tag] = w["probe_ms"]
+        if w["probe_ms"] > max_probe:
+            dirty[tag] = w["probe_ms"]
     # end-of-phase contention probe: a co-tenant arriving MID-phase is
     # invisible to start loadavg; the busy probe after spark.stop() only
     # slows when foreign CPU load is present right then

@@ -56,8 +56,15 @@ def test_dirty_end_probe_refused(tmp_path, monkeypatch):
 
 
 def test_dirty_scaling_phase_refused(tmp_path, monkeypatch):
-    scaling = {"loadavg_at_phase_start": {"frontier_hi": {"loadavg": 18.2, "probe_ms": 206}}}
-    p = _emit(monkeypatch, tmp_path, _out(scaling=scaling))
+    # scaling gates on the contention probe, not loadavg: loadavg at a
+    # phase start structurally carries the previous phase's own decaying
+    # threads, so high loadavg + fast probe is CLEAN...
+    ok = {"loadavg_at_phase_start": {"frontier_hi": {"loadavg": 18.2, "probe_ms": 206}}}
+    p = _emit(monkeypatch, tmp_path, _out(scaling=ok), name="s_ok.json")
+    assert p.exists()
+    # ...while a slow probe means foreign load right now — refused
+    bad = {"loadavg_at_phase_start": {"frontier_hi": {"loadavg": 2.0, "probe_ms": 900}}}
+    p = _emit(monkeypatch, tmp_path, _out(scaling=bad), name="s_bad.json")
     assert not p.exists()
 
 
