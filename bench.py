@@ -439,15 +439,30 @@ def main() -> None:
 
     def _load(tag: str) -> None:
         # loadavg decays slowly and counts the bench's own threads; the
-        # single-thread busy probe measures contention directly — it only
-        # slows down when something ELSE is eating CPU right now.
+        # single-thread busy probe measures CPU contention directly — it
+        # only slows when something ELSE is eating CPU right now. But it is
+        # register-bound, so a HOST-level co-tenant eating memory BANDWIDTH
+        # (the resource the 32-thread frontier cells are bound on) is
+        # invisible to it — hence the streaming probe: MB/s over a 256 MB
+        # pass. Observed failure mode this made diagnosable: lo-core cells
+        # reproducing exactly while every hi-core cell degrades 1.5-2x with
+        # clean CPU probes.
+        import numpy as _np
+
         t0 = time.time()
         acc = 0
         for i in range(3_000_000):
             acc += i * i
+        probe = round((time.time() - t0) * 1000)
+        buf = _np.ones(32_000_000, dtype=_np.float64)  # 256 MB
+        t0 = time.time()
+        s = float(buf.sum())
+        mbps = round(256 / (time.time() - t0))
+        assert s > 0
         loads[tag] = {
             "loadavg": round(os.getloadavg()[0], 1),
-            "probe_ms": round((time.time() - t0) * 1000),
+            "probe_ms": probe,
+            "memstream_mbps": mbps,
         }
 
     _load("frontier_hi")
