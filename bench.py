@@ -187,6 +187,16 @@ def frontier_epoch(spark, n: int, pop_fraction: float = 0.4) -> tuple[int, float
     from mcp_crawl4ai_rag_spark.operators.politeness import (
         attach_budgets,
         pop_per_host,
+        pop_per_host_threshold,
+    )
+
+    # SPARK_GRAFT_POP_IMPL=twophase re-measures the epoch through the old
+    # wide-row two-phase pop for A/B comparison (default: threshold pop,
+    # the shipped path — outputs are pinned identical in tests)
+    pop = (
+        pop_per_host
+        if os.environ.get("SPARK_GRAFT_POP_IMPL") == "twophase"
+        else pop_per_host_threshold
     )
     from mcp_crawl4ai_rag_spark.operators.urlseen import anti_join_seen, build_bloom
 
@@ -226,7 +236,7 @@ def frontier_epoch(spark, n: int, pop_fraction: float = 0.4) -> tuple[int, float
     t_bloom = time.time() - t0
     fresh = anti_join_seen(frontier, url_seen, bloom)
     with_b = attach_budgets(fresh, None, None, epoch_seconds=budget_seconds)
-    popped, deferred = pop_per_host(with_b, None)
+    popped, deferred = pop(with_b, None)
     n_popped = popped.count()
     elapsed = time.time() - t0
     assert n_popped > 0
@@ -331,6 +341,13 @@ def emit(out: dict) -> None:
         return
     max_load = float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "4.0"))
     max_probe = float(os.environ.get("SPARK_GRAFT_MAX_PROBE_MS", "400"))
+    # Memory-bandwidth floor: the CPU probe is register-bound and BLIND to a
+    # host-level co-tenant eating the memory bus — the r3 polluted run
+    # passed every probe_ms gate while its memstream witnesses read
+    # 1.2-4.5 GB/s against the ~9-10 GB/s this box sustains clean (and the
+    # shuffle-heavy cells ran 5-10x slow). Any phase sample below the floor
+    # is foreign bandwidth pressure → refuse.
+    min_memstream = float(os.environ.get("SPARK_GRAFT_MIN_MEMSTREAM_MBPS", "6000"))
     force = os.environ.get("SPARK_GRAFT_FORCE_SNAPSHOT") == "1"
 
     witnesses: dict[str, float] = {}
@@ -345,6 +362,13 @@ def emit(out: dict) -> None:
         witnesses[tag] = w["probe_ms"]
         if w["probe_ms"] > max_probe:
             dirty[tag] = w["probe_ms"]
+        ms = w.get("memstream_mbps")
+        if ms is not None and ms < min_memstream:
+            dirty[f"{tag}_memstream"] = ms
+    for tag in ("memstream_at_queries_start", "memstream_at_queries_end"):
+        ms = out.get(tag)
+        if ms is not None and ms < min_memstream:
+            dirty[tag] = ms
     # end-of-phase contention probe: a co-tenant arriving MID-phase is
     # invisible to start loadavg; the busy probe after spark.stop() only
     # slows when foreign CPU load is present right then
@@ -396,21 +420,37 @@ def main() -> None:
             acc += i * i
         return round((time.time() - t0) * 1000)
 
+    def _memstream_mbps() -> int:
+        # memory-bandwidth witness: MB/s over one 256 MB streaming pass.
+        # The CPU probe cannot see a HOST-level co-tenant on the memory bus
+        # (r3 polluted run: all probes < 400 ms while shuffle-heavy cells
+        # ran 5-10x slow and this probe read 0.25-4.5 GB/s vs ~9.6 clean).
+        import numpy as _np
+
+        buf = _np.ones(32_000_000, dtype=_np.float64)  # 256 MB
+        t0 = time.time()
+        s = float(buf.sum())
+        assert s > 0
+        return round(256 / (time.time() - t0))
+
     qtimes: dict[str, float] = {}
     qprobes: dict[str, int] = {}
     queries_load = None
     queries_probe_end = None
+    queries_mem_start = queries_mem_end = None
     if phases in ("all", "queries"):
-        # witness at phase START (1-min loadavg + probe) and probe again at
-        # phase END (after spark.stop(), so own threads are gone) — a
-        # co-tenant arriving mid-phase (observed in r2/r3 runs: first cells
-        # 4x while later scalar cells were clean) is invisible to the start
-        # sample alone
+        # witness at phase START (1-min loadavg + probe + memstream) and
+        # again at phase END (after spark.stop(), so own threads are gone)
+        # — a co-tenant arriving mid-phase (observed in r2/r3 runs: first
+        # cells 4x while later scalar cells were clean) is invisible to the
+        # start sample alone
         queries_load = round(os.getloadavg()[0], 1)
+        queries_mem_start = _memstream_mbps()
         spark = _mk_spark(CPUS)
         qtimes, qprobes = run_queries(spark)
         spark.stop()
         queries_probe_end = _probe_ms()
+        queries_mem_end = _memstream_mbps()
     if phases == "queries":
         emit({
             "metric": "urls_scheduled_deduped_per_sec",
@@ -419,6 +459,8 @@ def main() -> None:
             "scaling": None,
             "loadavg_at_queries_start": queries_load,
             "probe_ms_at_queries_end": queries_probe_end,
+            "memstream_at_queries_start": queries_mem_start,
+            "memstream_at_queries_end": queries_mem_end,
             "probe_ms_per_query": qprobes,
         })
         return
@@ -488,6 +530,10 @@ def main() -> None:
 
     _load("ceiling")
     ceiling = cpu_ceiling(lo_cores, CPUS)
+    # final witness AFTER the last measured cell: each cell's start sample
+    # doubles as the previous cell's end sample, but the last cells had no
+    # end-of-cell witness — contention arriving mid-ceiling was invisible
+    _load("end")
 
     thr_hi = n_hi / t_hi
     thr_lo = n_lo / t_lo
@@ -503,6 +549,8 @@ def main() -> None:
                 "sf": float(SF_DIR.rstrip("/").split("sf")[-1]),
                 "loadavg_at_queries_start": queries_load,
                 "probe_ms_at_queries_end": queries_probe_end,
+                "memstream_at_queries_start": queries_mem_start,
+                "memstream_at_queries_end": queries_mem_end,
                 "probe_ms_per_query": qprobes,
                 "scaling": {
                     "frontier_urls": FRONTIER_N,

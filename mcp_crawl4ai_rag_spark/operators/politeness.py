@@ -123,6 +123,82 @@ def pop_per_host(
     return popped, deferred
 
 
+def pop_per_host_threshold(
+    frontier: DataFrame,
+    budgets: DataFrame | None,
+    salt_lanes: int = DEFAULT_SALT_LANES,
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`pop_per_host` with ZERO wide-row shuffle — identical output
+    whenever the (depth, priority, seq) order tuple is unique per host,
+    which the engine guarantees (``seq`` is a global discovery rank:
+    plans/crawl.py seq assignment; pop_per_host itself is nondeterministic
+    under ties, so uniqueness is already the engine-wide contract).
+
+    The frontier epoch is memory-bandwidth-bound (BASELINE.md): shuffle
+    bytes, not CPU, set its throughput. pop_per_host moves every frontier
+    row — URL strings included, ~100+ B/row — through two window
+    exchanges. But the pop decision per host is fully described by one
+    value: the order-tuple of its budget-th-smallest row. So:
+
+    1. rank a NARROW projection (host + order columns + budget, no URL
+       strings) through the same salted two-phase shape — the only
+       exchanges left, at ~half the bytes/row;
+    2. collapse the popped ranks to one THRESHOLD row per host
+       (``max(struct(depth, priority, seq))`` over popped rows — O(hosts)
+       rows total, ≲10^6 even at the 10^10-URL frontier, a few MB);
+    3. broadcast the thresholds and filter the un-shuffled wide frontier:
+       popped ⇔ tuple ≤ host threshold (or unlimited budget).
+
+    Wide URL rows therefore never enter ANY exchange, and the deferred
+    side is the same broadcast filter negated — no second pass, no union.
+    The O(hosts) driver collect is the same bounded-aggregate class as the
+    bloom fold bitsets; this stays the shape at N→4N executors because the
+    threshold table grows with hosts, not with frontier rows.
+    """
+    if budgets is None and "budget" not in frontier.columns:
+        return frontier, frontier.limit(0)
+
+    if "budget" in frontier.columns:
+        fr = frontier
+    else:
+        fr = frontier.join(F.broadcast(budgets), on="host", how="left")
+
+    tup = F.struct(F.col("depth"), F.col("priority"), F.col("seq"))
+    # Unlimited hosts (budget NULL) pop everything — they need no
+    # threshold and never enter the ranking. The lane salt is projected
+    # here so url_hash itself never enters the narrow shuffle either.
+    keys = fr.where(F.col("budget").isNotNull()).select(
+        "host",
+        F.pmod(F.col("url_hash"), F.lit(salt_lanes)).alias("__lane"),
+        "depth", "priority", "seq", "budget",
+    )
+
+    # Same salted two-phase rank as pop_per_host, on narrow rows only.
+    w_lane = Window.partitionBy("host", "__lane").orderBy(*_order())
+    survivors = (
+        keys.withColumn("__lane_rk", F.row_number().over(w_lane))
+        .where(F.col("__lane_rk") <= F.col("budget"))
+    )
+    w_host = Window.partitionBy("host").orderBy(*_order())
+    popped_keys = survivors.withColumn(
+        "__rk", F.row_number().over(w_host)
+    ).where(F.col("__rk") <= F.col("budget"))
+    # A budgeted host with ≥1 row always pops ≥1 row (budget ≥ 1), so
+    # every budgeted host present in the frontier has a threshold row.
+    thresholds = popped_keys.groupBy("host").agg(F.max(tup).alias("__thr"))
+
+    joined = fr.join(F.broadcast(thresholds), on="host", how="left")
+    # coalesce: a host with no threshold row (possible only under a
+    # degenerate budget ≤ 0 — pop_per_host defers everything there too)
+    # must land in deferred, not vanish into a NULL predicate.
+    is_popped = F.col("budget").isNull() | F.coalesce(
+        tup <= F.col("__thr"), F.lit(False)
+    )
+    popped = joined.where(is_popped).drop("__thr", "budget")
+    deferred = joined.where(~is_popped).drop("__thr", "budget")
+    return popped, deferred
+
+
 def effective_delay_expr():
     """delay = crawl_delay override else midpoint of the RateLimiter base
     window, doubled per backoff level, capped at max_delay."""

@@ -59,7 +59,7 @@ from ..functions.urls import (
 )
 from ..operators.politeness import (
     attach_budgets,
-    pop_per_host,
+    pop_per_host_threshold,
     robots_denied_expr,
     update_backoff,
 )
@@ -367,7 +367,13 @@ class CrawlEngine:
                     backoff,
                     **({"epoch_seconds": self.epoch_seconds} if self.epoch_seconds else {}),
                 )
-                popped, deferred = pop_per_host(with_b, None, self.salt_lanes)
+                # Threshold pop: narrow-key salted ranking + O(hosts)
+                # broadcast thresholds — wide URL rows never shuffle
+                # (pinned equal to the two-phase pop_per_host in tests;
+                # the epoch is bandwidth-bound, so bytes saved ≈ time).
+                popped, deferred = pop_per_host_threshold(
+                    with_b, None, self.salt_lanes
+                )
             else:
                 popped, deferred = new_urls, new_urls.limit(0)
             # count rides the checkpoint materialization (no separate job)

@@ -92,3 +92,36 @@ def test_pervasive_canary_pollution_refused(tmp_path, monkeypatch):
     one_burst = dict(clean, s0=900)  # 1/9 slow: isolated burst, quotable
     p = _emit(monkeypatch, tmp_path, _out(probe_ms_per_query=one_burst), name="c3.json")
     assert p.exists()
+
+
+def test_low_memstream_refused(tmp_path, monkeypatch):
+    """The CPU probe is blind to a co-tenant on the memory bus; a scaling
+    phase whose memstream witness is below the floor must be refused even
+    with a fast probe (the r3 polluted-run failure mode)."""
+    bad = {
+        "loadavg_at_phase_start": {
+            "frontier_hi": {"loadavg": 2.0, "probe_ms": 196, "memstream_mbps": 4459}
+        }
+    }
+    p = _emit(monkeypatch, tmp_path, _out(scaling=bad), name="m_bad.json")
+    assert not p.exists()
+    ok = {
+        "loadavg_at_phase_start": {
+            "frontier_hi": {"loadavg": 2.0, "probe_ms": 196, "memstream_mbps": 9200}
+        }
+    }
+    p = _emit(monkeypatch, tmp_path, _out(scaling=ok), name="m_ok.json")
+    assert p.exists()
+
+
+def test_low_queries_memstream_refused(tmp_path, monkeypatch):
+    p = _emit(
+        monkeypatch, tmp_path, _out(memstream_at_queries_end=900), name="qm.json"
+    )
+    assert not p.exists()
+    p = _emit(
+        monkeypatch, tmp_path,
+        _out(memstream_at_queries_start=9500, memstream_at_queries_end=9100),
+        name="qm_ok.json",
+    )
+    assert p.exists()

@@ -292,6 +292,78 @@ def test_pop_per_host_matches_python_reference(spark):
         assert got_p == want_p, f"seed {seed}"
 
 
+def test_pop_threshold_equals_two_phase(spark):
+    """pop_per_host_threshold (zero-wide-shuffle broadcast-threshold pop)
+    must produce the exact (popped, deferred) split of pop_per_host on
+    randomized skewed frontiers with unique order tuples — including
+    unlimited hosts (budget NULL) and a degenerate budget-0 host."""
+    import random
+
+    from mcp_crawl4ai_rag_spark.operators.politeness import (
+        pop_per_host,
+        pop_per_host_threshold,
+    )
+
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        rows = []
+        for i in range(900):
+            # h0 is hot (~40% of rows) to exercise the salted lanes
+            host = "h0.x" if rng.random() < 0.4 else f"h{rng.randint(1, 9)}.x"
+            rows.append(
+                (f"https://{host}/p/{i}", rng.getrandbits(62), host,
+                 f"/p/{i}", rng.randint(0, 3), rng.randint(0, 1), i)
+            )
+        budgets = [(f"h{h}.x", rng.randint(1, 40)) for h in range(7)]
+        budgets.append(("h7.x", 0))  # degenerate: defers everything
+        fr = spark.createDataFrame(
+            rows,
+            "canonical_url string, url_hash long, host string, path string, "
+            "depth int, priority int, seq long",
+        ).repartition(7)
+        bd = spark.createDataFrame(budgets, "host string, budget int")
+        p_a, d_a = pop_per_host(fr, bd, salt_lanes=4)
+        p_b, d_b = pop_per_host_threshold(fr, bd, salt_lanes=4)
+        assert sorted(p_b.columns) == sorted(p_a.columns)
+        key = lambda df: sorted(r["canonical_url"] for r in df.collect())
+        assert key(p_b) == key(p_a), f"seed {seed}"
+        assert key(d_b) == key(d_a), f"seed {seed}"
+        # nothing lost or duplicated across the split
+        assert sorted(key(p_b) + key(d_b)) == sorted(r[0] for r in rows)
+
+
+def test_pop_threshold_attach_budgets_path(spark):
+    """Threshold pop over the attach_budgets (budget-column) input shape,
+    pinned against the two-phase pop on the same input."""
+    from pyspark.sql import functions as F
+
+    from mcp_crawl4ai_rag_spark.operators.politeness import (
+        attach_budgets,
+        pop_per_host,
+        pop_per_host_threshold,
+    )
+
+    frontier = spark.range(0, 3000, 1, 8).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 5), F.lit(".x/p/"), F.col("id")).alias("canonical_url"),
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash"),
+        F.concat(F.lit("h"), (F.col("id") % 5), F.lit(".x")).alias("host"),
+        F.concat(F.lit("/p/"), F.col("id")).alias("path"),
+        (F.col("id") % 3).cast("int").alias("depth"),
+        F.lit(0).alias("priority"),
+        F.col("id").alias("seq"),
+    )
+    robots = spark.createDataFrame(
+        [(f"h{h}.x", [], float(1 + h)) for h in range(4)],
+        "host string, disallow_prefixes array<string>, crawl_delay double",
+    )
+    with_b = attach_budgets(frontier, robots, None, epoch_seconds=200.0)
+    p_a, d_a = pop_per_host(with_b, None)
+    p_b, d_b = pop_per_host_threshold(with_b, None)
+    key = lambda df: sorted(r["canonical_url"] for r in df.collect())
+    assert key(p_b) == key(p_a)
+    assert key(d_b) == key(d_a)
+
+
 def test_checkpoint_resume_politeness_bit_identical(spark, corpus, tmp_path):
     """Kill/resume under politeness budgets + backoff: the resumed run must
     reproduce the uninterrupted schedule exactly, including which epoch each

@@ -432,6 +432,47 @@ def main():
         checks,
     ))
 
+    # 21. threshold politeness pop: the wide frontier rows (URL strings)
+    # must appear ONLY under the broadcast join — every Exchange in the
+    # plan belongs to the narrow-key ranking and must not carry
+    # canonical_url/path through the shuffle.
+    from mcp_crawl4ai_rag_spark.operators.politeness import (
+        attach_budgets as _ab,
+        pop_per_host_threshold,
+    )
+
+    fr = spark.range(0, 200_000, 1, 16).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 101), F.lit(".example.com/p/"), F.col("id")).alias("canonical_url"),
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash"),
+        F.concat(F.lit("h"), (F.col("id") % 101), F.lit(".example.com")).alias("host"),
+        F.concat(F.lit("/p/"), F.col("id")).alias("path"),
+        (F.col("id") % 3).cast("int").alias("depth"),
+        F.lit(0).alias("priority"),
+        F.col("id").alias("seq"),
+    )
+    popped, _deferred = pop_per_host_threshold(
+        _ab(fr, None, None, epoch_seconds=100.0), None
+    )
+    pop_plan = formatted(popped)
+    checks = [
+        ("BroadcastHashJoin", "O(hosts) threshold table broadcast onto un-shuffled wide rows"),
+        ("BroadcastExchange", "only the threshold table is exchanged to executors"),
+    ]
+    # negative check: no shuffle Exchange's detail block may mention the
+    # wide string columns — they would mean frontier rows entered a shuffle
+    import re as _re
+
+    for node_id in _re.findall(r"\((\d+)\) Exchange\b", pop_plan):
+        block = pop_plan.split(f"({node_id}) Exchange", 1)[1]
+        block = block.split("\n\n", 1)[0]
+        if "canonical_url" in block or ", path" in block:
+            checks.append(("never", f"WIDE COLUMN IN EXCHANGE ({node_id}) — URL strings entered a shuffle"))
+    sections.append((
+        "Threshold politeness pop (narrow-key ranking + broadcast thresholds; wide rows never shuffle)",
+        pop_plan,
+        checks,
+    ))
+
     out = ["# Physical-plan audit (auto-generated by tools/explain_plans.py)",
            "", f"sf_dir: {sf_dir}", ""]
     n_fail = 0
