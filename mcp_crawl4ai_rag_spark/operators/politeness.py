@@ -127,6 +127,7 @@ def pop_per_host_threshold(
     frontier: DataFrame,
     budgets: DataFrame | None,
     salt_lanes: int = DEFAULT_SALT_LANES,
+    materialize: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """:func:`pop_per_host` with ZERO wide-row shuffle — identical output
     whenever the (depth, priority, seq) order tuple is unique per host,
@@ -154,6 +155,20 @@ def pop_per_host_threshold(
     The O(hosts) driver collect is the same bounded-aggregate class as the
     bloom fold bitsets; this stays the shape at N→4N executors because the
     threshold table grows with hosts, not with frontier rows.
+
+    ``materialize`` (default True): the threshold plan is a DAG, not a
+    line — the narrow ranking branch and the wide filter branch both read
+    ``frontier``, and Spark executes them as separate jobs (the thresholds
+    must exist before the broadcast). With a lazy input whose lineage
+    carries the epoch's bloom probe + exact anti-join, that upstream runs
+    TWICE — measured 1.3-2x slower than the old two-phase pop on the 16M
+    frontier epoch (BENCH/bench_r3_ab_pairs.json) despite shuffling a
+    fraction of the bytes. An eager localCheckpoint here pins the deduped
+    frontier once so both branches scan materialized blocks; on a real
+    cluster the equivalent is popping from the frontier TABLE (Iceberg
+    scan), where the second read is a column-pruned scan, not a recompute.
+    Pass ``materialize=False`` only when the caller hands in an
+    already-materialized (checkpointed/cached) frontier.
     """
     if budgets is None and "budget" not in frontier.columns:
         return frontier, frontier.limit(0)
@@ -162,6 +177,8 @@ def pop_per_host_threshold(
         fr = frontier
     else:
         fr = frontier.join(F.broadcast(budgets), on="host", how="left")
+    if materialize:
+        fr = fr.localCheckpoint(eager=True)
 
     tup = F.struct(F.col("depth"), F.col("priority"), F.col("seq"))
     # Unlimited hosts (budget NULL) pop everything — they need no
