@@ -177,10 +177,24 @@ def run_queries(spark) -> tuple[dict[str, float], dict[str, int]]:
     return times, probes
 
 
-def frontier_epoch(spark, n: int, pop_fraction: float = 0.4) -> tuple[int, float]:
+def frontier_epoch(
+    spark, n: int, pop_fraction: float = 0.4, consumer: str = "count"
+) -> tuple[int, float]:
     """One frontier epoch at scale: n candidate URLs, n/3 already seen,
     bloom-prefiltered exact dedup, per-host politeness budgets, salted
-    two-phase pop. Returns (candidates processed, elapsed seconds)."""
+    two-phase pop. Returns (candidates processed, elapsed seconds).
+
+    ``consumer`` — how the pop output is materialized, which decides what
+    the window exchanges actually carry:
+    - "count" (headline metric, comparable across rounds): popped.count();
+      Catalyst column-prunes the two-phase pop's exchanges to the narrow
+      ranking keys, so both pop impls shuffle near-identical bytes
+      (measured: BENCH/bench_r3_pop_shuffle_bytes.json).
+    - "noop": noop-sink both popped and deferred at FULL width — the
+      engine-faithful shape (plans/crawl.py checkpoints popped with all
+      columns and feeds deferred to the next epoch), where the two-phase
+      exchanges must carry URL strings and the threshold pop's
+      zero-wide-row-shuffle property matters."""
     from pyspark.sql import functions as F
 
     from mcp_crawl4ai_rag_spark.functions.urls import url_hash
@@ -190,13 +204,20 @@ def frontier_epoch(spark, n: int, pop_fraction: float = 0.4) -> tuple[int, float
         pop_per_host_threshold,
     )
 
-    # SPARK_GRAFT_POP_IMPL=twophase re-measures the epoch through the old
-    # wide-row two-phase pop for A/B comparison (default: threshold pop,
-    # the shipped path — outputs are pinned identical in tests)
+    # SPARK_GRAFT_POP_IMPL=threshold re-measures the epoch through the
+    # zero-wide-row-shuffle threshold pop for A/B comparison. Default is
+    # the two-phase pop: the interleaved paired A/B (BENCH/
+    # bench_r3_ab_pairs_postfix.json, median twophase/threshold 0.51)
+    # showed it wins wall-clock on one box — its exchanges double as
+    # materialization for the dual popped/deferred read, while the
+    # threshold DAG pays an explicit localCheckpoint. The threshold pop
+    # shuffles a small fraction of the BYTES (BENCH/
+    # bench_r3_pop_shuffle_bytes.json) and is the stored-frontier /
+    # real-network-shuffle shape; outputs are pinned identical in tests.
     pop = (
-        pop_per_host
-        if os.environ.get("SPARK_GRAFT_POP_IMPL") == "twophase"
-        else pop_per_host_threshold
+        pop_per_host_threshold
+        if os.environ.get("SPARK_GRAFT_POP_IMPL") == "threshold"
+        else pop_per_host
     )
     from mcp_crawl4ai_rag_spark.operators.urlseen import anti_join_seen, build_bloom
 
@@ -237,7 +258,12 @@ def frontier_epoch(spark, n: int, pop_fraction: float = 0.4) -> tuple[int, float
     fresh = anti_join_seen(frontier, url_seen, bloom)
     with_b = attach_budgets(fresh, None, None, epoch_seconds=budget_seconds)
     popped, deferred = pop(with_b, None)
-    n_popped = popped.count()
+    if consumer == "noop":
+        popped.write.format("noop").mode("overwrite").save()
+        deferred.write.format("noop").mode("overwrite").save()
+        n_popped = 1  # materialized via sink; count not needed
+    else:
+        n_popped = popped.count()
     elapsed = time.time() - t0
     assert n_popped > 0
     frontier.unpersist()

@@ -59,6 +59,7 @@ from ..functions.urls import (
 )
 from ..operators.politeness import (
     attach_budgets,
+    pop_per_host,
     pop_per_host_threshold,
     robots_denied_expr,
     update_backoff,
@@ -125,6 +126,7 @@ class CrawlEngine:
         salt_lanes: int = DEFAULT_SALT_LANES,
         checkpoint_dir: str | None = None,
         epoch_seconds: float | None = None,
+        pop_impl: str = "twophase",
     ):
         self.spark = spark
         self.pages = pages
@@ -134,6 +136,21 @@ class CrawlEngine:
         self.salt_lanes = salt_lanes
         self.ckpt = CheckpointManager(spark, checkpoint_dir) if checkpoint_dir else None
         self.epoch_seconds = epoch_seconds
+        # "twophase" (default): salted two-phase window pop — the measured
+        # local/wall-clock winner (interleaved paired A/B, BENCH/
+        # bench_r3_ab_pairs_postfix.json: median twophase/threshold 0.51)
+        # because its exchanges double as materialization (shuffle-file
+        # reuse feeds the popped/deferred dual read for free), while the
+        # threshold pop's DAG must pay an explicit localCheckpoint.
+        # "threshold": zero wide-row-shuffle pop — 0.31x the epoch's total
+        # shuffled bytes under full-width materialization (~8.6x fewer on
+        # the pop's own exchanges; BENCH/bench_r3_pop_shuffle_bytes.json,
+        # consumer="noop" cells); the right shape when the frontier is
+        # popped from a STORED table (Iceberg scan = free materialization)
+        # or when shuffle crosses a real network instead of one box's bus.
+        if pop_impl not in ("twophase", "threshold"):
+            raise ValueError(f"pop_impl must be twophase|threshold, got {pop_impl!r}")
+        self.pop_impl = pop_impl
 
     # -- frontier construction -------------------------------------------
 
@@ -367,13 +384,19 @@ class CrawlEngine:
                     backoff,
                     **({"epoch_seconds": self.epoch_seconds} if self.epoch_seconds else {}),
                 )
-                # Threshold pop: narrow-key salted ranking + O(hosts)
-                # broadcast thresholds — wide URL rows never shuffle
-                # (pinned equal to the two-phase pop_per_host in tests;
-                # the epoch is bandwidth-bound, so bytes saved ≈ time).
-                popped, deferred = pop_per_host_threshold(
-                    with_b, None, self.salt_lanes
-                )
+                # Pop impl is a measured choice, not a guess — see the
+                # __init__ docs: twophase wins wall-clock on one box
+                # (exchange = free materialization), threshold wins
+                # shuffled BYTES (wide URL rows never enter an exchange)
+                # and is selected for stored-frontier / real-network runs.
+                if self.pop_impl == "threshold":
+                    popped, deferred = pop_per_host_threshold(
+                        with_b, None, self.salt_lanes
+                    )
+                else:
+                    popped, deferred = pop_per_host(
+                        with_b, None, self.salt_lanes
+                    )
             else:
                 popped, deferred = new_urls, new_urls.limit(0)
             # count rides the checkpoint materialization (no separate job)
