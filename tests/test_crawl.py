@@ -44,6 +44,30 @@ def test_url_seen_matches_oracle(spark, corpus):
     assert got_fetched == set(want_fetched)
 
 
+def test_pop_impl_knob_engine_identical(spark, corpus):
+    """The engine's pop_impl knob ("twophase" default vs "threshold", the
+    stored-frontier/cluster shape) must be a pure physical choice: same
+    visited set, same (url, depth, seq) tuples, same lineage counters."""
+    seeds = gen_seeds(spark, N)
+    robots = gen_robots(spark)
+    a = CrawlEngine(
+        spark, corpus, robots=robots, allowed_host_suffix=".example.com",
+        epoch_seconds=30.0, pop_impl="twophase",
+    ).run(seeds, max_depth=3)
+    b = CrawlEngine(
+        spark, corpus, robots=robots, allowed_host_suffix=".example.com",
+        epoch_seconds=30.0, pop_impl="threshold",
+    ).run(seeds, max_depth=3)
+    sa = {(r["canonical_url"], r["depth"], r["seq"]) for r in a.url_seen.collect()}
+    sb = {(r["canonical_url"], r["depth"], r["seq"]) for r in b.url_seen.collect()}
+    assert sa == sb
+    la = [tuple(r) for r in a.lineage.orderBy("epoch").collect()]
+    lb = [tuple(r) for r in b.lineage.orderBy("epoch").collect()]
+    assert la == lb
+    with pytest.raises(ValueError):
+        CrawlEngine(spark, corpus, pop_impl="bogus")
+
+
 def test_bloom_and_exact_paths_agree(spark, corpus):
     seeds = gen_seeds(spark, N)
     robots = gen_robots(spark)

@@ -473,6 +473,39 @@ def main():
         checks,
     ))
 
+    # 22. threshold pop from a STORED frontier — the cluster shape that
+    # replaces the single-box localCheckpoint (see pop_per_host_threshold's
+    # materialize doc and BASELINE.md round-3 A/B verdict): both DAG
+    # branches re-scan the persisted table, and Catalyst column-prunes the
+    # ranking branch's scan to the narrow keys (no URL strings read), so
+    # the dual read costs a pruned scan instead of a full-width checkpoint.
+    with tempfile.TemporaryDirectory() as td2:
+        fr.write.mode("overwrite").parquet(f"{td2}/frontier")
+        stored = spark.read.parquet(f"{td2}/frontier")
+        popped_s, _def_s = pop_per_host_threshold(
+            _ab(stored, None, None, epoch_seconds=100.0), None,
+            materialize=False,
+        )
+        sp_plan = formatted(popped_s)
+    checks = [
+        ("Scan parquet", "branches read the stored table — no checkpoint node"),
+        ("BroadcastHashJoin", "O(hosts) thresholds broadcast onto the wide scan"),
+    ]
+    schemas = _re.findall(r"ReadSchema: struct<([^>]*)>", sp_plan)
+    if not any("canonical_url" not in s for s in schemas):
+        checks.append(("never", "NO PRUNED SCAN — ranking branch read the wide columns"))
+    if not any("canonical_url" in s for s in schemas):
+        checks.append(("never", "NO WIDE SCAN — the broadcast-filter branch vanished"))
+    for node_id in _re.findall(r"\((\d+)\) Exchange\b", sp_plan):
+        block = sp_plan.split(f"({node_id}) Exchange", 1)[1].split("\n\n", 1)[0]
+        if "canonical_url" in block or ", path" in block:
+            checks.append(("never", f"WIDE COLUMN IN EXCHANGE ({node_id}) — URL strings entered a shuffle"))
+    sections.append((
+        "Threshold pop from a stored frontier (materialize=False; ranking branch is a column-pruned scan)",
+        sp_plan,
+        checks,
+    ))
+
     out = ["# Physical-plan audit (auto-generated by tools/explain_plans.py)",
            "", f"sf_dir: {sf_dir}", ""]
     n_fail = 0
