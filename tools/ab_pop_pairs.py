@@ -56,8 +56,10 @@ def witness() -> dict:
 
 def run_cell(impl: str) -> dict:
     """One fresh-JVM cell: warmup + best-of-2 frontier epochs at CPUS cores."""
-    if impl == "twophase":
-        os.environ["SPARK_GRAFT_POP_IMPL"] = "twophase"
+    # env semantics post-verdict (commit 67e76b4): default impl is
+    # twophase; "threshold" opts into the broadcast-threshold pop.
+    if impl == "threshold":
+        os.environ["SPARK_GRAFT_POP_IMPL"] = "threshold"
     else:
         os.environ.pop("SPARK_GRAFT_POP_IMPL", None)
     w = witness()
