@@ -35,13 +35,23 @@ _MIX = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 increment for h2 derivation
 
 
 def _indices(hashes: np.ndarray, m: int, k: int) -> np.ndarray:
-    """(n, k) bit indices via Kirsch-Mitzenmacher double hashing — pure numpy."""
-    h = hashes.astype(np.uint64)
-    h1 = h
-    h2 = h * _MIX
+    """(k, n) bit indices via Kirsch-Mitzenmacher double hashing — pure numpy.
+
+    Division-free beyond the two base modulos: probe j is (h1 + j*h2) mod m
+    computed by iterated add + conditional subtract (both operands < m, so
+    one subtract suffices). Integer division has no SIMD path — the naive
+    37M-modulo broadcast costs ~2.7s for a 5.3M-key build vs ~0.6s here."""
+    h1 = hashes.astype(np.uint64)
+    h2 = h1 * _MIX
     h2 = (h2 ^ (h2 >> np.uint64(31))) | np.uint64(1)  # odd → full period
-    i = np.arange(k, dtype=np.uint64)[None, :]
-    return ((h1[:, None] + i * h2[:, None]) % np.uint64(m)).astype(np.int64)
+    mm = np.uint64(m)
+    out = np.empty((k, len(h1)), dtype=np.uint64)
+    np.mod(h1, mm, out=out[0])
+    step = h2 % mm
+    for j in range(1, k):
+        np.add(out[j - 1], step, out=out[j])
+        out[j][out[j] >= mm] -= mm
+    return out.astype(np.int64)
 
 
 @dataclass
@@ -60,15 +70,28 @@ class BloomFilter:
         return cls(bits=np.zeros((m + 7) // 8, dtype=np.uint8), m=m, k=k)
 
     def add_hashes(self, hashes: np.ndarray) -> None:
+        # np.bitwise_or.at is an unbuffered scatter and turns superlinear past
+        # ~1M probes (measured 0.12s for 333k hashes but 8.5s for 5.3M — 4x
+        # per-op). For big batches, scatter plain boolean stores into an
+        # unpacked bit array (duplicate stores are benign) and OR the packed
+        # result in; below the crossover the direct scatter is cheaper than
+        # the m-bit unpack.
         idx = _indices(hashes, self.m, self.k).ravel()
-        np.bitwise_or.at(self.bits, idx >> 3, np.uint8(1) << (idx & 7).astype(np.uint8))
+        if idx.size >= 1 << 20:
+            unpacked = np.zeros(len(self.bits) * 8, dtype=bool)
+            unpacked[idx] = True
+            self.bits |= np.packbits(unpacked, bitorder="little")
+        else:
+            np.bitwise_or.at(
+                self.bits, idx >> 3, np.uint8(1) << (idx & 7).astype(np.uint8)
+            )
 
     def contains_hashes(self, hashes: np.ndarray) -> np.ndarray:
         if len(hashes) == 0:
             return np.zeros(0, dtype=bool)
-        idx = _indices(hashes, self.m, self.k)
+        idx = _indices(hashes, self.m, self.k)  # (k, n)
         bit = (self.bits[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
-        return bit.all(axis=1)
+        return bit.all(axis=0)
 
     def merge(self, other: "BloomFilter") -> "BloomFilter":
         assert self.m == other.m and self.k == other.k
@@ -219,11 +242,15 @@ def bloom_maybe_contains(bloom: "BloomFilter | ShardedBloom", hash_col: Column) 
 
         return _probe_sharded(hash_col)
 
-    bits, m, k = bloom.bits, bloom.m, bloom.k
+    # Serialize the bitset ONCE into the task closure: tobytes() inside the
+    # UDF would memcpy the full m-bit array on every ~10k-row Arrow batch
+    # (measured ~1600 copies x 6.4 MB per 16M-row epoch pass).
+    payload_bits, m, k = bloom.bits.tobytes(), bloom.m, bloom.k
 
     @F.pandas_udf(BooleanType())
     def _probe(h: pd.Series) -> pd.Series:
-        bf = BloomFilter(bits=np.frombuffer(bits.tobytes(), dtype=np.uint8), m=m, k=k)
+        # frombuffer over the closure bytes is zero-copy (read-only view)
+        bf = BloomFilter(bits=np.frombuffer(payload_bits, dtype=np.uint8), m=m, k=k)
         return pd.Series(bf.contains_hashes(h.to_numpy(dtype=np.int64)))
 
     return _probe(hash_col)
