@@ -751,10 +751,9 @@ WHERE {frac} < (CASE {whens} ELSE {_MIX_DEFAULT!r} END)
 _PR_ITERS = 5
 
 
-def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-point PageRank over the synthetic corpus link graph
-    (t_j(i) = (31i+7j+1) mod n, j<3) — crawl-prioritization ranking.
-    Integer arithmetic makes the ranks bit-identical across engines."""
+def _pagerank_link_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, pr) over the synthetic corpus link graph t_j(i) = (31i+7j+1) mod n
+    — shared by the link_pagerank gate and the crawl_e2e composition."""
     from mcp_crawl4ai_rag_spark.operators.graph import pagerank
 
     n = _lineitem_count(spark, sf_dir)
@@ -767,7 +766,10 @@ def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(e, v, iters=_PR_ITERS)
 
 
-def _oracle_link_pagerank() -> str:
+def _pagerank_ctes() -> str:
+    """DuckDB CTE chain computing the same fixed-point PageRank — defines
+    ``verts(id)`` and ``pr{_PR_ITERS}(id, pr)``; shared by the link_pagerank
+    and crawl_e2e oracles (bit-identical integer arithmetic)."""
     from mcp_crawl4ai_rag_spark.operators.graph import PR_SCALE
 
     base = (15 * PR_SCALE) // 100
@@ -785,8 +787,7 @@ def _oracle_link_pagerank() -> str:
     ) s ON s.id = v.id
 )""")
     chain = ",\n".join(rounds)
-    return f"""
-WITH verts AS (SELECT unnest(generate_series(0, {N_SQL} - 1)) AS id),
+    return f"""verts AS (SELECT unnest(generate_series(0, {N_SQL} - 1)) AS id),
 e AS (
     SELECT v.id AS src,
            ({C.EDGE_A} * v.id + {C.EDGE_B} * t.j + {C.EDGE_C}) % {N_SQL} AS dst,
@@ -794,7 +795,19 @@ e AS (
     FROM verts v, (VALUES {js}) t(j)
 ),
 pr0 AS (SELECT id, CAST({PR_SCALE} AS BIGINT) AS pr FROM verts),
-{chain}
+{chain}"""
+
+
+def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the synthetic corpus link graph
+    (t_j(i) = (31i+7j+1) mod n, j<3) — crawl-prioritization ranking.
+    Integer arithmetic makes the ranks bit-identical across engines."""
+    return _pagerank_link_df(spark, sf_dir)
+
+
+def _oracle_link_pagerank() -> str:
+    return f"""
+WITH {_pagerank_ctes()}
 SELECT id, pr FROM pr{_PR_ITERS}
 """
 
@@ -3581,6 +3594,87 @@ tr AS (
 """
 
 
+def q_crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl stack as ONE composed query — counterpart of pipeline_e2e
+    for the frontier side: link-graph PageRank → rank-prioritized frontier →
+    sharded-bloom + anti-join URL-seen dedup → per-host politeness budgets
+    (zero-shuffle attach) → salted two-phase pop. Every stage is the same
+    operator its standalone gate checks (link_pagerank, urlseen_filters,
+    politeness_budgets, politeness_drain); this gate checks the COMPOSITION:
+    the pop ordering consumes the PageRank priorities through the dedup.
+
+    Deterministic: priorities are fixed-point integers, the pop order tuple
+    (depth=0, -pr, seq=id) is unique per host, and the bloom prefilter is
+    lossless — so the popped set is closed-form for the oracle.
+    """
+    from mcp_crawl4ai_rag_spark.operators.politeness import (
+        attach_budgets,
+        pop_per_host,
+    )
+    from mcp_crawl4ai_rag_spark.operators.urlseen import build_bloom_sharded
+
+    n = _lineitem_count(spark, sf_dir)
+    # stage A: PageRank priorities over the corpus link graph
+    pr = _pagerank_link_df(spark, sf_dir)
+    # stage B: frontier — every corpus URL, priority = -pr (higher rank
+    # pops first under the (depth, priority, seq) ascending pop order)
+    i = F.col("id")
+    u = C._url_expr(i)
+    host = F.concat(
+        F.lit("h"), C._host_expr(i).cast("string"), F.lit(".example.com")
+    )
+    frontier = (
+        spark.range(0, n, 1, 32)
+        .join(pr, "id")
+        .select(
+            u.alias("canonical_url"),
+            url_hash(u).alias("url_hash"),
+            host.alias("host"),
+            F.lit(0).alias("depth"),
+            (-F.col("pr")).alias("priority"),
+            i.alias("seq"),
+            F.col("pr"),
+        )
+    )
+    # stage C: URL-seen dedup — every 3rd URL already seen; sharded bloom
+    # prefilter routes definitely-new rows around the anti-join shuffle
+    seen = (
+        spark.range(0, n, 3, 32)
+        .select(C._url_expr(i).alias("canonical_url"))
+        .select(url_hash(F.col("canonical_url")).alias("url_hash"), "canonical_url")
+    )
+    bloom = build_bloom_sharded(seen, "url_hash", n_shards=8, expected=n // 3)
+    fresh = anti_join_seen(frontier, seen, bloom)
+    # stage D: per-host budgets (no robots/backoff → midpoint delay 2.0 s,
+    # default 30 s epoch → budget 15/host), attached with zero shuffle
+    with_b = attach_budgets(fresh, None, None)
+    # stage E: salted two-phase pop under those budgets
+    popped, _deferred = pop_per_host(with_b, None)
+    return popped.select(
+        "canonical_url", F.col("pr").cast("long").alias("pr")
+    )
+
+
+def _oracle_crawl_e2e() -> str:
+    host = f"(CASE WHEN v.id % {C.HOT_HOST_MOD} = 0 THEN 0 ELSE v.id % {C.N_HOSTS} END)"
+    return f"""
+WITH {_pagerank_ctes()},
+fresh AS (
+    SELECT v.id, {host} AS h, p.pr
+    FROM verts v JOIN pr{_PR_ITERS} p ON p.id = v.id
+    WHERE v.id % 3 <> 0
+),
+r AS (
+    SELECT id, pr,
+           row_number() OVER (PARTITION BY h ORDER BY pr DESC, id) AS rk
+    FROM fresh
+)
+SELECT {C.oracle_url_sql('id')} AS canonical_url, CAST(pr AS BIGINT) AS pr
+FROM r
+WHERE rk <= 15
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
@@ -3659,6 +3753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window": q_streaming_window,
         "link_counts": q_link_counts,
         "pipeline_e2e": q_pipeline_e2e,
+        "crawl_e2e": q_crawl_e2e,
     }
 
 
@@ -3713,4 +3808,5 @@ def oracle_sql() -> dict[str, str]:
         "streaming_window": _oracle_streaming_window(),
         "link_counts": _oracle_link_counts(),
         "pipeline_e2e": _oracle_pipeline_e2e(),
+        "crawl_e2e": _oracle_crawl_e2e(),
     }

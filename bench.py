@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "image_resize",
     "link_counts",
     "pipeline_e2e",
+    "crawl_e2e",
 ]
 
 

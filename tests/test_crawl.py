@@ -426,3 +426,33 @@ def test_checkpoint_resume_politeness_bit_identical(spark, corpus, tmp_path):
     l1 = sorted(tuple(r) for r in full.lineage.collect())
     l2 = sorted(tuple(r) for r in resumed.lineage.collect())
     assert l1 == l2
+
+
+def test_crawl_e2e_gate_pop_respects_pagerank_budgets(spark):
+    """crawl_e2e composition gate (__spark_entry__.q_crawl_e2e): the popped
+    set must be, per host, exactly the budget-sized head of the FRESH
+    (non-seen) URLs ordered by (pagerank desc, id) — i.e. the PageRank
+    priorities survive the bloom+anti-join dedup into the pop ordering."""
+    import __spark_entry__ as E
+
+    sf_dir = "/root/testdata/sf0.001"
+    popped = E.q_crawl_e2e(spark, sf_dir).collect()
+
+    # independent expectation: pagerank ranks + closed-form host/seen layout
+    pr = {r["id"]: r["pr"] for r in E._pagerank_link_df(spark, sf_dir).collect()}
+    n = len(pr)
+    from mcp_crawl4ai_rag_spark.sources import corpus as C
+
+    by_host: dict[int, list[tuple[int, int]]] = {}
+    for i in range(n):
+        if i % 3 == 0:  # seen
+            continue
+        h = 0 if i % C.HOT_HOST_MOD == 0 else i % C.N_HOSTS
+        by_host.setdefault(h, []).append((-pr[i], i))
+    expected = set()
+    for h, rows in by_host.items():
+        for negpr, i in sorted(rows)[:15]:  # budget floor(30/2.0)=15
+            path = "/private/p/" if i % C.PRIVATE_MOD == 0 else "/p/"
+            expected.add((f"https://h{h}.example.com{path}{i}", pr[i]))
+    got = {(r["canonical_url"], r["pr"]) for r in popped}
+    assert got == expected
