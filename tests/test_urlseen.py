@@ -271,3 +271,19 @@ def test_bucketed_anti_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS t_frontier_bkt")
         spark.sql("DROP TABLE IF EXISTS t_seen_bkt")
+
+
+def test_bloom_scatter_and_unpack_paths_identical():
+    """add_hashes routes large batches through the unpacked-bool + packbits
+    path (np.bitwise_or.at is superlinear past ~1M probes); the bitset must
+    be bit-identical to the small-batch scatter path regardless of route."""
+    from mcp_crawl4ai_rag_spark.operators.urlseen import BloomFilter
+
+    h = np.random.default_rng(7).integers(-(2**62), 2**62, 200_000, dtype=np.int64)
+    big = BloomFilter.sized_for(200_000)
+    big.add_hashes(h)  # 200k*7 = 1.4M indices -> unpack path
+    small = BloomFilter.sized_for(200_000)
+    for s in range(0, len(h), 10_000):  # Arrow-batch-sized -> scatter path
+        small.add_hashes(h[s : s + 10_000])
+    assert np.array_equal(big.bits, small.bits)
+    assert big.contains_hashes(h).all()
