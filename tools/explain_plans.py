@@ -506,6 +506,23 @@ def main():
         checks,
     ))
 
+    # crawl_e2e composition gate: PageRank priorities survive the
+    # bloom+anti-join dedup into the budgeted pop, in ONE plan
+    e2e = E.q_crawl_e2e(spark, sf_dir)
+    e2e_plan = formatted(e2e)
+    sections.append((
+        "crawl_e2e composition (pagerank -> dedup -> budgets -> pop)",
+        e2e_plan,
+        [
+            ("LeftAnti", "exact URL-seen anti-join present"),
+            ("ArrowEvalPython", "bloom prefilter is an Arrow-batched probe"),
+            ("row_number", "salted two-phase pop windows"),
+            # pagerank's own contrib-join/aggregate shape is audited in the
+            # "PageRank round" section — its iterations sit behind a
+            # localCheckpoint, so they are not part of this composed plan
+        ],
+    ))
+
     out = ["# Physical-plan audit (auto-generated by tools/explain_plans.py)",
            "", f"sf_dir: {sf_dir}", ""]
     n_fail = 0
