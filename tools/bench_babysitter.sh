@@ -25,10 +25,18 @@ OUT=$1; shift
 DEADLINE=$(( $(date +%s) + ${BABYSIT_MAX_S:-12600} ))
 TRIES=${BABYSIT_MAX_TRIES:-4}
 
+# Thresholds are overridable for a LABELED degraded-window run (e.g. a
+# multi-hour pollution event that would otherwise starve the round of any
+# post-fix snapshot): BABYSIT_PROBE_MS=450 BABYSIT_MIN_MBPS=7000 ... —
+# name the output *_tier2.json and never quote it next to clean cells.
+PROBE_MS_MAX=${BABYSIT_PROBE_MS:-400}
+MIN_MBPS=${BABYSIT_MIN_MBPS:-8000}
+
 probe_clean() {
-python - <<'PY'
+python - "$PROBE_MS_MAX" "$MIN_MBPS" <<'PY'
 import time, sys
 import numpy as np
+probe_max, mbps_min = float(sys.argv[1]), float(sys.argv[2])
 t0 = time.time(); acc = 0
 for j in range(3_000_000):
     acc += j * j
@@ -37,7 +45,7 @@ buf = np.ones(32_000_000)  # 256 MB
 t0 = time.time(); s = buf.sum()
 mbps = 256 / (time.time() - t0)
 print(f"{time.strftime('%H:%M:%S')} probe={probe:.0f}ms mem={mbps:.0f}MB/s", flush=True)
-sys.exit(0 if (probe < 400 and mbps > 8000) else 1)
+sys.exit(0 if (probe < probe_max and mbps > mbps_min) else 1)
 PY
 }
 
