@@ -1669,15 +1669,24 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio+video feature extraction (rows-only: waveform/frame math is not
-    SQL-expressible): RMS/zero-crossings and motion energy, aggregated per
-    modality."""
+    """Image+audio+video feature extraction (rows-only: binary decode /
+    waveform / frame math is not SQL-expressible): luminance+edge stats,
+    RMS/zero-crossings, and motion energy, aggregated per modality. One
+    gate covers all three mapInPandas extractors; bench times each leg
+    separately (image_features / media_features)."""
+    from mcp_crawl4ai_rag_spark.functions.images import extract_image_features
     from mcp_crawl4ai_rag_spark.functions.media import (
         extract_audio_features,
         extract_video_features,
     )
-    from mcp_crawl4ai_rag_spark.sources.corpus import gen_audio, gen_videos
+    from mcp_crawl4ai_rag_spark.sources.corpus import gen_audio, gen_images, gen_videos
 
+    imf = extract_image_features(gen_images(spark, 500)).agg(
+        F.lit("image").alias("kind"),
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg("mean_lum"), 3).alias("avg_a"),
+        F.round(F.avg("edge_density"), 3).alias("avg_b"),
+    )
     af = extract_audio_features(gen_audio(spark, 500)).agg(
         F.lit("audio").alias("kind"),
         F.count("*").cast("long").alias("n"),
@@ -1690,7 +1699,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("motion"), 3).alias("avg_a"),
         F.round(F.avg("duration_ms"), 3).alias("avg_b"),
     )
-    return af.unionByName(vf)
+    return imf.unionByName(af).unionByName(vf)
 
 
 def _oracle_image_phash_pairs() -> str:
@@ -3675,6 +3684,152 @@ WHERE rk <= 15
 """
 
 
+_SHARD_BYTES = 65536  # image_e2e shard budget (~25 items/shard at avg size)
+
+
+def q_image_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAION-shape image pipeline as ONE composed query — proof the
+    image operators chain: phash near-dup components keep-list → payload
+    verify (pixel/phash/caption invariants) → WebDataset-style shard
+    packing; output is the packed shard schedule of the surviving images.
+
+    The corpus plants one hazard per stage: every 10th image is re-fetched
+    under a twin id after a lossless CDN transcode (reference image
+    handling: /root/reference/src/crawl4ai_mcp.py extract_images — dedup
+    must drop the twin and keep the original; twin ids sort AFTER their
+    original, so hash-min components keep the original), and every 7th
+    image carries a swapped-out caption (verify's strict caption equality
+    must drop it — the caption↔image contract of BASELINE.json's
+    input_hint). Every stage is the same operator its standalone gate
+    checks (image_phash_pairs, media_verify, pack_schedule's prefix-sum
+    twin); this gate checks the COMPOSITION — each stage consumes the
+    previous stage's actual output.
+
+    Shards budget by DECODED size (w·h + 9-byte container header), the
+    size a training loader pays, which is also closed-form for the oracle
+    (the zlib-compressed stored size is not SQL-expressible).
+    """
+    from mcp_crawl4ai_rag_spark.functions.images import (
+        transcode_images,
+        verify_images,
+    )
+    from mcp_crawl4ai_rag_spark.operators.components import (
+        canonical_docs,
+        connected_components,
+    )
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import pack_shards
+    from mcp_crawl4ai_rag_spark.operators.dedup import phash_pairs
+    from mcp_crawl4ai_rag_spark.sources.corpus import gen_images
+
+    imgs = gen_images(spark, 1000)
+    originals = imgs.select(
+        "image_id",
+        "bytes",
+        "w",
+        "h",
+        "fmt",
+        F.when(
+            F.expr("CAST(substring(image_id, 5) AS BIGINT) % 7 = 0"),
+            F.lit("swapped caption"),
+        )
+        .otherwise(F.col("caption"))
+        .alias("caption"),
+        "phash",
+    )
+    twin_src = imgs.where(
+        F.expr("CAST(substring(image_id, 5) AS BIGINT) % 10 = 0")
+    )
+    # lossless transcode keeps decoded pixels → recomputed phash identical
+    # to the original's stored phash (same invariant image_phash_pairs pins)
+    twins = (
+        transcode_images(twin_src, "png")
+        .join(twin_src.select("image_id", "caption"), "image_id")
+        .select(
+            F.concat(F.col("image_id"), F.lit("_dup")).alias("image_id"),
+            "bytes",
+            "w",
+            "h",
+            "fmt",
+            "caption",
+            "phash",
+        )
+    )
+    # components' decreasing-sum termination needs NUMERIC vertex ids
+    # (components.py casts labels to decimal), so map image ids to longs:
+    # originals keep their digits, twins add 10^6 — min(nid) in a component
+    # is then always the original, the keep we want. Long keys also make
+    # the banding join key fixed-width instead of a string — the shape the
+    # 10^9-image run wants anyway.
+    corpus = (
+        originals.unionByName(twins)
+        .withColumn(
+            "nid",
+            F.expr("CAST(substring(image_id, 5, 12) AS BIGINT)")
+            + F.when(F.col("image_id").endswith("_dup"), F.lit(1000000))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .localCheckpoint(eager=True)
+    )  # consumed by pairs + keep-list + verify
+    # stage A: phash near-dup pairs → components → canonical keep-list
+    # (metadata-only: the banding join never touches payload bytes)
+    edges = phash_pairs(corpus, id_col="nid", max_hamming=4).select(
+        "id_a", "id_b"
+    )
+    comps = connected_components(edges, id_col="nid")
+    kept = canonical_docs(corpus, comps, id_col="nid").drop("nid")
+    # stage B: payload verify on the survivors (Arrow-batched decode)
+    v = verify_images(kept)
+    good = v.where(
+        F.col("pixel_ok") & F.col("phash_ok") & F.col("caption_ok")
+    ).select("image_id")
+    survivors = kept.join(good, "image_id", "left_semi")
+    # stage C: shard packing by decoded size
+    sized = survivors.select(
+        "image_id",
+        (F.col("w").cast("long") * F.col("h") + 9).alias("item_bytes"),
+    )
+    return pack_shards(sized, _SHARD_BYTES).select(
+        F.col("shard_id").cast("long").alias("shard_id"),
+        "image_id",
+        F.col("pos_bytes").cast("long").alias("pos_bytes"),
+        F.col("item_bytes").cast("long").alias("item_bytes"),
+    )
+
+
+def _oracle_image_e2e() -> str:
+    # gen_images id formulas: w = 32+(i%5)*8, h = 32+(i%3)*16. Survivors =
+    # originals minus the %7 caption swaps (twins never survive stage A:
+    # planted at hamming 0, canonical = min id = the original; no chance
+    # pairs at hamming ≤ 4 in this corpus — the property image_phash_pairs
+    # verifies directly). Exclusive prefix sum over image_id order, then
+    # integer DIV/% for shard assignment; SUM() OVER is HUGEINT in DuckDB,
+    # hence the BIGINT casts on every output expression.
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, 999)) AS i),
+kept AS (
+    SELECT i, 32 + (i % 5) * 8 AS w, 32 + (i % 3) * 16 AS h
+    FROM ids WHERE i % 7 <> 0
+),
+sized AS (
+    SELECT printf('img_%012d', i) AS image_id,
+           CAST(w * h + 9 AS BIGINT) AS sz
+    FROM kept
+),
+cum AS (
+    SELECT image_id, sz,
+           COALESCE(SUM(sz) OVER (ORDER BY image_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+    FROM sized
+)
+SELECT CAST(c // {_SHARD_BYTES} AS BIGINT) AS shard_id,
+       image_id,
+       CAST(c % {_SHARD_BYTES} AS BIGINT) AS pos_bytes,
+       CAST(sz AS BIGINT) AS item_bytes
+FROM cum
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
@@ -3742,7 +3897,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "media_verify": q_media_verify,
         "media_transform": q_media_transform,
-        "image_features": q_image_features,
         "media_features": q_media_features,
         "rag_pipeline": q_rag_pipeline,
         "crawl_ops": q_crawl_ops,
@@ -3754,6 +3908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_counts": q_link_counts,
         "pipeline_e2e": q_pipeline_e2e,
         "crawl_e2e": q_crawl_e2e,
+        "image_e2e": q_image_e2e,
     }
 
 
@@ -3797,9 +3952,9 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": _oracle_events_sessionize(),
         "media_verify": _oracle_media_verify(),
         "media_transform": _oracle_media_transform(),
-        # image_features / media_features / rag_pipeline: intentionally no
-        # oracle (binary feature extraction, waveform/frame math, and the
-        # seeded embedder are not SQL-expressible) -> rows-only check.
+        # media_features / rag_pipeline: intentionally no oracle (binary
+        # feature extraction, waveform/frame math, and the seeded embedder
+        # are not SQL-expressible) -> rows-only check.
         "crawl_ops": _oracle_crawl_ops(),
         "upsert_store": _oracle_upsert_store(),
         "contextual_enrich": _oracle_contextual_enrich(),
@@ -3809,4 +3964,5 @@ def oracle_sql() -> dict[str, str]:
         "link_counts": _oracle_link_counts(),
         "pipeline_e2e": _oracle_pipeline_e2e(),
         "crawl_e2e": _oracle_crawl_e2e(),
+        "image_e2e": _oracle_image_e2e(),
     }

@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "link_counts",
     "pipeline_e2e",
     "crawl_e2e",
+    "image_e2e",
 ]
 
 

@@ -272,6 +272,49 @@ def pack_sequences(
     return out
 
 
+def pack_shards(
+    items: DataFrame,
+    shard_bytes: int,
+    id_col: str = "image_id",
+    size_col: str = "item_bytes",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(shard_id, id, pos_bytes, item_bytes): WebDataset-style shard layout
+    for binary corpora (image/audio training shards) — items are laid
+    end-to-end in ``id_col`` order (a stable total order) and the byte
+    stream is cut at ``shard_bytes`` boundaries; an item is assigned to the
+    shard where its FIRST byte lands, so a shard may overrun the budget by
+    at most one item ("target size" semantics of tar-shard writers: items
+    are never split across shards, unlike :func:`pack_sequences` tokens).
+
+    Byte-for-byte the mirror of ``pack_sequences``'s layout math: the
+    global layout needs one prefix sum, computed with
+    operators/ordering.distributed_cumsum (range partition + per-partition
+    sums to the driver — one long per partition) — NOT a single-task
+    window, so the schedule stage scales to corpus size. Assignment is
+    integer DIV (not float /): float64 division is exact only below 2^53
+    cumulative bytes, and a 100 TB corpus is past 2^46 already.
+
+    Rows with non-positive ``size_col`` are dropped (zero-byte payloads
+    occupy no shard space), mirroring ``pack_sequences``'s tok > 0 guard.
+    """
+    from .ordering import distributed_cumsum
+
+    sized = items.select(
+        F.col(id_col), F.col(size_col).cast("long").alias("__sz")
+    ).where(F.col("__sz") > 0)
+    laid = distributed_cumsum(
+        sized, [id_col], "__sz", out_col="cum", num_partitions=num_partitions
+    )
+    B = int(shard_bytes)
+    return laid.select(
+        F.expr(f"cum DIV {B}").alias("shard_id"),
+        F.col(id_col),
+        F.expr(f"cum % {B}").alias("pos_bytes"),
+        F.col("__sz").alias(size_col),
+    )
+
+
 def contamination_pairs(
     train: DataFrame,
     eval_docs: DataFrame,

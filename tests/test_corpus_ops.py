@@ -187,6 +187,56 @@ def test_pack_sequences_schedule(spark):
     assert sum(toks.values()) == sum(r["slice_len"] for r in sched)
 
 
+def test_pack_shards_schedule(spark):
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import pack_shards
+
+    sizes = [(f"it_{i:04d}", (i * 37) % 900 + 1) for i in range(200)]
+    items = spark.createDataFrame(sizes, "image_id string, item_bytes long")
+    B = 4096
+    out = pack_shards(items, B).collect()
+    # python twin: exclusive prefix sum in id order, first-byte assignment
+    cum = 0
+    expect = {}
+    for iid, sz in sizes:  # already in id order
+        expect[iid] = (cum // B, cum % B, sz)
+        cum += sz
+    assert len(out) == len(sizes)
+    for r in out:
+        assert (r["shard_id"], r["pos_bytes"], r["item_bytes"]) == expect[
+            r["image_id"]
+        ]
+    # items never split: each id appears exactly once; pos within budget;
+    # shard ids contiguous from 0
+    assert len({r["image_id"] for r in out}) == len(sizes)
+    shards = sorted({r["shard_id"] for r in out})
+    assert shards == list(range(shards[-1] + 1))
+    assert all(0 <= r["pos_bytes"] < B for r in out)
+    # overrun bound: a shard's span exceeds B by less than its last item
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard_id"], []).append(r)
+    for pieces in by_shard.values():
+        pieces.sort(key=lambda r: r["pos_bytes"])
+        span = pieces[-1]["pos_bytes"] + pieces[-1]["item_bytes"]
+        assert span < B + pieces[-1]["item_bytes"]
+
+
+def test_pack_shards_partition_invariant_and_drops_empty(spark):
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import pack_shards
+
+    rows = [(f"it_{i:04d}", (i * 11) % 300) for i in range(150)]  # some 0s
+    items = spark.createDataFrame(rows, "image_id string, item_bytes long")
+    a = sorted(
+        map(tuple, pack_shards(items, 1024, num_partitions=2).collect())
+    )
+    b = sorted(
+        map(tuple, pack_shards(items, 1024, num_partitions=13).collect())
+    )
+    assert a == b
+    n_pos = sum(1 for _, s in rows if s > 0)
+    assert len(a) == n_pos  # zero-byte payloads dropped
+
+
 def test_redact_pii(spark):
     from mcp_crawl4ai_rag_spark.functions.text import redact_pii_expr
 

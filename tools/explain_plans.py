@@ -506,6 +506,36 @@ def main():
         checks,
     ))
 
+    # image_e2e composition: the two plan-shape-critical stages. Stage A's
+    # candidate generation must be a banded equi-join (never all-pairs);
+    # stage C's shard schedule must come from the distributed prefix sum,
+    # not a single-task global window.
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import pack_shards
+    from mcp_crawl4ai_rag_spark.operators.dedup import phash_pairs
+
+    hashes = spark.range(0, 50_000).select(
+        F.format_string("img_%012d", F.col("id")).alias("image_id"),
+        (F.col("id") * 2654435761).alias("phash"),
+        (F.col("id") % 5000 + 1).alias("item_bytes"),
+    )
+    pairs = phash_pairs(hashes, max_hamming=4)
+    sections.append((
+        "image_e2e stage A: phash pigeonhole banding",
+        formatted(pairs),
+        [
+            ("Join", "candidates from 8 chunk-value equi-joins, never a cross product"),
+            ("bit_count", "hamming popcount verification runs only on candidates"),
+        ],
+    ))
+    shards = pack_shards(hashes.select("image_id", "item_bytes"), 1 << 20)
+    sections.append((
+        "image_e2e stage C: pack_shards shard schedule",
+        formatted(shards),
+        [
+            ("MapInPandas", "per-partition offset apply — the global state is one long per partition via the driver, no single-task window"),
+        ],
+    ))
+
     # crawl_e2e composition gate: PageRank priorities survive the
     # bloom+anti-join dedup into the budgeted pop, in ONE plan
     e2e = E.q_crawl_e2e(spark, sf_dir)
