@@ -3772,10 +3772,12 @@ def q_image_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )  # consumed by pairs + keep-list + verify
     # stage A: phash near-dup pairs → components → canonical keep-list
-    # (metadata-only: the banding join never touches payload bytes)
-    edges = phash_pairs(corpus, id_col="nid", max_hamming=4).select(
-        "id_a", "id_b"
-    )
+    # (metadata-only: the banding join never touches payload bytes).
+    # dedupe_identical: identical-phash clusters (blank/template images at
+    # web scale) feed components as linear star edges, never a clique
+    edges = phash_pairs(
+        corpus, id_col="nid", max_hamming=4, dedupe_identical=True
+    ).select("id_a", "id_b")
     comps = connected_components(edges, id_col="nid")
     kept = canonical_docs(corpus, comps, id_col="nid").drop("nid")
     # stage B: payload verify on the survivors (Arrow-batched decode)

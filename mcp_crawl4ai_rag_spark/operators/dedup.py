@@ -471,6 +471,7 @@ def hamming_pairs(
     bits: int = 64,
     n_chunks: int = 8,
     max_hamming: int = 3,
+    dedupe_identical: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, hamming): all pairs of rows whose ``hash_col`` values lie
     within hamming distance ``max_hamming`` — the generic pigeonhole-banded
@@ -481,8 +482,40 @@ def hamming_pairs(
     (chunk_idx, chunk_val) — never a cross join; verification (popcount of
     xor) runs only on candidates. Signed 64-bit hashes are fine: the
     arithmetic shiftright's sign-extension is masked off per chunk.
+
+    ``dedupe_identical=True`` changes the output CONTRACT from the full
+    pair clique to a component-equivalent edge set: rows sharing one exact
+    hash value collapse to their min-id representative — each non-rep
+    member contributes ONE star edge (rep, member, 0) and the banding runs
+    over DISTINCT hash values only, emitting rep↔rep pairs. Connected
+    components (the consumer that matters — dedup keep-lists) are
+    identical, but an identical-hash cluster of k rows costs k-1 edges
+    instead of k(k-1)/2 pairs. At web scale this is not optional: blank /
+    solid-color / template images land MILLIONS of rows on one phash, and
+    a clique there is 10^12 pairs while the star is linear. The group-by
+    collapse is a map-side-combined aggregate; the star join is an
+    equi-join on the hash (AQE skew-join splits the hot value).
     """
     assert max_hamming < n_chunks, "pigeonhole requires max_hamming < n_chunks"
+    if dedupe_identical:
+        reps = hashes.groupBy(hash_col).agg(F.min(id_col).alias("__rep"))
+        star = (
+            hashes.select(id_col, hash_col)
+            .join(reps, hash_col)
+            .where(F.col(id_col) != F.col("__rep"))
+            .select(
+                F.col("__rep").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.lit(0).alias("hamming"),
+            )
+        )
+        distinct_hashes = reps.select(
+            F.col("__rep").alias(id_col), F.col(hash_col)
+        )
+        cross = hamming_pairs(
+            distinct_hashes, id_col, hash_col, bits, n_chunks, max_hamming
+        )
+        return star.unionByName(cross)
     chunk_bits = bits // n_chunks
     mask = (1 << chunk_bits) - 1
 
@@ -533,11 +566,15 @@ def phash_pairs(
     phash_col: str = "phash",
     max_hamming: int = 4,
     n_chunks: int = 8,
+    dedupe_identical: bool = False,
 ) -> DataFrame:
     """Image/frame near-dup pairs over a 64-bit perceptual-hash column
     (functions/images.phash64 — stored in the corpus or recomputed by
     verify_images / sample_frames). Same banding kernel as simhash; at
-    10^9 images the join still shuffles only 8-bit-chunk buckets."""
+    10^9 images the join still shuffles only 8-bit-chunk buckets.
+    ``dedupe_identical=True`` (see hamming_pairs) is the component-feed
+    shape for web-scale image corpora, where blank/solid/template images
+    concentrate millions of rows on a single phash."""
     return hamming_pairs(
         images.select(id_col, phash_col),
         id_col,
@@ -545,4 +582,5 @@ def phash_pairs(
         bits=64,
         n_chunks=n_chunks,
         max_hamming=max_hamming,
+        dedupe_identical=dedupe_identical,
     )

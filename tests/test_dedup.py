@@ -196,6 +196,80 @@ def test_hamming_pairs_generic_negative_hashes(spark):
     assert got[(4, 5)] == 1
 
 
+def test_hamming_pairs_dedupe_identical_star_and_equivalence(spark):
+    """dedupe_identical contract: identical-hash clusters become star edges
+    around the min id (linear), cross-hash pairs run rep-to-rep — and the
+    resulting components are IDENTICAL to the clique contract's."""
+    from mcp_crawl4ai_rag_spark.operators.components import (
+        connected_components,
+    )
+    from mcp_crawl4ai_rag_spark.operators.dedup import hamming_pairs
+
+    # group A: ids 10,11,12 share a hash; group B: ids 20,21 share a hash
+    # at hamming 2 from A's; id 30 isolated (far hash)
+    ha = 0x0123_4567_89AB_CDEF
+    hb = ha ^ 0b101
+    vals = [(10, ha), (11, ha), (12, ha), (20, hb), (21, hb), (30, -1)]
+    df = spark.createDataFrame(vals, "vid long, hv long")
+    star = hamming_pairs(
+        df, "vid", "hv", max_hamming=4, dedupe_identical=True
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in star}
+    # star edges around min ids + ONE rep-level cross pair — 5 edges, not
+    # the clique's C(3,2)+C(2,2)... = 3+1+6 = 10 qualifying pairs
+    assert got == {
+        (10, 11): 0,
+        (10, 12): 0,
+        (20, 21): 0,
+        (10, 20): 2,
+    }
+    clique = hamming_pairs(df, "vid", "hv", max_hamming=4).collect()
+    assert len(clique) == 10  # C(5,2) over the two near groups
+
+    def comps(pairs):
+        edges = spark.createDataFrame(
+            [(r["id_a"], r["id_b"]) for r in pairs], "id_a long, id_b long"
+        )
+        return {
+            (r["vid"], r["component_id"])
+            for r in connected_components(edges, id_col="vid").collect()
+        }
+
+    assert comps(star) == comps(clique)
+
+
+def test_phash_pairs_identical_hash_cluster_linear(spark):
+    """Web-scale hazard: 5000 blank images on ONE phash. The clique
+    contract would emit C(5000,2) ≈ 12.5M pairs; dedupe_identical must
+    emit exactly 4999 star edges plus the planted cross pair."""
+    from pyspark.sql import functions as F
+
+    from mcp_crawl4ai_rag_spark.operators.dedup import phash_pairs
+
+    blank = spark.range(0, 5000).select(
+        F.format_string("blank_%06d", F.col("id")).alias("image_id"),
+        F.lit(0x00FF_00FF_00FF_00FF).alias("phash"),
+    )
+    near = spark.createDataFrame(
+        [("near_000000", 0x00FF_00FF_00FF_00FE)],
+        "image_id string, phash long",
+    )
+    out = phash_pairs(
+        blank.unionByName(near), max_hamming=4, dedupe_identical=True
+    )
+    rows = out.collect()
+    assert len(rows) == 5000  # 4999 star + 1 rep-level cross
+    stars = [r for r in rows if r["hamming"] == 0]
+    assert len(stars) == 4999
+    assert all(r["id_a"] == "blank_000000" for r in stars)
+    (cross,) = [r for r in rows if r["hamming"] > 0]
+    assert (cross["id_a"], cross["id_b"], cross["hamming"]) == (
+        "blank_000000",
+        "near_000000",
+        1,
+    )
+
+
 def test_phash_pairs_finds_transcoded_twins(spark):
     from mcp_crawl4ai_rag_spark.functions.images import transcode_images
     from mcp_crawl4ai_rag_spark.operators.dedup import phash_pairs
