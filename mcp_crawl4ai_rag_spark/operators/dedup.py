@@ -464,6 +464,43 @@ def simhash_pairs(
     )
 
 
+def hamming_chunk_keys(
+    hashes: DataFrame,
+    id_col: str,
+    hash_col: str,
+    bits: int = 64,
+    n_chunks: int = 8,
+) -> DataFrame:
+    """(id, __hv, chunk_idx, chunk_val): pigeonhole band keys for hamming
+    banding — the persistable index rows (mirror of lsh_band_keys). The
+    sign-extending arithmetic shiftright is masked off per chunk, so signed
+    64-bit hashes round-trip exactly."""
+    chunk_bits = bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    return hashes.select(
+        F.col(id_col),
+        F.col(hash_col).alias("__hv"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_idx"),
+                        F.shiftright(F.col(hash_col), c * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select(
+        id_col,
+        "__hv",
+        F.col("ck.chunk_idx").alias("chunk_idx"),
+        F.col("ck.chunk_val").alias("chunk_val"),
+    )
+
+
 def hamming_pairs(
     hashes: DataFrame,
     id_col: str,
@@ -516,30 +553,7 @@ def hamming_pairs(
             distinct_hashes, id_col, hash_col, bits, n_chunks, max_hamming
         )
         return star.unionByName(cross)
-    chunk_bits = bits // n_chunks
-    mask = (1 << chunk_bits) - 1
-
-    chunks = hashes.select(
-        F.col(id_col),
-        F.col(hash_col).alias("__hv"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk_idx"),
-                        F.shiftright(F.col(hash_col), c * chunk_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("chunk_val"),
-                    )
-                    for c in range(n_chunks)
-                ]
-            )
-        ).alias("ck"),
-    ).select(
-        id_col, "__hv",
-        F.col("ck.chunk_idx").alias("chunk_idx"),
-        F.col("ck.chunk_val").alias("chunk_val"),
-    )
+    chunks = hamming_chunk_keys(hashes, id_col, hash_col, bits, n_chunks)
 
     left = chunks.select(
         F.col(id_col).alias("id_a"), F.col("__hv").alias("sh_a"), "chunk_idx", "chunk_val"
@@ -583,4 +597,87 @@ def phash_pairs(
         n_chunks=n_chunks,
         max_hamming=max_hamming,
         dedupe_identical=dedupe_identical,
+    )
+
+
+def phash_write_index(
+    images: DataFrame,
+    path: str,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    bits: int = 64,
+    n_chunks: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the pigeonhole chunk index (id, phash, chunk_idx, chunk_val)
+    for an image corpus — the phash mirror of minhash_write_index.
+
+    The production shape for a growing crawl: chunk keys are computed ONCE
+    per image ever; each batch probes this table and then appends its own
+    keys (``mode='append'``). Partitioned by chunk_idx so the 8 probe
+    joins cluster at the parquet layer; the full 64-bit hash travels with
+    each row, so verification needs no second lookup into the corpus
+    (unlike minhash, whose jaccard verify refetches shingle sets)."""
+    keys = hamming_chunk_keys(
+        images.select(id_col, phash_col), id_col, phash_col, bits, n_chunks
+    ).select(
+        id_col,
+        F.col("__hv").alias(phash_col),
+        "chunk_idx",
+        "chunk_val",
+    )
+    keys.write.mode(mode).partitionBy("chunk_idx").parquet(path)
+
+
+def phash_pairs_incremental(
+    spark,
+    index_path: str,
+    new_images: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    bits: int = 64,
+    n_chunks: int = 8,
+    max_hamming: int = 4,
+) -> DataFrame:
+    """(id_a=indexed, id_b=new, hamming): near-dup pairs BETWEEN the
+    existing corpus (via its persisted chunk index — keys never recomputed)
+    and an increment batch. Within-increment pairs come from the ordinary
+    ``phash_pairs(new_images)``; a full ingest runs both and then appends
+    the increment's keys via :func:`phash_write_index` — the same
+    three-step contract as minhash_pairs_incremental.
+
+    Scale shape: the increment's chunk keys are small → Spark broadcasts
+    them against the index scan; candidates are old×new only (never
+    old×old), and verification is one popcount on columns already in hand.
+    A re-crawled id present in both sides self-pairs and is filtered."""
+    new_keys = hamming_chunk_keys(
+        new_images.select(id_col, phash_col), id_col, phash_col, bits, n_chunks
+    )
+    index = spark.read.parquet(index_path)
+    return (
+        index.select(
+            F.col(id_col).alias("id_a"),
+            F.col(phash_col).alias("__hva"),
+            "chunk_idx",
+            "chunk_val",
+        )
+        .join(
+            new_keys.select(
+                F.col(id_col).alias("id_b"),
+                F.col("__hv").alias("__hvb"),
+                "chunk_idx",
+                "chunk_val",
+            ),
+            on=["chunk_idx", "chunk_val"],
+        )
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("__hva").bitwiseXOR(F.col("__hvb"))).alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
     )

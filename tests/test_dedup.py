@@ -288,6 +288,61 @@ def test_phash_pairs_finds_transcoded_twins(spark):
         assert got[(f"dup_img_{i:012d}", f"img_{i:012d}")] == 0
 
 
+def test_phash_incremental_differential_and_append(spark, tmp_path):
+    """phash_pairs_incremental == full-corpus phash_pairs restricted to
+    (indexed, new) cross pairs; appending the batch's keys makes the next
+    increment see it — the minhash_pairs_incremental contract, mirrored."""
+    from pyspark.sql import functions as F
+
+    from mcp_crawl4ai_rag_spark.operators.dedup import (
+        phash_pairs,
+        phash_pairs_incremental,
+        phash_write_index,
+    )
+
+    def hashes(ids_and_hv):
+        return spark.createDataFrame(ids_and_hv, "image_id string, phash long")
+
+    base_hv = 0x0123_4567_89AB_CDEF
+    old = hashes(
+        [(f"old_{i:03d}", base_hv ^ (1 << (i % 60))) for i in range(40)]
+    )
+    # batch 1: twins of every 4th old image (hamming 0 vs that old row,
+    # hamming ≤ 2 vs some others), plus far-away hashes
+    new1 = hashes(
+        [(f"new1_{i:03d}", base_hv ^ (1 << (i % 60))) for i in range(0, 40, 4)]
+        + [(f"new1_far_{i}", -(1 << 62) + i * 0x1_0001_0001) for i in range(5)]
+    )
+    idx = str(tmp_path / "phash_idx")
+    phash_write_index(old, idx)
+
+    inc = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_pairs_incremental(spark, idx, new1).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_pairs(old.unionByName(new1), max_hamming=4).collect()
+        if (r["id_a"].startswith("old_")) != (r["id_b"].startswith("old_"))
+    }
+    # full pairs order id_a < id_b lexicographically (new1_* < old_*);
+    # incremental orders (indexed, new) — normalize before comparing
+    assert {tuple(sorted(k)): v for k, v in inc.items()} == {
+        tuple(sorted(k)): v for k, v in full.items()
+    }
+    assert all(a.startswith("old_") and b.startswith("new1_") for a, b in inc)
+
+    # append batch 1's keys; batch 2 must now pair against batch 1 too
+    phash_write_index(new1, idx, mode="append")
+    new2 = hashes([("new2_000", base_hv)])  # hamming 1 to several
+    inc2 = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_pairs_incremental(spark, idx, new2).collect()
+    }
+    assert ("old_000", "new2_000") in inc2
+    assert ("new1_000", "new2_000") in inc2 and inc2[("new1_000", "new2_000")] == 1
+
+
 def test_transcode_jpeg_phash_stays_close(spark):
     # lossy transcode of a png original: decoded pixels change within the
     # quantization step, phash must stay within a small hamming ball
