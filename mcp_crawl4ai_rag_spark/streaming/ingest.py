@@ -181,3 +181,51 @@ def per_host_crawl_state(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+IMAGE_FETCH_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, caption string, "
+    "phash long, fetched_at timestamp"
+)
+
+
+def stream_image_results(
+    spark: SparkSession, dir_path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming source over an append-only directory of fetched-image
+    parquet files (the image twin of :func:`stream_fetch_results`; the
+    corpus IMAGES_SCHEMA plus the ``fetched_at`` event time)."""
+    reader = spark.readStream.schema(IMAGE_FETCH_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(dir_path)
+
+
+def dedup_image_stream(
+    images: DataFrame,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming image near-dup collapse: keep the first image of each exact
+    ``phash`` within the watermark horizon — the streaming twin of the
+    batch ``dedupe_identical`` star collapse (operators/dedup.hamming_pairs).
+
+    In-stream, identical-phash duplicate storms are the volume case
+    (re-crawled logos, blank placeholders, template headers arriving from
+    many referrers at once); state is keyed by the 8-byte phash and evicted
+    once the watermark passes, so it is bounded by the horizon, not the
+    crawl. Cross-hash hamming near-dup stays a batch pass over the stored
+    corpus (phash_pairs / phash_pairs_incremental) — a hamming ball is not
+    an equality key, so it has no bounded-state streaming form."""
+    return images.withWatermark(
+        "fetched_at", watermark
+    ).dropDuplicatesWithinWatermark(["phash"])
+
+
+def verify_image_stream(images: DataFrame, min_psnr_db: float = 40.0) -> DataFrame:
+    """Payload verify on the stream: the batch verify_images mapInPandas
+    kernel applied verbatim — a stateless Arrow transform is streaming-safe,
+    so the same per-row invariants (decode, PSNR/bit-exact pixels, phash
+    recompute, caption equality) gate images before they reach the store."""
+    from ..functions.images import verify_images
+
+    return verify_images(images)

@@ -201,3 +201,76 @@ def test_dedup_url_stream_drops_refetches(spark, tmp_path):
     # the FIRST fetch won (streaming arrival order within the batch)
     kept = got.where("canonical_url like '%p/1'").head()
     assert kept["seq"] == 1
+
+
+def test_image_stream_dedup_and_verify(spark, tmp_path):
+    """Image stream: identical-phash re-fetches collapse within the
+    watermark horizon, and the batch verify kernel gates payloads on the
+    stream (a planted caption swap is flagged, everything else verifies)."""
+    import pyspark.sql.functions as F
+
+    from mcp_crawl4ai_rag_spark.sources.corpus import gen_images
+    from mcp_crawl4ai_rag_spark.streaming.ingest import (
+        dedup_image_stream,
+        stream_image_results,
+        verify_image_stream,
+    )
+
+    src = str(tmp_path / "isrc")
+    out = str(tmp_path / "isink")
+    ckpt = str(tmp_path / "ickpt")
+
+    def run_once():
+        q = (
+            dedup_image_stream(stream_image_results(spark, src + "/*"))
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    imgs = gen_images(spark, 12, partitions=2).localCheckpoint(eager=True)
+    base = imgs.withColumn("fetched_at", F.lit(_ts("2024-01-01 10:00:10")))
+    base.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b0"))
+    run_once()
+    # re-fetches in the NEXT micro-batch: 4 images arrive again under new
+    # ids, same payload (same phash), 90 s later — inside the horizon, so
+    # state from batch 1 must drop them deterministically; one carries a
+    # swapped caption (would fail verify if it survived dedup)
+    refetch = (
+        imgs.where("CAST(substring(image_id, 5) AS BIGINT) % 3 = 0")
+        .select(
+            F.concat(F.lit("re_"), F.col("image_id")).alias("image_id"),
+            "bytes", "w", "h", "fmt",
+            F.lit("swapped caption").alias("caption"),
+            "phash",
+        )
+        .withColumn("fetched_at", F.lit(_ts("2024-01-01 10:01:40")))
+    )
+    refetch.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b1"))
+    run_once()
+    got = spark.read.parquet(out)
+    assert got.count() == 12  # every re-fetch collapsed onto its original
+    assert got.where(F.col("image_id").startswith("re_")).count() == 0
+
+    # verify kernel on a stream over the deduped store: all 12 originals
+    # pass every invariant
+    vq = (
+        verify_image_stream(
+            stream_image_results(spark, out)
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("img_verify")
+        .trigger(availableNow=True)
+        .start()
+    )
+    vq.awaitTermination(120)
+    v = spark.sql("select * from img_verify")
+    assert v.count() == 12
+    assert (
+        v.where("pixel_ok AND phash_ok AND caption_ok").count() == 12
+    )
