@@ -132,3 +132,39 @@ def test_decode_audio_rejects_truncated_and_corrupt_header():
     bad_sr = blob[:4] + struct.pack("<BII", 0, 0, 1000) + blob[13:]
     with pytest.raises(ValueError, match="corrupt audio header"):
         decode_audio(bad_sr)
+
+
+def test_frame_dedup_across_reuploaded_videos(spark):
+    """Video→image composition: a re-uploaded clip (same payload, new id)
+    yields frame-for-frame identical phashes; phash_pairs with the linear
+    dedupe_identical contract emits exactly one star edge per sampled
+    frame, keyed so each original frame is the representative."""
+    import pyspark.sql.functions as F
+
+    from mcp_crawl4ai_rag_spark.functions.media import sample_frames
+    from mcp_crawl4ai_rag_spark.operators.dedup import phash_pairs
+
+    vids = gen_videos(spark, 4, partitions=2)
+    reup = vids.where("video_id = 'vid_000000000000'").select(
+        F.lit("vid_reup").alias("video_id"),
+        *[c for c in vids.columns if c != "video_id"],
+    )
+    frames = sample_frames(vids.unionByName(reup), stride=3).select(
+        F.concat_ws(":", "video_id", F.col("frame_idx").cast("string")).alias(
+            "frame_key"
+        ),
+        F.col("frame_phash").alias("phash"),
+    )
+    pairs = phash_pairs(
+        frames, id_col="frame_key", max_hamming=0, n_chunks=8,
+        dedupe_identical=True,
+    ).collect()
+    n_sampled = frames.where(
+        F.col("frame_key").startswith("vid_reup")
+    ).count()
+    stars = [r for r in pairs if r["id_b"].startswith("vid_reup:")]
+    assert len(stars) == n_sampled > 0
+    # every reup frame's representative is the matching original frame
+    for r in stars:
+        assert r["id_a"] == "vid_000000000000:" + r["id_b"].split(":")[1]
+        assert r["hamming"] == 0

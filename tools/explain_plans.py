@@ -536,6 +536,32 @@ def main():
         ],
     ))
 
+    # incremental phash probe: batch keys broadcast against the persisted
+    # index scan; the stored corpus never shuffles for an increment
+    import tempfile
+
+    from mcp_crawl4ai_rag_spark.operators.dedup import (
+        phash_pairs_incremental,
+        phash_write_index,
+    )
+
+    with tempfile.TemporaryDirectory() as td:
+        idx_path = f"{td}/phash_idx"
+        phash_write_index(hashes.select("image_id", "phash"), idx_path)
+        batch = spark.range(0, 200).select(
+            F.format_string("new_%06d", F.col("id")).alias("image_id"),
+            (F.col("id") * 2654435761 + 1).alias("phash"),
+        )
+        inc = phash_pairs_incremental(spark, idx_path, batch)
+        sections.append((
+            "Incremental phash probe: persisted index x batch keys",
+            formatted(inc),
+            [
+                ("BroadcastHashJoin", "the increment's chunk keys broadcast; the index scan streams, never shuffles"),
+                ("Scan parquet", "old keys come from the persisted index, never recomputed"),
+            ],
+        ))
+
     # crawl_e2e composition gate: PageRank priorities survive the
     # bloom+anti-join dedup into the budgeted pop, in ONE plan
     e2e = E.q_crawl_e2e(spark, sf_dir)
