@@ -2448,7 +2448,17 @@ def q_upsert_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id%7==0 new keys; output the merged store. Runs through the
     INCREMENTAL path (batch-only window + broadcast anti-join; the store
     side never shuffles — the 100-TB ingest shape); equality with the
-    windowed store_documents is pinned in tests/test_rag.py."""
+    windowed store_documents is pinned in tests/test_rag.py.
+
+    Second leg (tagged rows, chunk_number=-1): recrawl change detection
+    (plans/rag.doc_change_status) — the reference re-fetches everything
+    with CacheMode.BYPASS and upserts blindly (src/crawl4ai_mcp.py:481-487);
+    classifying fetched docs new/changed/unchanged against a per-URL md5
+    fingerprint index lets recrawl skip re-chunk/re-embed for unchanged
+    pages. Zero-shuffle plan (broadcast semi-prune + broadcast lookup;
+    PLANS.md "Recrawl change detection")."""
+    from mcp_crawl4ai_rag_spark.plans.rag import doc_change_status
+
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     key_url = F.concat(F.lit("u"), (F.col("doc_id") % 100).cast("string"))
     key_chunk = F.floor(F.col("doc_id") / 100).cast("long")
@@ -2472,7 +2482,42 @@ def q_upsert_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return store_documents_incremental(existing, batch)
+    merged = store_documents_incremental(existing, batch).select(
+        "url",
+        "chunk_number",
+        "content",
+        F.lit("").alias("fp"),
+        F.lit("").alias("change_kind"),
+    )
+    prev_idx = docs.select(
+        F.concat(F.lit("r"), F.col("doc_id").cast("string")).alias("url"),
+        F.md5("text").alias("fp"),
+    )
+    fetched = (
+        docs.where(F.col("doc_id") % 3 == 0)
+        .select(
+            F.concat(F.lit("r"), F.col("doc_id").cast("string")).alias("url"),
+            F.md5(
+                F.when(
+                    F.col("doc_id") % 2 == 0, F.concat(F.col("text"), F.lit("!"))
+                ).otherwise(F.col("text"))
+            ).alias("fp"),
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 7 == 0).select(
+                F.concat(F.lit("rn"), F.col("doc_id").cast("string")).alias("url"),
+                F.md5("text").alias("fp"),
+            )
+        )
+    )
+    status = doc_change_status(prev_idx, fetched).select(
+        "url",
+        F.lit(-1).cast("long").alias("chunk_number"),
+        F.lit("").alias("content"),
+        "fp",
+        "change_kind",
+    )
+    return merged.unionByName(status)
 
 
 def _oracle_upsert_store() -> str:
@@ -2497,9 +2542,26 @@ u AS (
   UNION ALL
   SELECT *, 1 AS g FROM batch
 )
-SELECT url, chunk_number, content
+SELECT url, chunk_number, content, '' AS fp, '' AS change_kind
 FROM u
 QUALIFY row_number() OVER (PARTITION BY url, chunk_number ORDER BY g DESC) = 1
+UNION ALL
+SELECT f.url, CAST(-1 AS BIGINT) AS chunk_number, '' AS content, f.fp,
+       CASE WHEN p.fp IS NULL THEN 'new'
+            WHEN p.fp <> f.fp THEN 'changed'
+            ELSE 'unchanged' END AS change_kind
+FROM (
+  SELECT 'r' || CAST(doc_id AS VARCHAR) AS url,
+         md5(CASE WHEN doc_id % 2 = 0 THEN text || '!' ELSE text END) AS fp
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT 'rn' || CAST(doc_id AS VARCHAR) AS url, md5(text) AS fp
+  FROM documents WHERE doc_id % 7 = 0
+) f
+LEFT JOIN (
+  SELECT 'r' || CAST(doc_id AS VARCHAR) AS url, md5(text) AS fp
+  FROM documents
+) p ON f.url = p.url
 """
 
 

@@ -136,6 +136,79 @@ def store_documents_incremental(
     return untouched.unionByName(winners)
 
 
+def doc_change_status(
+    prev_index: DataFrame | None,
+    fetched: DataFrame,
+    url_col: str = "url",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Recrawl change detection: classify each fetched document as
+    ``new`` / ``changed`` / ``unchanged`` against a per-URL fingerprint
+    index from the previous crawl.
+
+    The reference always re-fetches with ``CacheMode.BYPASS`` and upserts
+    every chunk (src/crawl4ai_mcp.py:481-487, src/utils.py:493-500) — at
+    100 TB that re-chunks and re-embeds the whole corpus on every recrawl
+    even though most pages did not change. Gating the chunk/embed stages on
+    this status makes recrawl incremental: only ``new``/``changed`` rows
+    proceed, and embedding (the expensive stage) is skipped for the rest.
+
+    Scale shape: the fetched batch is ingest-bounded (small); the index is
+    corpus-sized (huge). The index is first pruned to the batch's URLs with
+    a broadcast LEFT SEMI join (the index side streams — zero Exchange),
+    and the surviving ≤|batch| rows broadcast back onto the batch, so
+    neither side ever shuffles (PLANS.md "Recrawl change detection").
+    ``prev_index`` must be keyed by ``url_col`` (unique), the invariant
+    :func:`update_fingerprint_index` maintains.
+    """
+    out_cols = [F.col(url_col), F.col(fp_col)]
+    if prev_index is None:
+        return fetched.select(*out_cols).withColumn(
+            "change_kind", F.lit("new")
+        )
+    relevant = prev_index.select(
+        url_col, F.col(fp_col).alias("__prev_fp")
+    ).join(F.broadcast(fetched.select(url_col)), url_col, "left_semi")
+    return (
+        fetched.select(*out_cols)
+        .join(F.broadcast(relevant), url_col, "left")
+        .withColumn(
+            "change_kind",
+            F.when(F.col("__prev_fp").isNull(), F.lit("new"))
+            .when(F.col("__prev_fp") != F.col(fp_col), F.lit("changed"))
+            .otherwise(F.lit("unchanged")),
+        )
+        .drop("__prev_fp")
+    )
+
+
+def update_fingerprint_index(
+    prev_index: DataFrame | None,
+    fetched: DataFrame,
+    url_col: str = "url",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Advance the recrawl fingerprint index after an ingest batch: fetched
+    fingerprints replace their URL's row, untouched URLs carry over via a
+    broadcast anti-join (index side never shuffles — same ingest shape as
+    :func:`store_documents_incremental`). Re-running
+    :func:`doc_change_status` for the same batch against the updated index
+    yields all-``unchanged`` (pinned in tests)."""
+    w = Window.partitionBy(url_col).orderBy(F.col(fp_col).asc())
+    batch = (
+        fetched.select(url_col, fp_col)
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+    if prev_index is None:
+        return batch
+    untouched = prev_index.select(url_col, fp_col).join(
+        F.broadcast(batch.select(url_col)), url_col, "left_anti"
+    )
+    return untouched.unionByName(batch)
+
+
 def search_documents(
     store: DataFrame,
     query: str,

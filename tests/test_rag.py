@@ -200,3 +200,66 @@ def test_search_returns_contextual_content_when_stored(spark):
             assert r["content"].startswith("CTX: ")
         else:
             assert not r["content"].startswith("CTX: ")
+
+
+def test_doc_change_status_classifies(spark):
+    """Recrawl change detection: new/changed/unchanged against the previous
+    crawl's fingerprint index, with a zero-shuffle plan (both joins
+    broadcast; the corpus-sized index side never enters an Exchange)."""
+    from mcp_crawl4ai_rag_spark.plans.rag import (
+        doc_change_status,
+        update_fingerprint_index,
+    )
+
+    prev = spark.createDataFrame(
+        [(f"u{i}", f"fp-{i}") for i in range(100)], "url string, fp string"
+    ).repartition(7)
+    fetched = spark.createDataFrame(
+        [(f"u{i}", f"fp-{i}") for i in range(0, 30)]          # unchanged
+        + [(f"u{i}", f"FP2-{i}") for i in range(30, 50)]      # changed
+        + [(f"n{i}", f"fp-n{i}") for i in range(5)],          # new
+        "url string, fp string",
+    )
+    status = doc_change_status(prev, fetched)
+    got = {r["url"]: r["change_kind"] for r in status.collect()}
+    assert len(got) == 55
+    assert all(got[f"u{i}"] == "unchanged" for i in range(30))
+    assert all(got[f"u{i}"] == "changed" for i in range(30, 50))
+    assert all(got[f"n{i}"] == "new" for i in range(5))
+
+    # plan pin: no required hash Exchange anywhere — semi-prune and lookup
+    # are both BroadcastHashJoins (ignore the test's own repartition() and
+    # AQE's echoed initial plan, as in test_incremental_upsert).
+    plan = status._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    required = [
+        ln
+        for ln in final.splitlines()
+        if "Exchange hashpartitioning" in ln and "ENSURE_REQUIREMENTS" in ln
+    ]
+    assert not required, final[:1500]
+    assert final.count("BroadcastHashJoin") >= 2, final[:1500]
+
+    # no previous index: everything is new
+    assert {
+        r["change_kind"] for r in doc_change_status(None, fetched).collect()
+    } == {"new"}
+
+    # advancing the index and re-detecting the same batch → all unchanged
+    nxt = update_fingerprint_index(prev, fetched)
+    assert nxt.count() == 105  # 100 carried + 5 new URLs
+    redo = doc_change_status(nxt, fetched)
+    assert {r["change_kind"] for r in redo.collect()} == {"unchanged"}
+
+
+def test_update_fingerprint_index_duplicate_batch_urls_deterministic(spark):
+    """A batch carrying the same URL twice with different fingerprints must
+    resolve to one deterministic winner (fp-ascending tiebreak), mirroring
+    store_documents_incremental's contract."""
+    from mcp_crawl4ai_rag_spark.plans.rag import update_fingerprint_index
+
+    fetched = spark.createDataFrame(
+        [("u1", "b"), ("u1", "a"), ("u2", "z")], "url string, fp string"
+    )
+    got = sorted(map(tuple, update_fingerprint_index(None, fetched).collect()))
+    assert got == [("u1", "a"), ("u2", "z")]

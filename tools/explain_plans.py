@@ -403,6 +403,33 @@ def main():
         checks,
     ))
 
+    # 19b. recrawl change detection: the corpus-sized fingerprint index is
+    # pruned to the batch's URLs with a broadcast LEFT SEMI join (index side
+    # streams), and the ≤|batch| survivors broadcast back onto the batch —
+    # no hash Exchange anywhere.
+    from mcp_crawl4ai_rag_spark.plans.rag import doc_change_status
+
+    prev_idx = docs.select(
+        F.concat(F.lit("r"), F.col("doc_id").cast("string")).alias("url"),
+        F.md5("text").alias("fp"),
+    )
+    cd_fetched = docs.where(F.col("doc_id") % 3 == 0).select(
+        F.concat(F.lit("r"), F.col("doc_id").cast("string")).alias("url"),
+        F.md5(F.concat(F.col("text"), F.lit("!"))).alias("fp"),
+    )
+    cd_plan = formatted(doc_change_status(prev_idx, cd_fetched))
+    checks = [
+        ("LeftSemi", "index pruned to batch URLs — index side streams, no shuffle"),
+        ("BroadcastHashJoin", "both joins broadcast"),
+    ]
+    if "Exchange hashpartitioning" in cd_plan:
+        checks.append(("never", "EXCHANGE FOUND — change detection must not shuffle"))
+    sections.append((
+        "Recrawl change detection (broadcast semi-prune + broadcast lookup; zero shuffle)",
+        cd_plan,
+        checks,
+    ))
+
     # 20. multiprobe LSH over the written bucket-partitioned index: the
     # hamming-ball bucket ids are enumerated on the driver and prune at the
     # parquet partition layer — no full-corpus bit_count(xor) scan.
