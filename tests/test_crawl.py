@@ -456,3 +456,56 @@ def test_crawl_e2e_gate_pop_respects_pagerank_budgets(spark):
             expected.add((f"https://h{h}.example.com{path}{i}", pr[i]))
     got = {(r["canonical_url"], r["pr"]) for r in popped}
     assert got == expected
+
+
+def test_incremental_recrawl_composition(spark, corpus):
+    """Crawl → fingerprint index → recrawl with change detection: only the
+    docs whose content changed between crawls reach the re-chunk/re-embed
+    stage, and advancing the index converges to all-unchanged. This is the
+    end-to-end contract behind plans/rag.doc_change_status — a recrawl at
+    corpus scale must not re-embed unchanged pages."""
+    from mcp_crawl4ai_rag_spark.plans.rag import (
+        doc_change_status,
+        update_fingerprint_index,
+    )
+
+    eng = CrawlEngine(
+        spark, corpus, robots=gen_robots(spark), allowed_host_suffix=".example.com"
+    )
+    res = eng.run(gen_seeds(spark, N), max_depth=2)
+    docs = res.fetched.select(F.col("canonical_url").alias("url"), "markdown")
+    n_docs = docs.count()
+    assert n_docs > 10
+
+    fps = docs.select("url", F.md5("markdown").alias("fp"))
+    idx = update_fingerprint_index(None, fps)
+
+    # second crawl of the same frontier: ~1/3 of pages changed content
+    refetch = docs.withColumn(
+        "markdown",
+        F.when(
+            F.xxhash64("url") % 3 == 0,
+            F.concat(F.col("markdown"), F.lit(" UPDATED")),
+        ).otherwise(F.col("markdown")),
+    )
+    new_fps = refetch.select("url", F.md5("markdown").alias("fp"))
+    status = doc_change_status(idx, new_fps)
+    counts = {
+        r["change_kind"]: r["n"]
+        for r in status.groupBy("change_kind").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(counts) == {"changed", "unchanged"}  # same URL set → nothing "new"
+    assert counts["changed"] + counts["unchanged"] == n_docs
+    # the planted change rate is ~1/3 — the gate must pass only those through
+    changed = refetch.join(
+        status.where(F.col("change_kind") != "unchanged").select("url"),
+        "url",
+        "left_semi",
+    )
+    assert changed.count() == counts["changed"] < n_docs
+
+    # advancing the index and re-detecting the same fetch → all unchanged
+    idx2 = update_fingerprint_index(idx, new_fps)
+    assert {
+        r["change_kind"] for r in doc_change_status(idx2, new_fps).collect()
+    } == {"unchanged"}
