@@ -2517,7 +2517,39 @@ def q_upsert_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fp",
         "change_kind",
     )
-    return merged.unionByName(status)
+    # third leg (chunk_number=-2): freshness-aware recrawl scheduling
+    # (plans/rag.recrawl_schedule) — smoothed change rate × age as exact
+    # integer milli-priority; change log derived from documents (doc_id%4+1
+    # crawls, changed when (doc_id+seq)%3==0), scored at now_seq=10.
+    from mcp_crawl4ai_rag_spark.plans.rag import recrawl_schedule
+
+    log = docs.select(
+        F.concat(F.lit("s"), F.col("doc_id").cast("string")).alias("url"),
+        F.explode(
+            F.sequence(F.lit(1), (F.col("doc_id") % 4 + 1).cast("int"))
+        ).alias("crawl_seq"),
+        F.col("doc_id"),
+    ).select(
+        "url",
+        "crawl_seq",
+        F.when((F.col("doc_id") + F.col("crawl_seq")) % 3 == 0, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change_kind"),
+    )
+    sched = recrawl_schedule(log, now_seq=10).select(
+        "url",
+        F.lit(-2).cast("long").alias("chunk_number"),
+        F.format_string(
+            "obs=%d chg=%d age=%d prio=%d",
+            F.col("n_obs"),
+            F.col("n_changes"),
+            F.col("age"),
+            F.col("prio_milli"),
+        ).alias("content"),
+        F.lit("").alias("fp"),
+        F.lit("schedule").alias("change_kind"),
+    )
+    return merged.unionByName(status).unionByName(sched)
 
 
 def _oracle_upsert_store() -> str:
@@ -2562,6 +2594,30 @@ LEFT JOIN (
   SELECT 'r' || CAST(doc_id AS VARCHAR) AS url, md5(text) AS fp
   FROM documents
 ) p ON f.url = p.url
+UNION ALL
+SELECT url, CAST(-2 AS BIGINT) AS chunk_number,
+       -- CASTs: DuckDB SUM() returns HUGEINT, which printf %d rejects
+       printf('obs=%d chg=%d age=%d prio=%d',
+              CAST(n_obs AS BIGINT), CAST(n_changes AS BIGINT),
+              CAST(age AS BIGINT),
+              CAST(((2*n_changes + 1) * age * 1000) // (2*(n_obs + 1)) AS BIGINT)
+       ) AS content,
+       '' AS fp, 'schedule' AS change_kind
+FROM (
+  SELECT url, COUNT(*) AS n_obs,
+         SUM(CASE WHEN change_kind = 'changed' THEN 1 ELSE 0 END) AS n_changes,
+         10 - MAX(crawl_seq) AS age
+  FROM (
+    SELECT 's' || CAST(doc_id AS VARCHAR) AS url, doc_id,
+           UNNEST(generate_series(1, CAST(doc_id % 4 + 1 AS BIGINT))) AS crawl_seq
+    FROM documents
+  ) obs
+  CROSS JOIN LATERAL (
+    SELECT CASE WHEN (doc_id + crawl_seq) % 3 = 0
+                THEN 'changed' ELSE 'unchanged' END AS change_kind
+  ) k
+  GROUP BY url
+) agg
 """
 
 

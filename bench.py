@@ -245,9 +245,18 @@ def frontier_epoch(
 
     frontier = urls(spark.range(0, n, 1, parts))
     url_seen = urls(spark.range(0, n, 3, parts)).select("url_hash", "canonical_url")
-    # warm both inputs so the timed region is the dedup+pop pipeline only
-    frontier = frontier.localCheckpoint(eager=True)
-    url_seen = url_seen.localCheckpoint(eager=True)
+    # warm both inputs so the timed region is the dedup+pop pipeline only.
+    # Serialized level to match the engine's own checkpoints (local_ckpt):
+    # the deserialized default's live row objects tax the concurrent bloom
+    # fold ~4x at 32 cores (tools/ckpt_level_ab.py, median 10.8s vs 2.65s).
+    from pyspark import StorageLevel as _SL
+
+    frontier = frontier.localCheckpoint(
+        eager=True, storageLevel=_SL.MEMORY_AND_DISK
+    )
+    url_seen = url_seen.localCheckpoint(
+        eager=True, storageLevel=_SL.MEMORY_AND_DISK
+    )
 
     # per-host budget sized to pop ~pop_fraction of the deduped frontier,
     # hot-host skew included (host 0 carries ~25% of URLs)

@@ -45,3 +45,23 @@ def get_spark(
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def local_ckpt(df, eager: bool = True):
+    """``localCheckpoint`` at the SERIALIZED in-memory level
+    (``MEMORY_AND_DISK``, deserialized=False) instead of Spark's default
+    deserialized level.
+
+    Measured on this engine (tools/ckpt_level_ab.py, interleaved pairs in
+    one JVM so ambient drift hits both arms): with a 16M-row frontier
+    checkpoint resident, a concurrent 32-thread Arrow mapInPandas fold
+    takes median 10.8 s over the default deserialized checkpoint
+    (erratic: 3.5-13.5 s — millions of live row objects tax GC marking)
+    vs a stable 2.65 s over the serialized one — ~4x, because compact
+    UnsafeRow bytes are opaque to the collector. Use this for every
+    checkpoint that can be large (frontier, url_seen, signature tables);
+    the few-row ones (backoff tables, centroids) don't care either way.
+    """
+    from pyspark import StorageLevel
+
+    return df.localCheckpoint(eager=eager, storageLevel=StorageLevel.MEMORY_AND_DISK)

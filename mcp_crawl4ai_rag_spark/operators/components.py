@@ -40,6 +40,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark import StorageLevel as _StorageLevel
+
+_SER_LEVEL = _StorageLevel.MEMORY_AND_DISK  # serialized; see mcp_crawl4ai_rag_spark.local_ckpt
 
 
 def connected_components(
@@ -75,7 +78,7 @@ def connected_components(
     )
     # reused by the propagate join every round; distinct also drops
     # duplicate pairs coming from multiple LSH bands
-    und = und.distinct().localCheckpoint(eager=True)
+    und = und.distinct().localCheckpoint(eager=True, storageLevel=_SER_LEVEL)
 
     endpoints = und.select(F.col("src").alias(id_col)).distinct()
     if vertices is not None:
@@ -86,7 +89,7 @@ def connected_components(
         all_vertices = endpoints
     labels = all_vertices.select(
         F.col(id_col), F.col(id_col).alias("component_id")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=_SER_LEVEL)
 
     prev_sum = None
     for _ in range(max_rounds):
@@ -116,7 +119,7 @@ def connected_components(
                     "component_id"
                 ),
             )
-        labels = labels.localCheckpoint(eager=True)
+        labels = labels.localCheckpoint(eager=True, storageLevel=_SER_LEVEL)
         # coalesce: SUM over zero rows is NULL, which would never equal
         # itself round-to-round and spin an empty graph through max_rounds
         cur = labels.agg(

@@ -29,6 +29,9 @@ from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark import StorageLevel as _StorageLevel
+
+_SER_LEVEL = _StorageLevel.MEMORY_AND_DISK  # serialized; see mcp_crawl4ai_rag_spark.local_ckpt
 
 from ..functions.hashing import md5int64
 from ..functions.text import fingerprint_expr, word_shingles_expr, words_expr
@@ -142,7 +145,7 @@ def minhash_lsh_pairs(
     # signatures are one compact row per doc — materialize them so the band
     # self-join below doesn't recompute the whole shingle+hash pipeline twice
     sigs = minhash_signatures(docs, text_col, id_col, num_perms, shingle_k)
-    sigs = sigs.localCheckpoint(eager=True)
+    sigs = sigs.localCheckpoint(eager=True, storageLevel=_SER_LEVEL)
     bk = lsh_band_keys(sigs, id_col, bands, rows_per_band)
 
     left = bk.select(
@@ -160,7 +163,7 @@ def minhash_lsh_pairs(
 
     sets = docs.select(
         F.col(id_col), word_shingles_expr(F.col(text_col), shingle_k).alias("sh")
-    ).localCheckpoint(eager=True)  # reused by both sides of the pair join
+    ).localCheckpoint(eager=True, storageLevel=_SER_LEVEL)  # reused by both sides of the pair join
     out = (
         cand.join(sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
@@ -458,7 +461,7 @@ def simhash_pairs(
     """
     # one compact row per doc; materialize so the chunk self-join below
     # doesn't recompute the token+hash aggregation on both sides
-    sims = simhash_docs(docs, text_col, id_col, bits).localCheckpoint(eager=True)
+    sims = simhash_docs(docs, text_col, id_col, bits).localCheckpoint(eager=True, storageLevel=_SER_LEVEL)
     return hamming_pairs(
         sims, id_col, "simhash", bits=bits, n_chunks=n_chunks, max_hamming=max_hamming
     )

@@ -30,6 +30,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark import StorageLevel as _StorageLevel
+
+_SER_LEVEL = _StorageLevel.MEMORY_AND_DISK  # serialized; see mcp_crawl4ai_rag_spark.local_ckpt
 
 PR_SCALE = 1_000_000_000  # fixed-point: rank 1.0 == 10^9
 
@@ -47,9 +50,9 @@ def pagerank(
     damping 0.85, uniform start at ``scale``. Edge multiplicity counts
     (parallel edges contribute twice)."""
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    e = e.localCheckpoint(eager=True)  # reused every round
+    e = e.localCheckpoint(eager=True, storageLevel=_SER_LEVEL)  # reused every round
     deg = e.groupBy("src").agg(F.count("*").alias("__deg"))
-    e_deg = e.join(deg, "src").localCheckpoint(eager=True)
+    e_deg = e.join(deg, "src").localCheckpoint(eager=True, storageLevel=_SER_LEVEL)
 
     v = vertices.select(F.col(id_col).alias("id"))
     pr = v.select("id", F.lit(scale).cast("long").alias("pr"))
@@ -81,6 +84,6 @@ def pagerank(
                     )
                 ).cast("long").alias("pr"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True, storageLevel=_SER_LEVEL)
         )
     return pr

@@ -24,6 +24,9 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark import StorageLevel as _StorageLevel
+
+_SER_LEVEL = _StorageLevel.MEMORY_AND_DISK  # serialized; see mcp_crawl4ai_rag_spark.local_ckpt
 
 
 def distributed_cumsum(
@@ -48,7 +51,7 @@ def distributed_cumsum(
     ranged = ranged.sortWithinPartitions(*cols).withColumn(
         "__pid", F.spark_partition_id()
     )
-    ranged = ranged.localCheckpoint(eager=True)  # sums + final pass share it
+    ranged = ranged.localCheckpoint(eager=True, storageLevel=_SER_LEVEL)  # sums + final pass share it
 
     sums = {
         r["__pid"]: r["s"]

@@ -25,6 +25,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark import StorageLevel as _StorageLevel
+
+_SER_LEVEL = _StorageLevel.MEMORY_AND_DISK  # serialized; see mcp_crawl4ai_rag_spark.local_ckpt
 
 from ..config import (
     DEFAULT_SALT_LANES,
@@ -178,7 +181,7 @@ def pop_per_host_threshold(
     else:
         fr = frontier.join(F.broadcast(budgets), on="host", how="left")
     if materialize:
-        fr = fr.localCheckpoint(eager=True)
+        fr = fr.localCheckpoint(eager=True, storageLevel=_SER_LEVEL)
 
     tup = F.struct(F.col("depth"), F.col("priority"), F.col("seq"))
     # Unlimited hosts (budget NULL) pop everything — they need no

@@ -26,6 +26,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark import StorageLevel as _StorageLevel
+
+_SER_LEVEL = _StorageLevel.MEMORY_AND_DISK  # serialized; see mcp_crawl4ai_rag_spark.local_ckpt
 
 from ..functions.hashing import py_md5int64
 from ..functions.vectors import cosine_expr
@@ -417,7 +420,7 @@ def train_centroids(
         )
         .orderBy("__h", "__id")
         .limit(sample_n)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=_SER_LEVEL)
     )
     seed_rows = sorted(sample.collect(), key=lambda r: (r["__h"], r["__id"]))[:k]
     cents: list[tuple[int, list[float]]] = [

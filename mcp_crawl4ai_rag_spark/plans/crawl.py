@@ -45,6 +45,9 @@ from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark import StorageLevel as _StorageLevel
+
+_SER_LEVEL = _StorageLevel.MEMORY_AND_DISK  # serialized; see mcp_crawl4ai_rag_spark.local_ckpt
 
 from ..config import BLOOM_MIN_SEEN, DEFAULT_SALT_LANES
 from ..functions.urls import (
@@ -206,7 +209,7 @@ class CrawlEngine:
         # found is batch-bounded (≤ popped rows, ≪ corpus): checkpoint it so
         # the corpus is scanned ONCE per epoch — without this, the not-found
         # recovery below re-derives `found` and re-scans the corpus.
-        found = found.localCheckpoint(eager=True)
+        found = found.localCheckpoint(eager=True, storageLevel=_SER_LEVEL)
         missing = batch.join(
             F.broadcast(found.select("canonical_url")), "canonical_url", "left_anti"
         ).select(
@@ -403,7 +406,7 @@ class CrawlEngine:
             obs_pop = Observation(f"pop_epoch_{epoch}")
             popped = popped.observe(
                 obs_pop, F.count(F.lit(1)).alias("n")
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=True, storageLevel=_SER_LEVEL)
             n_popped = int(obs_pop.get["n"])
             seen_count += n_popped
 
@@ -438,7 +441,7 @@ class CrawlEngine:
                     F.count(F.lit(1)).alias("fetch_attempted"),
                     F.sum(F.col("success").cast("long")).alias("fetch_succeeded"),
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=True, storageLevel=_SER_LEVEL)
             )
             m = obs.get
             n_allowed = int(m["fetch_attempted"])
@@ -461,7 +464,7 @@ class CrawlEngine:
                 statuses = fetch.select(
                     "host", F.coalesce(F.col("status"), F.lit(404)).alias("status")
                 )
-                backoff = update_backoff(statuses, backoff).localCheckpoint(eager=True)
+                backoff = update_backoff(statuses, backoff).localCheckpoint(eager=True, storageLevel=_SER_LEVEL)
 
             # F1-F8 + J2 expansion; links from the last depth level are never
             # schedulable (reference loop ends first), so prune them here.
@@ -471,7 +474,7 @@ class CrawlEngine:
             obs_disc = Observation(f"disc_epoch_{epoch}")
             discovered = discovered.observe(
                 obs_disc, F.count(F.lit(1)).alias("n")
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=True, storageLevel=_SER_LEVEL)
             n_disc = int(obs_disc.get["n"])
             discovered = self._assign_seq(discovered, seq_offset, n_rows=n_disc)
             seq_offset += n_disc
@@ -490,7 +493,7 @@ class CrawlEngine:
                 frontier = (
                     self._dedup_frontier(deferred_obs.unionByName(discovered))
                     .observe(obs_fr, F.count(F.lit(1)).alias("n"))
-                    .localCheckpoint(eager=True)
+                    .localCheckpoint(eager=True, storageLevel=_SER_LEVEL)
                 )
                 frontier_ckpted = True
                 n_deferred = int(obs_def.get["n"])
@@ -534,13 +537,13 @@ class CrawlEngine:
                 )
             else:
                 if not frontier_ckpted:  # politeness path checkpointed above
-                    frontier = frontier.localCheckpoint(eager=True)
+                    frontier = frontier.localCheckpoint(eager=True, storageLevel=_SER_LEVEL)
                 # url_seen is a union of ALREADY-checkpointed popped batches,
                 # so its recompute is a cheap concat — re-copying the whole
                 # (ever-growing) set every epoch is pure write amplification.
                 # Checkpoint on a cadence only to truncate very deep plans.
                 if (epoch - start_epoch) % 4 == 3:
-                    url_seen = url_seen.localCheckpoint(eager=True)
+                    url_seen = url_seen.localCheckpoint(eager=True, storageLevel=_SER_LEVEL)
 
         return CrawlRunResult(
             url_seen=url_seen,

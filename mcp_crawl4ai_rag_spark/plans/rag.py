@@ -209,6 +209,53 @@ def update_fingerprint_index(
     return untouched.unionByName(batch)
 
 
+def recrawl_schedule(
+    change_log: DataFrame,
+    now_seq: int,
+    url_col: str = "url",
+) -> DataFrame:
+    """Freshness-aware recrawl prioritization over the change log that
+    :func:`doc_change_status` produces per crawl.
+
+    ``change_log`` rows are ``(url, crawl_seq, change_kind)`` — one row per
+    (URL, crawl) observation. Per URL this estimates a smoothed change rate
+    ``lambda = (2*n_changes + 1) / (2*(n_obs + 1))`` (add-half smoothing, so
+    never-observed-changing URLs still age back into the frontier) and
+    scores expected staleness ``priority = lambda * age`` where ``age =
+    now_seq - last_seq`` — the uniform-refresh-beats-proportional insight
+    reduced to its schedulable core: revisit what is both stale AND likely
+    to have changed. The reference has no recrawl policy at all (every
+    smart_crawl re-fetches everything, src/crawl4ai_mcp.py:481-487); at
+    10^10 URLs the frontier MUST be fed by a policy like this.
+
+    ``prio_milli`` is computed with integer arithmetic only
+    (``... * 1000 DIV ...``) so Spark and any SQL oracle agree bit-for-bit
+    at any scale. Plan shape: one map-side-combinable groupBy(url) — the
+    minimal shuffle for a per-URL aggregate; the output feeds the
+    frontier's ``priority`` column (T4 ordering contract, lower = sooner),
+    so ``-prio_milli`` is the natural priority value.
+    """
+    agg = change_log.groupBy(url_col).agg(
+        F.count("*").alias("n_obs"),
+        F.sum(
+            F.when(F.col("change_kind") == "changed", F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias("n_changes"),
+        F.max("crawl_seq").alias("last_seq"),
+    )
+    return agg.select(
+        url_col,
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.col("n_changes").cast("long").alias("n_changes"),
+        (F.lit(now_seq) - F.col("last_seq")).cast("long").alias("age"),
+        F.expr(
+            f"CAST(((2*n_changes + 1) * (({now_seq}) - last_seq) * 1000) "
+            "DIV (2*(n_obs + 1)) AS BIGINT)"
+        ).alias("prio_milli"),
+    )
+
+
 def search_documents(
     store: DataFrame,
     query: str,

@@ -17,6 +17,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark import StorageLevel as _StorageLevel
+
+_SER_LEVEL = _StorageLevel.MEMORY_AND_DISK  # serialized; see mcp_crawl4ai_rag_spark.local_ckpt
 
 from ..config import DEFAULT_MAX_DEPTH, SITEMAP_MAX_DEPTH
 from ..functions.urls import (
@@ -97,7 +100,7 @@ def smart_crawl(
         obs = Observation("sitemap_seed_count")
         page_urls = page_urls.observe(
             obs, F.count(F.lit(1)).alias("n")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=True, storageLevel=_SER_LEVEL)
         seeds = _seed_df(spark, page_urls, n_rows=int(obs.get["n"]))
         engine = CrawlEngine(spark, pages, robots=robots)
         return engine.run(seeds, max_depth=1)  # batch fetch, no link follow

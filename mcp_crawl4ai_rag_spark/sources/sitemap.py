@@ -23,6 +23,9 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark import StorageLevel as _StorageLevel
+
+_SER_LEVEL = _StorageLevel.MEMORY_AND_DISK  # serialized; see mcp_crawl4ai_rag_spark.local_ckpt
 
 from ..config import SITEMAP_MAX_DEPTH
 
@@ -86,7 +89,7 @@ def expand_sitemaps(
         if pending.isEmpty():
             break
         fetched = sitemap_corpus.join(F.broadcast(pending), "url", "inner")
-        entries = parse_sitemap_bodies(fetched).localCheckpoint(eager=True)
+        entries = parse_sitemap_bodies(fetched).localCheckpoint(eager=True, storageLevel=_SER_LEVEL)
         page_parts.append(entries.where(F.col("kind") == "url").select(F.col("loc")))
         if depth < max_depth:
             pending = (

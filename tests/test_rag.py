@@ -263,3 +263,78 @@ def test_update_fingerprint_index_duplicate_batch_urls_deterministic(spark):
     )
     got = sorted(map(tuple, update_fingerprint_index(None, fetched).collect()))
     assert got == [("u1", "a"), ("u2", "z")]
+
+
+def test_recrawl_schedule_matches_python_twin(spark):
+    """Per-URL smoothed change rate × age, exact integer arithmetic — must
+    equal the plain-Python estimator row for row."""
+    from mcp_crawl4ai_rag_spark.plans.rag import recrawl_schedule
+
+    rows = []
+    for u in range(40):
+        for seq in range(1, (u % 5) + 2):
+            kind = "changed" if (u + seq) % 3 == 0 else "unchanged"
+            rows.append((f"u{u}", seq, kind))
+    log = spark.createDataFrame(
+        rows, "url string, crawl_seq int, change_kind string"
+    ).repartition(7)
+    now = 10
+    got = {
+        r["url"]: (r["n_obs"], r["n_changes"], r["age"], r["prio_milli"])
+        for r in recrawl_schedule(log, now).collect()
+    }
+
+    want = {}
+    for u in range(40):
+        obs = [(seq, (u + seq) % 3 == 0) for seq in range(1, (u % 5) + 2)]
+        n_obs = len(obs)
+        n_changes = sum(1 for _, c in obs if c)
+        last = max(s for s, _ in obs)
+        age = now - last
+        prio = ((2 * n_changes + 1) * age * 1000) // (2 * (n_obs + 1))
+        want[f"u{u}"] = (n_obs, n_changes, age, prio)
+    assert got == want
+
+    # ordering sanity: with equal observation counts, more changes and more
+    # age both raise the priority
+    one = lambda ch, age_: ((2 * ch + 1) * age_ * 1000) // 4
+    assert one(1, 5) > one(0, 5) and one(0, 8) > one(0, 4)
+
+
+def test_recrawl_schedule_composes_with_change_status(spark):
+    """Two crawls through doc_change_status → a change log → a schedule:
+    URLs that changed both times outrank stable ones of the same age."""
+    from mcp_crawl4ai_rag_spark.plans.rag import (
+        doc_change_status,
+        recrawl_schedule,
+        update_fingerprint_index,
+    )
+
+    def fp(df):
+        return df.select("url", F.md5("text").alias("fp"))
+
+    base = spark.createDataFrame(
+        [(f"u{i}", f"text-{i}") for i in range(20)], "url string, text string"
+    )
+    # crawl 1: volatile URLs (i%4==0) changed; crawl 2: they changed again
+    def mutate(df, gen):
+        return df.withColumn(
+            "text",
+            F.when(
+                F.regexp_extract("url", "u(\\d+)", 1).cast("int") % 4 == 0,
+                F.concat(F.col("text"), F.lit(f"-v{gen}")),
+            ).otherwise(F.col("text")),
+        )
+
+    idx = update_fingerprint_index(None, fp(base))
+    c1 = mutate(base, 1)
+    s1 = doc_change_status(idx, fp(c1)).withColumn("crawl_seq", F.lit(1))
+    idx = update_fingerprint_index(idx, fp(c1))
+    c2 = mutate(c1, 2)
+    s2 = doc_change_status(idx, fp(c2)).withColumn("crawl_seq", F.lit(2))
+    log = s1.unionByName(s2).select("url", "crawl_seq", "change_kind")
+
+    sched = {r["url"]: r["prio_milli"] for r in recrawl_schedule(log, 5).collect()}
+    volatile = [sched[f"u{i}"] for i in range(0, 20, 4)]
+    stable = [sched[f"u{i}"] for i in range(20) if i % 4 != 0]
+    assert min(volatile) > max(stable)

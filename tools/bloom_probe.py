@@ -17,6 +17,8 @@ import os
 import sys
 import time
 
+from pyspark import StorageLevel as _SL
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
@@ -59,17 +61,17 @@ def main() -> None:
 
     # tiny warmup (JIT, Arrow, python workers)
     warm = urls(spark.range(0, 200_000, 3, parts)).select("url_hash", "canonical_url")
-    warm = warm.localCheckpoint(eager=True)
+    warm = warm.localCheckpoint(eager=True, storageLevel=_SL.MEMORY_AND_DISK)
     build_bloom(warm, "url_hash", expected=70_000)
     warm.unpersist()
 
     for rep in range(reps):
         t0 = time.time()
-        frontier = urls(spark.range(0, n, 1, parts)).localCheckpoint(eager=True)
+        frontier = urls(spark.range(0, n, 1, parts)).localCheckpoint(eager=True, storageLevel=_SL.MEMORY_AND_DISK)
         url_seen = (
             urls(spark.range(0, n, 3, parts))
             .select("url_hash", "canonical_url")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True, storageLevel=_SL.MEMORY_AND_DISK)
         )
         t_ckpt = time.time() - t0
 
