@@ -2311,6 +2311,73 @@ def _sql_l2sq(a: str, b: str) -> str:
     )
 
 
+_PQ_M = 4  # subspaces over the 64-dim embeddings (16 dims each)
+_PQ_RERANK = 20
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ-style ANN (operators/similarity.pq_encode/pq_topk): product-
+    quantization codes over 4 subspaces, asymmetric-distance (ADC) scan for
+    a 20-candidate shortlist, exact-cosine rescore to top-5. Codebook =
+    embeddings of vec_id < 8 (data-derived 'training', like the IVF gate,
+    so the SQL oracle re-derives codes, LUTs and shortlist from the same
+    rows)."""
+    from mcp_crawl4ai_rag_spark.operators.similarity import pq_topk
+
+    embs = _embs(spark, sf_dir)
+    cbs = embs.where(F.col("vec_id") < _IVF_K_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    q = list(embs.where(F.col("vec_id") == 0).select("embedding").head()[0])
+    return pq_topk(
+        embs.where(F.col("vec_id") > 0),
+        cbs,
+        q,
+        5,
+        n_sub=_PQ_M,
+        rerank=_PQ_RERANK,
+    )
+
+
+def _oracle_ann_pq() -> str:
+    dim, sub = 64, 64 // _PQ_M
+    cos = _sql_cosine("cand.embedding", "q.qe")
+    code_cols, adc_terms = [], []
+    for j in range(_PQ_M):
+        a, b = j * sub + 1, (j + 1) * sub
+        xd = _sql_l2sq(f"list_slice(e.embedding, {a}, {b})", f"list_slice(ce, {a}, {b})")
+        qd = _sql_l2sq(f"list_slice(q.qe, {a}, {b})", f"list_slice(ce, {a}, {b})")
+        dists = f"list_transform(cb.cbs, ce -> {xd})"
+        lut = f"list_transform(cb.cbs, ce -> {qd})"
+        code_cols.append(
+            f"list_position({dists}, list_min({dists})) AS code{j}"
+        )
+        adc_terms.append(f"list_extract({lut}, enc.code{j})")
+    return f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+cb AS (
+    SELECT list(ce ORDER BY cid) AS cbs
+    FROM (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+          WHERE vec_id < {_IVF_K_CENTROIDS})
+),
+enc AS (
+    SELECT e.vec_id, e.embedding, {', '.join(code_cols)}
+    FROM embeddings e CROSS JOIN cb CROSS JOIN q
+    WHERE e.vec_id > 0
+),
+cand AS (
+    SELECT enc.vec_id, enc.embedding
+    FROM enc CROSS JOIN cb CROSS JOIN q
+    ORDER BY {' + '.join(adc_terms)} ASC, enc.vec_id ASC
+    LIMIT {_PQ_RERANK}
+)
+SELECT cand.vec_id, round({cos}, 4) AS sim
+FROM cand CROSS JOIN q
+ORDER BY sim DESC, cand.vec_id
+LIMIT 5
+"""
+
+
 def _oracle_ann_ivf_topk() -> str:
     cos = _sql_cosine("s.embedding", "q.qe")
     return f"""
@@ -3233,9 +3300,9 @@ def _tagged(sql: str, select: str) -> str:
 def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1 + the ANN family behind one gate: brute-force exact cosine,
     single-bucket LSH, radius-1 multiprobe LSH, IVF (fixed codebook), int8
-    quantized rescore, and IVF with the distributed-k-means-trained
-    codebook. Schema (method, vec_id, sim); each leg is the unchanged
-    per-leg plan."""
+    quantized rescore, IVF with the distributed-k-means-trained codebook,
+    and product-quantization ADC + rescore. Schema (method, vec_id, sim);
+    each leg is the unchanged per-leg plan."""
     legs = {
         "brute": q_embedding_topk,
         "lsh": q_ann_lsh_topk,
@@ -3243,6 +3310,7 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ivf": q_ann_ivf_topk,
         "quantized": q_ann_quantized,
         "ivf_trained": q_ann_ivf_trained,
+        "pq": q_ann_pq,
     }
     out = None
     for tag, fn in legs.items():
@@ -3263,6 +3331,7 @@ def _oracle_ann_suite() -> str:
         "ivf": _oracle_ann_ivf_topk(),
         "quantized": _oracle_ann_quantized(),
         "ivf_trained": _oracle_ann_ivf_trained(),
+        "pq": _oracle_ann_pq(),
     }
     sel = "'{tag}' AS method, CAST(vec_id AS BIGINT) AS vec_id, CAST(sim AS DOUBLE) AS sim"
     return "\nUNION ALL\n".join(

@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "crawl_params",
     "contextual_concat",
     "ann_ivf_trained",
+    "ann_pq",
     "chunk_metadata",
     "streaming_window",
     "contextual_join",

@@ -654,3 +654,110 @@ def alignment_filter(
         score.alias("alignment"),
         (score >= F.lit(float(threshold))).alias("keep"),
     )
+
+
+def _py_l2sq(a, b) -> float:
+    """Left-to-right float64 squared-L2 fold — the Python twin of
+    :func:`l2sq_expr` / the oracle's list_reduce (identical IEEE op order,
+    so all three agree bit-for-bit)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        d = float(x) - float(y)
+        acc = acc + d * d
+    return acc
+
+
+def pq_encode(
+    embs: DataFrame,
+    codebooks: DataFrame,
+    n_sub: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encode: split each D-dim vector into ``n_sub``
+    contiguous subspaces and store, per subspace, the 1-based index of the
+    nearest codebook slice (squared-L2 argmin, ties to the lowest cid) —
+    (id, vec, codes array<int>).
+
+    ``codebooks``: (cid, ce) full-dimension rows, O(K×D) small; their j-th
+    slices form subspace j's codebook, so one table serves every subspace
+    and a SQL oracle can re-derive the whole scheme from data. Like
+    :func:`ivf_assign`, the codebook is inlined as literals and the encode
+    is a single zero-shuffle projection — at 10^9 vectors the codes (n_sub
+    bytes/vector vs 4·D) are the 100-TB-store serving representation.
+    """
+    rows = sorted(codebooks.select("cid", "ce").collect(), key=lambda r: r["cid"])
+    dim = len(rows[0]["ce"])
+    assert dim % n_sub == 0, (dim, n_sub)
+    sub = dim // n_sub
+    codes = []
+    for j in range(n_sub):
+        x_slice = F.slice(F.col(vec_col), j * sub + 1, sub)
+        dists = F.array(
+            *[
+                l2sq_expr(
+                    x_slice,
+                    F.array(*[F.lit(float(v)) for v in r["ce"][j * sub : (j + 1) * sub]]),
+                )
+                for r in rows
+            ]
+        )
+        codes.append(F.array_position(dists, F.array_min(dists)).cast("int"))
+    return embs.select(id_col, vec_col, F.array(*codes).alias("codes"))
+
+
+def pq_topk(
+    embs: DataFrame,
+    codebooks: DataFrame,
+    query_vec: list[float],
+    k: int,
+    n_sub: int = 4,
+    rerank: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ-style approximate top-k via asymmetric distance computation
+    (ADC) + exact rescore: encode the corpus with :func:`pq_encode`, score
+    every row as the sum over subspaces of the query→centroid distance
+    look-up table entry its code selects (Jégou et al.'s ADC — integer
+    indexing into an n_sub×K table of doubles, never touching the full
+    vector), take the ``rerank`` best candidates, then exact-cosine rescore
+    only those for the final top-k: (id, sim).
+
+    Scale shape: the scored scan reads n_sub bytes of codes per row (the
+    LUT is literal), the candidate cut is a TakeOrderedAndProject, and the
+    exact rescore touches ``rerank`` full vectors — the standard
+    100-TB serving plan (PQ scan → shortlist → rescore). Composes with the
+    IVF partition-pruned layout (ivf_write_index) for the probe step.
+    Determinism: LUT entries are float64 left-fold distances computed in
+    Python and inlined as literals — bit-identical to the same fold done
+    in Spark or DuckDB — and candidate ties break on id.
+    """
+    rows = sorted(codebooks.select("cid", "ce").collect(), key=lambda r: r["cid"])
+    dim = len(rows[0]["ce"])
+    assert dim % n_sub == 0, (dim, n_sub)
+    sub = dim // n_sub
+
+    encoded = pq_encode(embs, codebooks, n_sub, id_col, vec_col)
+    score = None
+    for j in range(n_sub):
+        lut = F.array(
+            *[
+                F.lit(
+                    _py_l2sq(
+                        query_vec[j * sub : (j + 1) * sub],
+                        r["ce"][j * sub : (j + 1) * sub],
+                    )
+                )
+                for r in rows
+            ]
+        )
+        term = F.element_at(lut, F.element_at(F.col("codes"), j + 1))
+        score = term if score is None else score + term
+    cand = (
+        encoded.select(id_col, vec_col, score.alias("__adc"))
+        .orderBy(F.col("__adc").asc(), F.col(id_col).asc())
+        .limit(rerank)
+        .select(id_col, vec_col)
+    )
+    return brute_topk(cand, query_vec, k, id_col, vec_col)

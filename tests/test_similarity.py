@@ -375,3 +375,77 @@ def test_alignment_filter_drops_planted_swaps(spark, embs):
             round(_np_cos(img, v[i]), 4), abs=1e-9
         )
         assert r["keep"] == (i % 10 != 0)
+
+
+def test_pq_encode_and_topk_match_numpy(spark, embs):
+    """PQ codes and the ADC-shortlist top-k must equal the numpy twin
+    (float64 left-fold distances, ties to the lowest centroid/id)."""
+    from mcp_crawl4ai_rag_spark.operators.similarity import pq_encode, pq_topk
+
+    v = _vecs()
+    K, M = 6, 4
+    sub = DIM // M
+    cbs = spark.createDataFrame(
+        [(i, [float(x) for x in v[i]]) for i in range(K)],
+        "cid long, ce array<float>",
+    )
+    got_codes = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(embs, cbs, M).collect()
+    }
+
+    def l2sq(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            d = float(np.float32(x)) - float(np.float32(y))
+            acc += d * d
+        return acc
+
+    want_codes = {}
+    for i in range(N):
+        cs = []
+        for j in range(M):
+            xs = v[i][j * sub : (j + 1) * sub]
+            ds = [l2sq(xs, v[c][j * sub : (j + 1) * sub]) for c in range(K)]
+            cs.append(ds.index(min(ds)) + 1)  # 1-based, first-min tie-break
+        want_codes[i] = cs
+    assert got_codes == want_codes
+
+    q = [float(x) for x in v[0]]
+    got = [(r["vec_id"], r["sim"]) for r in pq_topk(embs, cbs, q, 5, n_sub=M, rerank=12).collect()]
+
+    # twin: ADC score from the same codes, shortlist of 12, exact rescore
+    luts = [
+        [l2sq(q[j * sub : (j + 1) * sub], v[c][j * sub : (j + 1) * sub]) for c in range(K)]
+        for j in range(M)
+    ]
+    adc = {
+        i: sum(luts[j][want_codes[i][j] - 1] for j in range(M)) for i in range(N)
+    }
+    short = sorted(range(N), key=lambda i: (adc[i], i))[:12]
+    want = sorted(
+        ((i, round(_np_cos(v[i], q), 4)) for i in short), key=lambda t: (-t[1], t[0])
+    )[:5]
+    assert got == want
+    # the query vector itself must survive ADC (its codes are its own argmins)
+    assert got[0] == (0, 1.0)
+
+
+def test_pq_recall_dominates_random_shortlist(spark, embs):
+    """Sanity: the ADC shortlist must recall most of the true top-5 — PQ is
+    an approximation of L2, not of nothing."""
+    from mcp_crawl4ai_rag_spark.operators.similarity import pq_topk
+
+    v = _vecs()
+    K = 8
+    cbs = spark.createDataFrame(
+        [(i, [float(x) for x in v[N - 1 - i]]) for i in range(K)],
+        "cid long, ce array<float>",
+    )
+    q = [float(x) for x in v[3]]
+    truth = {r["vec_id"] for r in brute_topk(embs, q, 5).collect()}
+    approx = {
+        r["vec_id"]
+        for r in pq_topk(embs, cbs, q, 5, n_sub=4, rerank=15).collect()
+    }
+    assert len(truth & approx) >= 3
