@@ -734,11 +734,25 @@ def pq_topk(
     in Spark or DuckDB — and candidate ties break on id.
     """
     rows = sorted(codebooks.select("cid", "ce").collect(), key=lambda r: r["cid"])
-    dim = len(rows[0]["ce"])
+    encoded = pq_encode(embs, codebooks, n_sub, id_col, vec_col)
+    score = _pq_adc_expr(rows, query_vec, n_sub)
+    cand = (
+        encoded.select(id_col, vec_col, score.alias("__adc"))
+        .orderBy(F.col("__adc").asc(), F.col(id_col).asc())
+        .limit(rerank)
+        .select(id_col, vec_col)
+    )
+    return brute_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def _pq_adc_expr(codebook_rows, query_vec: list[float], n_sub: int):
+    """ADC score Column over a ``codes`` column: sum over subspaces of the
+    literal query→centroid LUT entry each code selects. LUT entries are
+    float64 left-fold distances computed in Python (:func:`_py_l2sq`) —
+    bit-identical to the same fold in Spark or SQL."""
+    dim = len(codebook_rows[0]["ce"])
     assert dim % n_sub == 0, (dim, n_sub)
     sub = dim // n_sub
-
-    encoded = pq_encode(embs, codebooks, n_sub, id_col, vec_col)
     score = None
     for j in range(n_sub):
         lut = F.array(
@@ -749,15 +763,55 @@ def pq_topk(
                         r["ce"][j * sub : (j + 1) * sub],
                     )
                 )
-                for r in rows
+                for r in codebook_rows
             ]
         )
         term = F.element_at(lut, F.element_at(F.col("codes"), j + 1))
         score = term if score is None else score + term
-    cand = (
-        encoded.select(id_col, vec_col, score.alias("__adc"))
+    return score
+
+
+def pq_write_index(
+    embs: DataFrame,
+    path: str,
+    codebooks: DataFrame,
+    n_sub: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the PQ index: one (id, codes) row per vector — n_sub small
+    ints instead of the 4·D-byte embedding, the at-rest serving artifact a
+    10^9-vector store scans per query. Codebook travels separately (it is
+    O(K×D) and data-derived here)."""
+    pq_encode(embs, codebooks, n_sub, id_col, vec_col).select(
+        id_col, "codes"
+    ).write.mode("overwrite").parquet(path)
+
+
+def pq_query_index(
+    spark,
+    path: str,
+    store: DataFrame,
+    codebooks: DataFrame,
+    query_vec: list[float],
+    k: int,
+    n_sub: int = 4,
+    rerank: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve a top-k from the persisted PQ index: ADC-score the codes scan
+    (reads n_sub ints/row — the full vectors never load), shortlist
+    ``rerank`` ids, fetch only those vectors from ``store`` via a broadcast
+    semi-join (store side streams, zero shuffle), exact-cosine rescore.
+    Row-identical to :func:`pq_topk` over the same data (pinned in tests)."""
+    rows = sorted(codebooks.select("cid", "ce").collect(), key=lambda r: r["cid"])
+    codes = spark.read.parquet(path)
+    short = (
+        codes.select(id_col, _pq_adc_expr(rows, query_vec, n_sub).alias("__adc"))
         .orderBy(F.col("__adc").asc(), F.col(id_col).asc())
         .limit(rerank)
-        .select(id_col, vec_col)
+        .select(id_col)
     )
-    return brute_topk(cand, query_vec, k, id_col, vec_col)
+    fetched = store.join(F.broadcast(short), id_col, "left_semi")
+    return brute_topk(fetched, query_vec, k, id_col, vec_col)

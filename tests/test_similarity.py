@@ -449,3 +449,36 @@ def test_pq_recall_dominates_random_shortlist(spark, embs):
         for r in pq_topk(embs, cbs, q, 5, n_sub=4, rerank=15).collect()
     }
     assert len(truth & approx) >= 3
+
+
+def test_pq_index_roundtrip_equals_direct(spark, embs, tmp_path):
+    """pq_write_index + pq_query_index must reproduce pq_topk row-for-row,
+    and the store-side fetch must be a broadcast semi-join (no store
+    shuffle)."""
+    from mcp_crawl4ai_rag_spark.operators.similarity import (
+        pq_query_index,
+        pq_topk,
+        pq_write_index,
+    )
+
+    v = _vecs()
+    K, M = 6, 4
+    cbs = spark.createDataFrame(
+        [(i, [float(x) for x in v[i]]) for i in range(K)],
+        "cid long, ce array<float>",
+    )
+    q = [float(x) for x in v[7]]
+    path = str(tmp_path / "pq_index")
+    pq_write_index(embs, path, cbs, M)
+
+    served = pq_query_index(spark, path, embs, cbs, q, 5, n_sub=M, rerank=12)
+    direct = pq_topk(embs, cbs, q, 5, n_sub=M, rerank=12)
+    assert [tuple(r) for r in served.collect()] == [tuple(r) for r in direct.collect()]
+
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final and "LeftSemi" in final, final[:1500]
+
+    # the persisted artifact really is codes-only (no vectors at rest)
+    cols = spark.read.parquet(path).columns
+    assert set(cols) == {"vec_id", "codes"}

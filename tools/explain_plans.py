@@ -430,6 +430,31 @@ def main():
         checks,
     ))
 
+    # 19c. PQ ADC scan: encode + LUT scoring must be one zero-shuffle
+    # projection over the scan; the only ordering operator is the
+    # TakeOrderedAndProject shortlist cut (then a second one for the
+    # rescore top-k over <=rerank rows).
+    from mcp_crawl4ai_rag_spark.operators.similarity import pq_topk
+
+    pq_embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pq_cbs = pq_embs.where(F.col("vec_id") < 8).selectExpr(
+        "vec_id AS cid", "embedding AS ce"
+    )
+    pq_q = list(pq_embs.where(F.col("vec_id") == 0).head()["embedding"])
+    pq_plan = formatted(
+        pq_topk(pq_embs.where(F.col("vec_id") > 0), pq_cbs, pq_q, 5, n_sub=4)
+    )
+    checks = [
+        ("TakeOrderedAndProject", "shortlist + rescore are top-k merges, no global sort"),
+    ]
+    if "Exchange hashpartitioning" in pq_plan:
+        checks.append(("never", "EXCHANGE FOUND — PQ encode/ADC must not shuffle"))
+    sections.append((
+        "PQ ADC top-k (literal codebook/LUT projection; shortlist then rescore)",
+        pq_plan,
+        checks,
+    ))
+
     # 20. multiprobe LSH over the written bucket-partitioned index: the
     # hamming-ball bucket ids are enumerated on the driver and prune at the
     # parquet partition layer — no full-corpus bit_count(xor) scan.
