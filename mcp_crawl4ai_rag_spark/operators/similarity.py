@@ -815,3 +815,72 @@ def pq_query_index(
     )
     fetched = store.join(F.broadcast(short), id_col, "left_semi")
     return brute_topk(fetched, query_vec, k, id_col, vec_col)
+
+
+def _nearest_cids(centroid_rows, query_vec: list[float], n_probe: int) -> list[int]:
+    """The ``n_probe`` coarse centroids nearest the query, computed on the
+    driver with the same float64 left-fold as :func:`l2sq_expr` (ties to
+    lowest cid) — the codebook is O(K×D) tiny, so probing is free."""
+    scored = [
+        (_py_l2sq(query_vec, r["ce"]), r["cid"]) for r in centroid_rows
+    ]
+    return [cid for _, cid in sorted(scored)[:n_probe]]
+
+
+def ivfpq_write_index(
+    embs: DataFrame,
+    path: str,
+    coarse_centroids: DataFrame,
+    pq_codebooks: DataFrame,
+    n_sub: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """The combined IVF-PQ index (the FAISS-style 10^9-vector layout): rows
+    are PQ codes partitioned by their coarse-quantizer cell, so a query
+    reads n_probe partitions × n_sub ints per row — partition pruning AND
+    4·D/n_sub compression multiply. Full vectors never land in the index;
+    the rescore fetches them from the store by id."""
+    assigned = ivf_assign(embs, coarse_centroids, id_col, vec_col)
+    pq_encode(assigned, pq_codebooks, n_sub, id_col, vec_col).join(
+        assigned.select(id_col, "cid"), id_col
+    ).select(id_col, "codes", "cid").write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(path)
+
+
+def ivfpq_query_index(
+    spark,
+    path: str,
+    store: DataFrame,
+    coarse_centroids: DataFrame,
+    pq_codebooks: DataFrame,
+    query_vec: list[float],
+    k: int,
+    n_probe: int = 2,
+    n_sub: int = 4,
+    rerank: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve a top-k from the IVF-PQ index: driver-picked probe cells →
+    partition-pruned codes scan (PartitionFilters at the parquet layer) →
+    ADC shortlist → broadcast-semi vector fetch from ``store`` → exact
+    rescore. Equals the eager composition (IVF survivors → PQ shortlist →
+    rescore) row-for-row; pinned in tests."""
+    coarse_rows = sorted(
+        coarse_centroids.select("cid", "ce").collect(), key=lambda r: r["cid"]
+    )
+    pq_rows = sorted(
+        pq_codebooks.select("cid", "ce").collect(), key=lambda r: r["cid"]
+    )
+    probe = _nearest_cids(coarse_rows, query_vec, n_probe)
+    codes = spark.read.parquet(path).where(F.col("cid").isin(probe))
+    short = (
+        codes.select(id_col, _pq_adc_expr(pq_rows, query_vec, n_sub).alias("__adc"))
+        .orderBy(F.col("__adc").asc(), F.col(id_col).asc())
+        .limit(rerank)
+        .select(id_col)
+    )
+    fetched = store.join(F.broadcast(short), id_col, "left_semi")
+    return brute_topk(fetched, query_vec, k, id_col, vec_col)

