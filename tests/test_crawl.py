@@ -509,3 +509,42 @@ def test_incremental_recrawl_composition(spark, corpus):
     assert {
         r["change_kind"] for r in doc_change_status(idx2, new_fps).collect()
     } == {"unchanged"}
+
+
+def test_recrawl_schedule_drives_pop_order(spark):
+    """Freshness policy → frontier priority → politeness pop: with one
+    host and budget B, the popped set is exactly the B most-stale-volatile
+    URLs by recrawl_schedule's milli-priority (ties on seq)."""
+    from mcp_crawl4ai_rag_spark.operators.politeness import pop_per_host
+    from mcp_crawl4ai_rag_spark.plans.rag import recrawl_schedule
+    from mcp_crawl4ai_rag_spark.functions.urls import url_hash
+
+    rows = []
+    for u in range(30):
+        # u%3 volatility classes; last crawl at seq u%4+1
+        for seq in range(1, (u % 4) + 2):
+            rows.append((f"https://h.example.com/p/{u}", seq,
+                         "changed" if (u + seq) % 3 == 0 else "unchanged"))
+    log = spark.createDataFrame(
+        rows, "url string, crawl_seq int, change_kind string"
+    )
+    sched = recrawl_schedule(log, now_seq=9)
+    frontier = sched.select(
+        F.col("url").alias("canonical_url"),
+        url_hash(F.col("url")).alias("url_hash"),
+        F.lit("h.example.com").alias("host"),
+        F.lit(0).alias("depth"),
+        (-F.col("prio_milli")).alias("priority"),
+        F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long").alias("seq"),
+        "prio_milli",
+    )
+    budgets = spark.createDataFrame([("h.example.com", 8)], "host string, budget int")
+    popped, deferred = pop_per_host(frontier, budgets)
+    got = {r["canonical_url"] for r in popped.collect()}
+
+    want_rank = sorted(
+        [(r["prio_milli"], r["seq"], r["canonical_url"]) for r in frontier.collect()],
+        key=lambda t: (-t[0], t[1]),
+    )[:8]
+    assert got == {u for _, _, u in want_rank}
+    assert popped.count() + deferred.count() == 30
