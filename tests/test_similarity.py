@@ -546,3 +546,51 @@ def test_ivfpq_index_matches_eager_composition(spark, embs, tmp_path):
 
     # at-rest schema: codes + partition column only, no vectors
     assert set(spark.read.parquet(path).columns) == {"vec_id", "codes", "cid"}
+
+
+def test_image_neardup_retrieval_through_ivfpq(spark, tmp_path):
+    """Image axis × ANN serving: index the corpus's image features in the
+    IVF-PQ layout, query with a lossy-transcoded twin's features — the
+    original image must come back as the nearest neighbor through the
+    partition-pruned codes path."""
+    from mcp_crawl4ai_rag_spark.functions.images import (
+        extract_image_features,
+        transcode_images,
+    )
+    from mcp_crawl4ai_rag_spark.operators.similarity import (
+        ivfpq_query_index,
+        ivfpq_write_index,
+    )
+    from mcp_crawl4ai_rag_spark.sources.corpus import gen_images
+
+    imgs = gen_images(spark, 40, partitions=4).cache()
+    feats = extract_image_features(imgs).select("image_id", "features").cache()
+    rows = {r["image_id"]: list(r["features"]) for r in feats.collect()}
+    M = 4  # 16-dim grid features -> 4 subspaces
+
+    coarse = spark.createDataFrame(
+        [(i, rows[f"img_{i:012d}"]) for i in range(4)], "cid long, ce array<float>"
+    )
+    pq_cbs = spark.createDataFrame(
+        [(i, rows[f"img_{i + 4:012d}"]) for i in range(6)], "cid long, ce array<float>"
+    )
+    path = str(tmp_path / "img_ivfpq")
+    ivfpq_write_index(
+        feats, path, coarse, pq_cbs, M, id_col="image_id", vec_col="features"
+    )
+
+    # the probe image: a png row re-encoded lossy (jpeg) — near, not equal
+    target = "img_%012d" % 22
+    twin = transcode_images(
+        imgs.where(F.col("image_id") == target), "jpeg"
+    )
+    qfeat = list(
+        extract_image_features(twin).select("features").head()["features"]
+    )
+    assert qfeat != rows[target]  # lossy: the twin moved
+
+    got = ivfpq_query_index(
+        spark, path, feats, coarse, pq_cbs, qfeat, 3,
+        n_probe=3, n_sub=M, rerank=10, id_col="image_id", vec_col="features",
+    ).collect()
+    assert got and got[0]["image_id"] == target, [tuple(r) for r in got]
