@@ -229,3 +229,37 @@ def verify_image_stream(images: DataFrame, min_psnr_db: float = 40.0) -> DataFra
     from ..functions.images import verify_images
 
     return verify_images(images)
+
+
+def change_gate_stream(
+    fetched: DataFrame,
+    fingerprint_index: DataFrame,
+    url_col: str = "canonical_url",
+    text_col: str = "markdown",
+) -> DataFrame:
+    """Streaming recrawl change gate: classify every fetched document in the
+    stream as new/changed/unchanged against the STATIC per-URL fingerprint
+    index from the previous crawl (plans/rag.update_fingerprint_index), so a
+    continuous recrawl feed only forwards rows that need re-chunk/re-embed.
+
+    The streaming twin of plans/rag.doc_change_status: a stream-static LEFT
+    join — Spark broadcasts or rescans the static side per micro-batch, the
+    stream side never blocks, and no state store is needed because the
+    index is read-only within a run (advance it batch-wise with
+    update_fingerprint_index between runs). Downstream:
+    ``.where("change_kind != 'unchanged'")`` is the cost gate."""
+    fp = F.md5(F.col(text_col))
+    idx = fingerprint_index.select(
+        F.col("url").alias(url_col), F.col("fp").alias("__prev_fp")
+    )
+    return (
+        fetched.withColumn("__fp", fp)
+        .join(idx, url_col, "left")
+        .withColumn(
+            "change_kind",
+            F.when(F.col("__prev_fp").isNull(), F.lit("new"))
+            .when(F.col("__prev_fp") != F.col("__fp"), F.lit("changed"))
+            .otherwise(F.lit("unchanged")),
+        )
+        .drop("__prev_fp", "__fp")
+    )

@@ -274,3 +274,53 @@ def test_image_stream_dedup_and_verify(spark, tmp_path):
     assert (
         v.where("pixel_ok AND phash_ok AND caption_ok").count() == 12
     )
+
+
+def test_change_gate_stream_forwards_only_changed_and_new(spark, tmp_path):
+    """Streaming recrawl gate: a fetch stream joined against the previous
+    crawl's static fingerprint index forwards only changed/new documents."""
+    from pyspark.sql import functions as F
+
+    from mcp_crawl4ai_rag_spark.streaming.ingest import change_gate_stream
+
+    src = str(tmp_path / "csrc")
+    out = str(tmp_path / "csink")
+    ckpt = str(tmp_path / "cckpt")
+
+    # previous crawl: p/1 and p/2 stored with their md5 fingerprints
+    prev = spark.createDataFrame(
+        [
+            ("https://h1.example.com/p/1", "# doc one body"),
+            ("https://h1.example.com/p/2", "# doc two body"),
+        ],
+        "url string, markdown string",
+    ).select("url", F.md5("markdown").alias("fp"))
+
+    # recrawl stream: p/1 unchanged, p/2 changed, p/7 brand-new
+    rows = [
+        ("https://h1.example.com/p/1", "h1.example.com", 0, 1, "# doc one body", _ts("2024-01-01 10:00:10")),
+        ("https://h1.example.com/p/2", "h1.example.com", 0, 2, "# doc two body EDITED", _ts("2024-01-01 10:00:20")),
+        ("https://h1.example.com/p/7", "h1.example.com", 0, 3, "# doc seven body", _ts("2024-01-01 10:00:30")),
+    ]
+    _write_fetch(spark, src, rows, "b0")
+
+    gated = change_gate_stream(stream_fetch_results(spark, src + "/*"), prev)
+    q = (
+        gated.where("change_kind != 'unchanged'")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["canonical_url"]: r["change_kind"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        "https://h1.example.com/p/2": "changed",
+        "https://h1.example.com/p/7": "new",
+    }
