@@ -338,3 +338,25 @@ def test_recrawl_schedule_composes_with_change_status(spark):
     volatile = [sched[f"u{i}"] for i in range(0, 20, 4)]
     stable = [sched[f"u{i}"] for i in range(20) if i % 4 != 0]
     assert min(volatile) > max(stable)
+
+
+def test_fingerprint_index_update_is_idempotent(spark):
+    """Applying the same batch twice must equal applying it once, and an
+    empty batch must leave the index untouched — the invariants that make
+    the recrawl loop safe to retry (crash between index write and store
+    write; re-run the batch)."""
+    from mcp_crawl4ai_rag_spark.plans.rag import update_fingerprint_index
+
+    prev = spark.createDataFrame(
+        [(f"u{i}", f"fp-{i}") for i in range(20)], "url string, fp string"
+    )
+    batch = spark.createDataFrame(
+        [("u1", "NEW1"), ("u3", "NEW3"), ("w9", "W9")], "url string, fp string"
+    )
+    once = update_fingerprint_index(prev, batch)
+    twice = update_fingerprint_index(once, batch)
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+    empty = batch.limit(0)
+    same = update_fingerprint_index(prev, empty)
+    assert sorted(map(tuple, same.collect())) == sorted(map(tuple, prev.collect()))
