@@ -3424,10 +3424,67 @@ def _oracle_media_verify() -> str:
     )
 
 
+def q_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing + fixed-size batch packing (SDXL/NaViT-style
+    training batcher) over the image corpus: nearest-bucket assignment in
+    exact fixed-point integer aspect, in-bucket rank via distributed prefix
+    sum (NOT a bucket-partitioned window — that's a ~9-partition skew bug),
+    batch_idx/pos = integer DIV/mod. The oracle re-derives assignment and
+    packing from the closed-form gen_images (w, h) formulas."""
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import (
+        DEFAULT_ASPECT_BUCKETS,
+        aspect_bucket_batches,
+    )
+
+    imgs = gen_images(spark, 1000).select("image_id", "w", "h")
+    return aspect_bucket_batches(imgs, DEFAULT_ASPECT_BUCKETS, 16).select(
+        F.col("bucket_id").cast("long").alias("bucket_id"),
+        F.concat_ws("x", F.col("bw"), F.col("bh")).alias("bucket"),
+        "image_id",
+        "batch_idx",
+        "pos_in_batch",
+    )
+
+
+def _oracle_aspect_buckets() -> str:
+    # buckets must match corpus_ops.DEFAULT_ASPECT_BUCKETS (ids 0..8);
+    # w/h re-derived from gen_images' closed forms (sources/corpus.py)
+    return """
+WITH ids AS (SELECT unnest(generate_series(0, 999)) AS i),
+imgs AS (SELECT printf('img_%012d', i) AS image_id,
+                CAST(32 + (i % 5) * 8 AS BIGINT) AS w,
+                CAST(32 + (i % 3) * 16 AS BIGINT) AS h
+         FROM ids),
+buckets(bucket_id, bw, bh) AS (VALUES
+  (0, 32, 64), (1, 40, 64), (2, 48, 64), (3, 56, 64), (4, 64, 64),
+  (5, 64, 56), (6, 64, 48), (7, 64, 40), (8, 64, 32)),
+asg AS (SELECT image_id, bucket_id, bw, bh,
+               ROW_NUMBER() OVER (
+                 PARTITION BY image_id
+                 ORDER BY ABS((w * 1000000) // h
+                              - (CAST(bw AS BIGINT) * 1000000) // bh),
+                          bucket_id
+               ) AS rk
+        FROM imgs CROSS JOIN buckets),
+ranked AS (SELECT bucket_id, bw, bh, image_id,
+                  ROW_NUMBER() OVER (
+                    PARTITION BY bucket_id ORDER BY image_id
+                  ) - 1 AS r
+           FROM asg WHERE rk = 1)
+SELECT CAST(bucket_id AS BIGINT) AS bucket_id,
+       printf('%dx%d', bw, bh) AS bucket,
+       image_id,
+       CAST(r // 16 AS BIGINT) AS batch_idx,
+       CAST(r % 16 AS BIGINT) AS pos_in_batch
+FROM ranked
+"""
+
+
 def q_media_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio resample + video frame sampling behind one gate. Schema
-    (kind, media_id, v1, v2, v3, tag): audio → (sr, n_samples, 0, fmt);
-    video → (frame_idx, w, h, '')."""
+    """Audio resample + video frame sampling + image aspect-bucket batching
+    behind one gate. Schema (kind, media_id, v1, v2, v3, tag): audio →
+    (sr, n_samples, 0, fmt); video → (frame_idx, w, h, ''); aspect_buckets
+    → (bucket_id, batch_idx, pos_in_batch, 'bwxbh')."""
     aud = q_audio_resample(spark, sf_dir).select(
         F.lit("audio_resample").alias("kind"),
         F.col("audio_id").alias("media_id"),
@@ -3444,7 +3501,15 @@ def q_media_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("h").alias("v3"),
         F.lit("").alias("tag"),
     )
-    return aud.unionByName(vid)
+    ab = q_aspect_buckets(spark, sf_dir).select(
+        F.lit("aspect_buckets").alias("kind"),
+        F.col("image_id").alias("media_id"),
+        F.col("bucket_id").alias("v1"),
+        F.col("batch_idx").alias("v2"),
+        F.col("pos_in_batch").alias("v3"),
+        F.col("bucket").alias("tag"),
+    )
+    return aud.unionByName(vid).unionByName(ab)
 
 
 def _oracle_media_transform() -> str:
@@ -3458,7 +3523,12 @@ def _oracle_media_transform() -> str:
         "'video_frames' AS kind, video_id AS media_id, frame_idx AS v1, "
         "w AS v2, h AS v3, '' AS tag",
     )
-    return f"{aud}\nUNION ALL\n{vid}"
+    ab = _tagged(
+        _oracle_aspect_buckets(),
+        "'aspect_buckets' AS kind, image_id AS media_id, bucket_id AS v1, "
+        "batch_idx AS v2, pos_in_batch AS v3, bucket AS tag",
+    )
+    return f"{aud}\nUNION ALL\n{vid}\nUNION ALL\n{ab}"
 
 
 def q_smart_crawl_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:

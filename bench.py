@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "pipeline_e2e",
     "crawl_e2e",
     "image_e2e",
+    "aspect_buckets",
 ]
 
 

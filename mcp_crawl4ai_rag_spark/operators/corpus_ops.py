@@ -553,3 +553,122 @@ def unigram_lm_scores(
             F.round(F.exp(-mean_lp), 4).alias("ppl"),
         )
     )
+
+
+DEFAULT_ASPECT_BUCKETS: list[tuple[int, int]] = [
+    (32, 64),
+    (40, 64),
+    (48, 64),
+    (56, 64),
+    (64, 64),
+    (64, 56),
+    (64, 48),
+    (64, 40),
+    (64, 32),
+]
+"""Aspect ladder spanning 1:2 … 2:1 at the gen_images dimension range; a
+production ladder (e.g. SDXL's 1024²-budget list) plugs into the same
+operator unchanged."""
+
+
+def aspect_bucket_batches(
+    images: DataFrame,
+    buckets: list[tuple[int, int]],
+    batch_size: int,
+    id_col: str = "image_id",
+    w_col: str = "w",
+    h_col: str = "h",
+    drop_last: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(bucket_id, bw, bh, <id_col>, batch_idx, pos_in_batch): aspect-ratio
+    bucketing + fixed-size batch packing — the image-training batcher
+    (SDXL/NaViT shape): every training batch holds ``batch_size`` images of
+    ONE target (bw, bh), so a resize-to-bucket never mixes aspect ratios
+    inside a batch and no pixels are wasted on letterboxing.
+
+    Assignment is the nearest bucket by FIXED-POINT aspect — ``afp =
+    (w * 10^6) DIV h`` vs each bucket's precomputed ``(bw * 10^6) DIV bh``,
+    ties to the lower bucket_id. Pure int64 math: any engine reproduces the
+    exact assignment (a float aspect distance would tie-break on rounding,
+    which no SQL oracle could be trusted to mirror).
+
+    Scale shape: assignment is a ZERO-SHUFFLE codegen projection (literal
+    aspect array + array_min/array_position — first match = lower-index
+    tie-break). The within-bucket rank is the part that would naively be
+    ``row_number() OVER (PARTITION BY bucket_id)`` — a skew bug at corpus
+    scale, since a ~10-20-entry ladder means ~10-20 window partitions no
+    matter how many executors. Instead it reuses
+    :func:`~..ordering.distributed_cumsum` over the total order
+    (bucket_id, id): one range exchange, balanced by data volume not by
+    bucket count; bucket start offsets are a bucket-count-sized aggregate
+    broadcast back. ``batch_idx`` / ``pos_in_batch`` are integer DIV/mod of
+    the 0-based in-bucket rank (exact past 2^53, like pack_sequences).
+
+    ``drop_last=True`` drops each bucket's trailing partial batch (the
+    common training setting); counts come from the same broadcast offsets
+    aggregate, so no second pass over the corpus.
+
+    Reference has no counterpart (stores image bytes, never batches them:
+    /root/reference/src/utils.py:456-500); SURVEY.md training-data layer.
+    """
+    if batch_size <= 0:
+        raise ValueError(f"batch_size must be positive, got {batch_size}")
+    if not buckets:
+        raise ValueError("buckets must be non-empty")
+    afps = [(int(bw) * 1_000_000) // int(bh) for bw, bh in buckets]
+
+    afp = F.expr(f"(CAST({w_col} AS BIGINT) * 1000000) DIV {h_col}")
+    dists = F.array(*[F.abs(afp - F.lit(a)) for a in afps])
+    # array_position is 1-based and returns the FIRST match → ties go to
+    # the lower bucket_id, matching the oracle's (dist, bucket_id) order.
+    bucket_id = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    bws = F.array(*[F.lit(int(bw)) for bw, _ in buckets])
+    bhs = F.array(*[F.lit(int(bh)) for _, bh in buckets])
+
+    assigned = (
+        images.where((F.col(w_col) > 0) & (F.col(h_col) > 0))
+        .select(F.col(id_col), bucket_id.alias("bucket_id"))
+        .select(
+            "bucket_id",
+            F.element_at(bws, F.col("bucket_id") + 1).alias("bw"),
+            F.element_at(bhs, F.col("bucket_id") + 1).alias("bh"),
+            id_col,
+            F.lit(1).cast("long").alias("__one"),
+        )
+    )
+
+    from .ordering import distributed_cumsum
+
+    ranked = distributed_cumsum(
+        assigned,
+        ["bucket_id", id_col],
+        "__one",
+        out_col="__cum",
+        num_partitions=num_partitions,
+    )
+    # __cum is the exclusive GLOBAL rank under (bucket_id, id); the bucket's
+    # start offset (= rows in earlier buckets) and row count rebase it to a
+    # 0-based in-bucket rank. One bucket-count-sized aggregate, broadcast.
+    offsets = ranked.groupBy("bucket_id").agg(
+        F.min("__cum").alias("__off"), F.count("*").alias("__n")
+    )
+    r = F.col("__cum") - F.col("__off")
+    out = (
+        ranked.join(F.broadcast(offsets), "bucket_id")
+        .withColumn("__r", r)
+        .select(
+            "bucket_id",
+            "bw",
+            "bh",
+            id_col,
+            F.expr(f"__r DIV {int(batch_size)}").alias("batch_idx"),
+            (F.col("__r") % batch_size).alias("pos_in_batch"),
+            "__n",
+        )
+    )
+    if drop_last:
+        out = out.where(
+            F.col("batch_idx") < F.expr(f"__n DIV {int(batch_size)}")
+        )
+    return out.drop("__n")

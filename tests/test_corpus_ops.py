@@ -512,3 +512,107 @@ def test_unigram_lm_stopword_skew(spark):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def _py_aspect_batches(rows, buckets, bs):
+    """Transparent twin: nearest bucket by fixed-point aspect (ties → lower
+    id), rank by id within bucket, batch = rank // bs."""
+    afps = [(bw * 1_000_000) // bh for bw, bh in buckets]
+    chosen = {}
+    for iid, w, h in rows:
+        d = [abs((w * 1_000_000) // h - a) for a in afps]
+        chosen[iid] = d.index(min(d))
+    out = {}
+    by_bucket = {}
+    for iid in sorted(chosen):
+        by_bucket.setdefault(chosen[iid], []).append(iid)
+    for b, ids in by_bucket.items():
+        for r, iid in enumerate(ids):
+            out[iid] = (b, buckets[b][0], buckets[b][1], r // bs, r % bs)
+    return out
+
+
+def test_aspect_bucket_batches_matches_python_twin(spark):
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import (
+        DEFAULT_ASPECT_BUCKETS,
+        aspect_bucket_batches,
+    )
+
+    rows = [
+        (f"img_{i:06d}", 32 + (i % 5) * 8, 32 + (i % 3) * 16)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "image_id string, w int, h int")
+    got = {
+        r["image_id"]: (
+            r["bucket_id"], r["bw"], r["bh"], r["batch_idx"], r["pos_in_batch"]
+        )
+        for r in aspect_bucket_batches(
+            df.repartition(7), DEFAULT_ASPECT_BUCKETS, 16
+        ).collect()
+    }
+    want = _py_aspect_batches(rows, DEFAULT_ASPECT_BUCKETS, 16)
+    assert got == want
+
+    # batch invariants: within every (bucket, batch): size ≤ 16, positions
+    # dense 0..size-1; all but each bucket's last batch exactly full
+    from collections import defaultdict
+
+    batches = defaultdict(list)
+    for iid, (b, _, _, bi, pos) in got.items():
+        batches[(b, bi)].append(pos)
+    last = {}
+    for (b, bi), _ in batches.items():
+        last[b] = max(last.get(b, -1), bi)
+    for (b, bi), poss in batches.items():
+        assert sorted(poss) == list(range(len(poss)))
+        if bi < last[b]:
+            assert len(poss) == 16
+
+
+def test_aspect_bucket_batches_tiebreak_and_drop_last(spark):
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import (
+        aspect_bucket_batches,
+    )
+
+    # two buckets with the SAME aspect (1:1): ties must go to the lower id
+    buckets = [(64, 64), (32, 32), (64, 32)]
+    rows = [("a", 10, 10), ("b", 100, 100), ("c", 20, 10)]
+    df = spark.createDataFrame(rows, "image_id string, w int, h int")
+    got = {
+        r["image_id"]: r["bucket_id"]
+        for r in aspect_bucket_batches(df, buckets, 2).collect()
+    }
+    assert got == {"a": 0, "b": 0, "c": 2}
+
+    # drop_last: 5 square images at batch_size 2 → trailing singleton dropped
+    rows5 = [(f"i{k}", 8, 8) for k in range(5)]
+    df5 = spark.createDataFrame(rows5, "image_id string, w int, h int")
+    kept = aspect_bucket_batches(df5, buckets, 2, drop_last=True).collect()
+    assert len(kept) == 4
+    assert {r["batch_idx"] for r in kept} == {0, 1}
+    # non-positive dims are dropped, not assigned
+    bad = spark.createDataFrame(
+        [("z", 0, 10), ("y", 10, 0)], "image_id string, w int, h int"
+    )
+    assert aspect_bucket_batches(bad, buckets, 2).count() == 0
+
+
+def test_aspect_bucket_assignment_plan_is_shuffle_free(spark):
+    """The bucket-assignment projection must add NO exchange of its own —
+    the only shuffles downstream are distributed_cumsum's single range
+    partition and the tiny offsets aggregate (broadcast back)."""
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import (
+        DEFAULT_ASPECT_BUCKETS,
+        aspect_bucket_batches,
+    )
+
+    df = spark.createDataFrame(
+        [(f"img_{i}", 32 + (i % 5) * 8, 32 + (i % 3) * 16) for i in range(100)],
+        "image_id string, w int, h int",
+    )
+    out = aspect_bucket_batches(df, DEFAULT_ASPECT_BUCKETS, 16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # broadcast join back (no shuffle on the ranked side)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
