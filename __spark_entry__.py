@@ -1150,14 +1150,30 @@ _SPLIT_SALT = "split"
 
 
 def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic hash-based train/val/test split (0.8/0.1/0.1):
-    assignment is a pure function of (salt, doc_id) — stable under re-runs
-    and appends."""
-    from mcp_crawl4ai_rag_spark.operators.corpus_ops import hash_split
-
-    return hash_split(
-        _docs(spark, sf_dir).select("doc_id"), _SPLIT_WEIGHTS, salt=_SPLIT_SALT
+    """Deterministic train/val/test split, two legs. mode='doc': hash_split,
+    a pure function of (salt, doc_id) — stable under re-runs and appends.
+    mode='component': the leakage-safe variant over the planted-near-dup
+    docs3 corpus — split_by_component hashes each doc's MinHash-component
+    representative, so near-duplicates never straddle train/eval (the
+    contamination channel a per-doc split leaves open); singletons get
+    exactly their hash_split assignment."""
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import (
+        hash_split,
+        split_by_component,
     )
+
+    base = hash_split(
+        _docs(spark, sf_dir).select("doc_id"), _SPLIT_WEIGHTS, salt=_SPLIT_SALT
+    ).select(F.lit("doc").alias("mode"), "doc_id", "split")
+    docs3 = _docs3(spark, sf_dir)
+    edges = minhash_lsh_pairs(
+        docs3, min_jaccard=_COMPONENTS_MIN_JACCARD
+    ).select("id_a", "id_b")
+    comps = connected_components(edges, vertices=docs3.select("doc_id"))
+    comp = split_by_component(
+        docs3.select("doc_id"), comps, _SPLIT_WEIGHTS, salt=_SPLIT_SALT
+    ).select(F.lit("component").alias("mode"), "doc_id", "split")
+    return base.unionByName(comp)
 
 
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2142,12 +2158,13 @@ FROM reach GROUP BY src
 """
 
 
-def _oracle_corpus_split() -> str:
+def _sql_split_case(key_expr: str) -> str:
+    """CASE chain twin of hash_split over ``key_expr`` — cumulative
+    boundaries replicated with hash_split's exact float arithmetic
+    (0.8 + 0.1 != 0.9 in IEEE; repr round-trips the bits)."""
     from mcp_crawl4ai_rag_spark.operators.corpus_ops import sql_split_fraction
 
-    frac = sql_split_fraction("doc_id", _SPLIT_SALT)
-    # cumulative boundaries replicated with hash_split's exact float
-    # arithmetic (0.8 + 0.1 != 0.9 in IEEE; repr round-trips the bits)
+    frac = sql_split_fraction(key_expr, _SPLIT_SALT)
     total = sum(_SPLIT_WEIGHTS.values())
     items = list(_SPLIT_WEIGHTS.items())
     whens, cum = [], 0.0
@@ -2155,11 +2172,38 @@ def _oracle_corpus_split() -> str:
         cum += w / total
         whens.append(f"WHEN {frac} < {cum!r} THEN '{name}'")
     chain = "\n            ".join(whens)
+    return f"CASE {chain}\n            ELSE '{items[-1][0]}' END"
+
+
+def _oracle_corpus_split() -> str:
+    # component leg: same component CTEs as _oracle_dedup_components, split
+    # key = min reachable id (every doc reaches itself, so the key is total);
+    # CTEs hoisted to the top — WITH cannot follow UNION ALL
     return f"""
-SELECT doc_id,
-       CASE {chain}
-            ELSE '{items[-1][0]}' END AS split
+WITH RECURSIVE {_DOCS3_SQL.strip()},
+{_minhash_pairs_ctes('docs3')},
+pairs AS (
+    SELECT id_a, id_b FROM ({_PAIRS_SELECT_SQL.strip()}) p
+    WHERE p.jaccard >= {_COMPONENTS_MIN_JACCARD}
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+    SELECT doc_id, doc_id FROM docs3
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (SELECT src AS doc_id, MIN(dst) AS component_id FROM reach GROUP BY src)
+SELECT 'doc' AS mode, doc_id,
+       {_sql_split_case("doc_id")} AS split
 FROM documents
+UNION ALL
+SELECT 'component' AS mode, doc_id,
+       {_sql_split_case("component_id")} AS split
+FROM comp
 """
 
 

@@ -672,3 +672,44 @@ def aspect_bucket_batches(
             F.col("batch_idx") < F.expr(f"__n DIV {int(batch_size)}")
         )
     return out.drop("__n")
+
+
+def split_by_component(
+    docs: DataFrame,
+    components: DataFrame,
+    weights: dict[str, float],
+    salt: str = "split",
+    id_col: str = "doc_id",
+    component_col: str = "component_id",
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test split: hash the COMPONENT representative,
+    not the document, so every member of a near-dup cluster lands in the
+    same split and no near-duplicate of a training doc can sit in the eval
+    set (the standard contamination channel a per-doc random/hash split
+    leaves open — the whole point of running dedup before splitting).
+
+    ``components`` is :func:`~.components.connected_components` output
+    (id_col, component_col); docs absent from it are singletons and hash
+    their own id — so for every singleton the assignment is IDENTICAL to
+    :func:`hash_split` with the same salt/weights, and adding edges only
+    ever moves whole clusters, never individual docs.
+
+    Scale shape: one equi-join on the doc id (components carries only
+    near-dup members, typically ≪ corpus — Spark broadcasts it under AQE
+    when small) + the same stateless split projection as hash_split. No
+    extra shuffle beyond the join; append-stable like hash_split because
+    component ids are min-vertex canonical representatives.
+
+    ``docs[id_col]`` and both ``components`` columns must share one id
+    domain (the dedup pipeline's int64 doc hashes, like the pipeline_e2e
+    composition) so the coalesced split key is one type.
+    """
+    comp = components.select(
+        F.col(id_col), F.col(component_col).alias("__comp")
+    )
+    keyed = docs.join(comp, id_col, "left").withColumn(
+        "__split_key", F.coalesce(F.col("__comp"), F.col(id_col))
+    )
+    out = hash_split(keyed, weights, salt=salt, id_col="__split_key", out_col=out_col)
+    return out.drop("__comp", "__split_key")

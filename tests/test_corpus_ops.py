@@ -616,3 +616,46 @@ def test_aspect_bucket_assignment_plan_is_shuffle_free(spark):
     # broadcast join back (no shuffle on the ranked side)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_split_by_component_is_leakage_safe(spark):
+    from mcp_crawl4ai_rag_spark.operators.components import connected_components
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import (
+        hash_split,
+        split_by_component,
+    )
+
+    # int64 id domain, matching the dedup pipeline's hashed doc ids
+    docs = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    # plant near-dup clusters: chains 0~1~2, 10~11, 20~21~22~23
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    comps = connected_components(edges)
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = {
+        r["doc_id"]: r["split"]
+        for r in split_by_component(docs, comps, w, salt="s1").collect()
+    }
+    assert len(got) == 300  # left join keeps every doc exactly once
+
+    # every component's members share one split — no near-dup straddles
+    clusters = [[0, 1, 2], [10, 11], [20, 21, 22, 23]]
+    for c in clusters:
+        assert len({got[d] for d in c}) == 1, c
+    # and that split is the representative's own hash_split assignment
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs, w, salt="s1").collect()
+    }
+    for c in clusters:
+        assert got[c[0]] == plain[min(c)]
+    # singletons (not in any component) are assigned EXACTLY as hash_split
+    members = {d for c in clusters for d in c}
+    for d, s in got.items():
+        if d not in members:
+            assert s == plain[d]
+    # the clusters actually straddle under plain hash_split somewhere,
+    # otherwise this test proves nothing
+    assert any(len({plain[d] for d in c}) > 1 for c in clusters)
