@@ -571,6 +571,38 @@ production ladder (e.g. SDXL's 1024²-budget list) plugs into the same
 operator unchanged."""
 
 
+def assign_aspect_buckets(
+    images: DataFrame,
+    buckets: list[tuple[int, int]],
+    id_col: str = "image_id",
+    w_col: str = "w",
+    h_col: str = "h",
+) -> DataFrame:
+    """(bucket_id, bw, bh, <id_col>): the assignment stage of
+    :func:`aspect_bucket_batches` — nearest bucket by fixed-point aspect
+    (``(w * 10^6) DIV h``), ties to the lower bucket_id. A ZERO-SHUFFLE
+    codegen projection: distances against a literal aspect array,
+    array_min + array_position (1-based, FIRST match → lower-index
+    tie-break), never a join against a bucket table. Rows with
+    non-positive dims are dropped."""
+    afps = [(int(bw) * 1_000_000) // int(bh) for bw, bh in buckets]
+    afp = F.expr(f"(CAST({w_col} AS BIGINT) * 1000000) DIV {h_col}")
+    dists = F.array(*[F.abs(afp - F.lit(a)) for a in afps])
+    bucket_id = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    bws = F.array(*[F.lit(int(bw)) for bw, _ in buckets])
+    bhs = F.array(*[F.lit(int(bh)) for _, bh in buckets])
+    return (
+        images.where((F.col(w_col) > 0) & (F.col(h_col) > 0))
+        .select(F.col(id_col), bucket_id.alias("bucket_id"))
+        .select(
+            "bucket_id",
+            F.element_at(bws, F.col("bucket_id") + 1).alias("bw"),
+            F.element_at(bhs, F.col("bucket_id") + 1).alias("bh"),
+            id_col,
+        )
+    )
+
+
 def aspect_bucket_batches(
     images: DataFrame,
     buckets: list[tuple[int, int]],
@@ -616,27 +648,9 @@ def aspect_bucket_batches(
         raise ValueError(f"batch_size must be positive, got {batch_size}")
     if not buckets:
         raise ValueError("buckets must be non-empty")
-    afps = [(int(bw) * 1_000_000) // int(bh) for bw, bh in buckets]
-
-    afp = F.expr(f"(CAST({w_col} AS BIGINT) * 1000000) DIV {h_col}")
-    dists = F.array(*[F.abs(afp - F.lit(a)) for a in afps])
-    # array_position is 1-based and returns the FIRST match → ties go to
-    # the lower bucket_id, matching the oracle's (dist, bucket_id) order.
-    bucket_id = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-    bws = F.array(*[F.lit(int(bw)) for bw, _ in buckets])
-    bhs = F.array(*[F.lit(int(bh)) for _, bh in buckets])
-
-    assigned = (
-        images.where((F.col(w_col) > 0) & (F.col(h_col) > 0))
-        .select(F.col(id_col), bucket_id.alias("bucket_id"))
-        .select(
-            "bucket_id",
-            F.element_at(bws, F.col("bucket_id") + 1).alias("bw"),
-            F.element_at(bhs, F.col("bucket_id") + 1).alias("bh"),
-            id_col,
-            F.lit(1).cast("long").alias("__one"),
-        )
-    )
+    assigned = assign_aspect_buckets(
+        images, buckets, id_col=id_col, w_col=w_col, h_col=h_col
+    ).withColumn("__one", F.lit(1).cast("long"))
 
     from .ordering import distributed_cumsum
 

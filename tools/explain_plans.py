@@ -614,6 +614,68 @@ def main():
             ],
         ))
 
+    # aspect-ratio bucket batcher: assignment must be a pure projection
+    # (literal aspect array, no join against a bucket table) and the
+    # in-bucket rank must come from the distributed prefix sum with the
+    # bucket offsets broadcast back — never a window partitioned by the
+    # ~9-entry ladder.
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import (
+        DEFAULT_ASPECT_BUCKETS,
+        aspect_bucket_batches,
+        assign_aspect_buckets,
+    )
+
+    imgs_meta = spark.range(0, 50_000).select(
+        F.format_string("img_%012d", F.col("id")).alias("image_id"),
+        (F.lit(32) + (F.col("id") % 5) * 8).cast("int").alias("w"),
+        (F.lit(32) + (F.col("id") % 3) * 16).cast("int").alias("h"),
+    )
+    # assignment stage alone (the full op's plan starts at the cumsum
+    # checkpoint, hiding this projection)
+    asg_plan = formatted(assign_aspect_buckets(imgs_meta, DEFAULT_ASPECT_BUCKETS))
+    checks = [
+        ("array_position", "nearest-bucket assignment is a literal-array projection, not a bucket-table join"),
+        ("codegen id", "the whole assignment is one codegen span"),
+    ]
+    if "Exchange" in asg_plan:
+        checks.append(("never", "EXCHANGE FOUND — assignment must not shuffle"))
+    sections.append((
+        "Aspect-bucket assignment (zero-shuffle projection)", asg_plan, checks,
+    ))
+    ab_plan = formatted(aspect_bucket_batches(imgs_meta, DEFAULT_ASPECT_BUCKETS, 256))
+    checks = [
+        ("BroadcastHashJoin", "bucket offsets broadcast back; the ranked side never reshuffles"),
+        ("MapInPandas", "in-bucket rank via distributed prefix sum (per-partition offsets), no ladder-sized window"),
+    ]
+    if "Window" in ab_plan:
+        checks.append(("never", "WINDOW FOUND — bucket-partitioned window caps parallelism at ladder size"))
+    sections.append((
+        "Aspect-bucket batch packing (projection assignment + prefix-sum rank)",
+        ab_plan,
+        checks,
+    ))
+
+    # leakage-safe split: one equi-join against the (small) component
+    # table + the stateless split projection — no extra exchange beyond
+    # the join itself.
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import split_by_component
+
+    comp_tbl = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") - F.col("id") % 3).alias("component_id")
+    )
+    all_docs = spark.range(0, 100_000).select(F.col("id").alias("doc_id"))
+    sbc_plan = formatted(
+        split_by_component(all_docs, comp_tbl, {"train": 0.8, "val": 0.1, "test": 0.1})
+    )
+    sections.append((
+        "Leakage-safe split (component-representative hash)",
+        sbc_plan,
+        [
+            ("BroadcastHashJoin", "small component table broadcasts; the corpus side never shuffles"),
+            ("md5", "split is the same stateless md5 projection as hash_split"),
+        ],
+    ))
+
     # crawl_e2e composition gate: PageRank priorities survive the
     # bloom+anti-join dedup into the budgeted pop, in ONE plan
     e2e = E.q_crawl_e2e(spark, sf_dir)
