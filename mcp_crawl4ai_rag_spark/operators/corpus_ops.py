@@ -641,6 +641,10 @@ def aspect_bucket_batches(
     common training setting); counts come from the same broadcast offsets
     aggregate, so no second pass over the corpus.
 
+    ``id_col`` must be unique — it is the total-order key (like
+    pack_shards), so duplicate ids would make the in-bucket rank, and any
+    independent oracle's ROW_NUMBER, tie-break arbitrarily.
+
     Reference has no counterpart (stores image bytes, never batches them:
     /root/reference/src/utils.py:456-500); SURVEY.md training-data layer.
     """
