@@ -3480,7 +3480,14 @@ def q_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         aspect_bucket_batches,
     )
 
-    imgs = gen_images(spark, 1000).select("image_id", "w", "h")
+    # gen_images' metadata closed forms (sources/corpus.py) WITHOUT the
+    # payload synthesis: the batcher reads only (id, w, h), and mapInPandas
+    # codec work can't be column-pruned away by Catalyst
+    imgs = spark.range(0, 1000).select(
+        F.format_string("img_%012d", F.col("id")).alias("image_id"),
+        (F.lit(32) + (F.col("id") % 5) * 8).cast("int").alias("w"),
+        (F.lit(32) + (F.col("id") % 3) * 16).cast("int").alias("h"),
+    )
     return aspect_bucket_batches(imgs, DEFAULT_ASPECT_BUCKETS, 16).select(
         F.col("bucket_id").cast("long").alias("bucket_id"),
         F.concat_ws("x", F.col("bw"), F.col("bh")).alias("bucket"),

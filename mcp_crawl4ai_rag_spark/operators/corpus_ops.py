@@ -654,17 +654,19 @@ def aspect_bucket_batches(
         raise ValueError("buckets must be non-empty")
     assigned = assign_aspect_buckets(
         images, buckets, id_col=id_col, w_col=w_col, h_col=h_col
-    ).withColumn("__one", F.lit(1).cast("long"))
-
-    from .ordering import distributed_cumsum
-
-    ranked = distributed_cumsum(
-        assigned,
-        ["bucket_id", id_col],
-        "__one",
-        out_col="__cum",
-        num_partitions=num_partitions,
     )
+
+    from .. import local_ckpt
+    from .ordering import distributed_rank
+
+    ranked = local_ckpt(
+        distributed_rank(
+            assigned,
+            ["bucket_id", id_col],
+            out_col="__cum",
+            num_partitions=num_partitions,
+        )
+    )  # consumed twice (offsets agg + join) — pin the Arrow cumsum pass
     # __cum is the exclusive GLOBAL rank under (bucket_id, id); the bucket's
     # start offset (= rows in earlier buckets) and row count rebase it to a
     # 0-based in-bucket rank. One bucket-count-sized aggregate, broadcast.

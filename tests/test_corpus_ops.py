@@ -607,10 +607,24 @@ def test_aspect_bucket_assignment_plan_is_shuffle_free(spark):
         aspect_bucket_batches,
     )
 
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import (
+        assign_aspect_buckets,
+    )
+
     df = spark.createDataFrame(
         [(f"img_{i}", 32 + (i % 5) * 8, 32 + (i % 3) * 16) for i in range(100)],
         "image_id string, w int, h int",
     )
+    # the assignment stage on its own: the full op's visible plan starts at
+    # distributed_cumsum's checkpoint, which would hide a bucket-table join
+    asg_plan = (
+        assign_aspect_buckets(df, DEFAULT_ASPECT_BUCKETS)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in asg_plan
+    assert "Join" not in asg_plan
+    assert "array_position" in asg_plan
+
     out = aspect_bucket_batches(df, DEFAULT_ASPECT_BUCKETS, 16)
     plan = out._jdf.queryExecution().executedPlan().toString()
     # broadcast join back (no shuffle on the ranked side)
