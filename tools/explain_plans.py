@@ -643,9 +643,12 @@ def main():
         "Aspect-bucket assignment (zero-shuffle projection)", asg_plan, checks,
     ))
     ab_plan = formatted(aspect_bucket_batches(imgs_meta, DEFAULT_ASPECT_BUCKETS, 256))
+    # the prefix-sum rank sits behind its serialized checkpoint (the plan
+    # starts at the checkpoint scan); its MapInPandas shape is audited in
+    # the "Sequence packing layout stage" section via the same helper
     checks = [
         ("BroadcastHashJoin", "bucket offsets broadcast back; the ranked side never reshuffles"),
-        ("MapInPandas", "in-bucket rank via distributed prefix sum (per-partition offsets), no ladder-sized window"),
+        ("Scan ExistingRDD", "batch math reads the checkpointed rank once — the Arrow cumsum pass is not re-executed per consumer"),
     ]
     if "Window" in ab_plan:
         checks.append(("never", "WINDOW FOUND — bucket-partitioned window caps parallelism at ladder size"))
