@@ -47,6 +47,17 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def _ser_ckpt_level():
+    from pyspark import StorageLevel
+
+    return StorageLevel.MEMORY_AND_DISK
+
+
+#: THE serialized checkpoint level — every module's ``_SER_LEVEL`` aliases
+#: this single definition, so a storage-level change is one edit.
+SER_CKPT_LEVEL = _ser_ckpt_level()
+
+
 def local_ckpt(df, eager: bool = True):
     """``localCheckpoint`` at the SERIALIZED in-memory level
     (``MEMORY_AND_DISK``, deserialized=False) instead of Spark's default
@@ -62,6 +73,4 @@ def local_ckpt(df, eager: bool = True):
     checkpoint that can be large (frontier, url_seen, signature tables);
     the few-row ones (backoff tables, centroids) don't care either way.
     """
-    from pyspark import StorageLevel
-
-    return df.localCheckpoint(eager=eager, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    return df.localCheckpoint(eager=eager, storageLevel=SER_CKPT_LEVEL)

@@ -29,9 +29,8 @@ from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark import StorageLevel as _StorageLevel
 
-_SER_LEVEL = _StorageLevel.MEMORY_AND_DISK  # serialized; see mcp_crawl4ai_rag_spark.local_ckpt
+from .. import SER_CKPT_LEVEL as _SER_LEVEL  # single engine-wide definition
 
 from ..functions.hashing import md5int64
 from ..functions.text import fingerprint_expr, word_shingles_expr, words_expr
@@ -665,11 +664,13 @@ def phash_pairs_incremental(
             "chunk_val",
         )
         .join(
-            new_keys.select(
-                F.col(id_col).alias("id_b"),
-                F.col("__hv").alias("__hvb"),
-                "chunk_idx",
-                "chunk_val",
+            F.broadcast(
+                new_keys.select(
+                    F.col(id_col).alias("id_b"),
+                    F.col("__hv").alias("__hvb"),
+                    "chunk_idx",
+                    "chunk_val",
+                )
             ),
             on=["chunk_idx", "chunk_val"],
         )
@@ -681,6 +682,9 @@ def phash_pairs_incremental(
                 "hamming"
             ),
         )
-        .distinct()
+        # hamming filter BEFORE the dedup exchange: candidates over
+        # max_hamming dominate on template-heavy corpora and would
+        # otherwise be shuffled only to be dropped
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )

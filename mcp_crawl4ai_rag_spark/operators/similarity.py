@@ -26,9 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark import StorageLevel as _StorageLevel
 
-_SER_LEVEL = _StorageLevel.MEMORY_AND_DISK  # serialized; see mcp_crawl4ai_rag_spark.local_ckpt
+from .. import SER_CKPT_LEVEL as _SER_LEVEL  # single engine-wide definition
 
 from ..functions.hashing import py_md5int64
 from ..functions.vectors import cosine_expr
@@ -189,6 +188,23 @@ def recall_at_k(
     )
 
 
+def query_bucket(query_vec, dim: int, n_planes: int) -> int:
+    """Driver-side LSH bucket of a query vector — the EXACT left-fold dot
+    (float64, left-to-right, matching F.aggregate / bucket_expr summation
+    order). numpy's ``qv @ plane`` pairwise/SIMD summation can flip a
+    near-zero sign and shift the whole probe ball off the bucket the
+    vectors were written to, so every query-side bucket computation must
+    route through this fold."""
+    b = 0
+    for p in range(n_planes):
+        acc = 0.0
+        for x, hh in zip(query_vec, hyperplane(p, dim)):
+            acc += float(x) * float(hh)
+        if acc > 0:
+            b |= 1 << p
+    return b
+
+
 def lsh_multiprobe_ann(
     embs: DataFrame,
     query_vec: list[float],
@@ -209,15 +225,7 @@ def lsh_multiprobe_ann(
     list to enumerate, and partition-prunable when the corpus is stored
     bucket-partitioned (write-time layout, operators/similarity
     lsh_write_index)."""
-    # left-fold dot, matching F.aggregate / list_reduce summation order
-    # exactly (numpy's pairwise summation could flip a near-zero sign)
-    q_bucket = 0
-    for p in range(n_planes):
-        acc = 0.0
-        for x, hh in zip(query_vec, hyperplane(p, dim)):
-            acc += float(x) * float(hh)
-        if acc > 0:
-            q_bucket |= 1 << p
+    q_bucket = query_bucket(query_vec, dim, n_planes)
     bucketed = embs.withColumn(
         "__bucket", bucket_expr(F.col(vec_col), dim, n_planes)
     )
@@ -575,13 +583,7 @@ def lsh_query_index(
     """Query a written LSH index: compute the query's bucket on the driver,
     scan ONLY that partition (bucket PartitionFilter), exact cosine within.
     Identical results to :func:`lsh_bucket_ann` over the same planes."""
-    import numpy as np
-
-    qv = np.asarray(query_vec, dtype=np.float64)
-    q_bucket = 0
-    for p in range(n_planes):
-        if float(qv @ np.asarray(hyperplane(p, dim), dtype=np.float64)) > 0:
-            q_bucket |= 1 << p
+    q_bucket = query_bucket(query_vec, dim, n_planes)
     lists = spark.read.parquet(path).where(F.col("bucket") == q_bucket)
     return brute_topk(lists, query_vec, k, id_col, vec_col)
 
@@ -608,13 +610,7 @@ def lsh_query_index_multiprobe(
     :func:`ivf_query_index`."""
     import itertools
 
-    import numpy as np
-
-    qv = np.asarray(query_vec, dtype=np.float64)
-    q_bucket = 0
-    for p in range(n_planes):
-        if float(qv @ np.asarray(hyperplane(p, dim), dtype=np.float64)) > 0:
-            q_bucket |= 1 << p
+    q_bucket = query_bucket(query_vec, dim, n_planes)
     probe = [q_bucket]
     for r in range(1, radius + 1):
         for flips in itertools.combinations(range(n_planes), r):
@@ -687,6 +683,17 @@ def pq_encode(
     bytes/vector vs 4·D) are the 100-TB-store serving representation.
     """
     rows = sorted(codebooks.select("cid", "ce").collect(), key=lambda r: r["cid"])
+    return embs.select(
+        id_col, vec_col, pq_codes_expr(rows, n_sub, vec_col).alias("codes")
+    )
+
+
+def pq_codes_expr(codebook_rows, n_sub: int, vec_col: str = "embedding"):
+    """The PQ encode as a single Column over pre-collected codebook rows —
+    shared by every encode site so the codebook is collected ONCE per job
+    (pq_topk and the index writers previously paid a second driver
+    round-trip via pq_encode's own collect)."""
+    rows = codebook_rows
     dim = len(rows[0]["ce"])
     assert dim % n_sub == 0, (dim, n_sub)
     sub = dim // n_sub
@@ -703,7 +710,7 @@ def pq_encode(
             ]
         )
         codes.append(F.array_position(dists, F.array_min(dists)).cast("int"))
-    return embs.select(id_col, vec_col, F.array(*codes).alias("codes"))
+    return F.array(*codes)
 
 
 def pq_topk(
@@ -734,7 +741,9 @@ def pq_topk(
     in Spark or DuckDB — and candidate ties break on id.
     """
     rows = sorted(codebooks.select("cid", "ce").collect(), key=lambda r: r["cid"])
-    encoded = pq_encode(embs, codebooks, n_sub, id_col, vec_col)
+    encoded = embs.select(
+        id_col, vec_col, pq_codes_expr(rows, n_sub, vec_col).alias("codes")
+    )
     score = _pq_adc_expr(rows, query_vec, n_sub)
     cand = (
         encoded.select(id_col, vec_col, score.alias("__adc"))
@@ -842,11 +851,14 @@ def ivfpq_write_index(
     4·D/n_sub compression multiply. Full vectors never land in the index;
     the rescore fetches them from the store by id."""
     assigned = ivf_assign(embs, coarse_centroids, id_col, vec_col)
-    pq_encode(assigned, pq_codebooks, n_sub, id_col, vec_col).join(
-        assigned.select(id_col, "cid"), id_col
-    ).select(id_col, "codes", "cid").write.mode("overwrite").partitionBy(
-        "cid"
-    ).parquet(path)
+    pq_rows = sorted(
+        pq_codebooks.select("cid", "ce").collect(), key=lambda r: r["cid"]
+    )
+    # one projection carries codes AND cid: no self-join back on id (which
+    # evaluated the ivf_assign argmin twice and shuffled N x N rows)
+    assigned.select(
+        id_col, pq_codes_expr(pq_rows, n_sub, vec_col).alias("codes"), "cid"
+    ).write.mode("overwrite").partitionBy("cid").parquet(path)
 
 
 def ivfpq_query_index(

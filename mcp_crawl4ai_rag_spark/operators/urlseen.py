@@ -75,12 +75,26 @@ class BloomFilter:
         # per-op). For big batches, scatter plain boolean stores into an
         # unpacked bit array (duplicate stores are benign) and OR the packed
         # result in; below the crossover the direct scatter is cheaper than
-        # the m-bit unpack.
+        # the m-bit unpack. The unpack is O(m) MEMORY (one bool byte per
+        # bit: a 10^10-bit bloom would allocate ~10 GB per call), so it is
+        # gated on the filter size staying proportional to the batch; huge
+        # sparse filters take the sort+reduceat path instead — O(n log n)
+        # time, O(n) memory, same resulting bitset (pinned in tests).
         idx = _indices(hashes, self.m, self.k).ravel()
         if idx.size >= 1 << 20:
-            unpacked = np.zeros(len(self.bits) * 8, dtype=bool)
-            unpacked[idx] = True
-            self.bits |= np.packbits(unpacked, bitorder="little")
+            m_bool_bytes = len(self.bits) * 8
+            if m_bool_bytes <= max(1 << 26, idx.size << 4):
+                unpacked = np.zeros(m_bool_bytes, dtype=bool)
+                unpacked[idx] = True
+                self.bits |= np.packbits(unpacked, bitorder="little")
+            else:
+                byte_idx = (idx >> 3).astype(np.int64)
+                masks = np.uint8(1) << (idx & 7).astype(np.uint8)
+                order = np.argsort(byte_idx, kind="stable")
+                b, mk = byte_idx[order], masks[order]
+                starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+                ub = b[starts]  # unique byte indices → fancy |= is safe
+                self.bits[ub] |= np.bitwise_or.reduceat(mk, starts)
         else:
             np.bitwise_or.at(
                 self.bits, idx >> 3, np.uint8(1) << (idx & 7).astype(np.uint8)

@@ -174,8 +174,14 @@ def doc_change_status(
         .join(F.broadcast(relevant), url_col, "left")
         .withColumn(
             "change_kind",
+            # eqNullSafe: a NULL fetched fingerprint (failed extraction)
+            # must read as CHANGED vs a real stored fp, not fall through
+            # the null-propagating != to 'unchanged' and go stale
             F.when(F.col("__prev_fp").isNull(), F.lit("new"))
-            .when(F.col("__prev_fp") != F.col(fp_col), F.lit("changed"))
+            .when(
+                ~F.col("__prev_fp").eqNullSafe(F.col(fp_col)),
+                F.lit("changed"),
+            )
             .otherwise(F.lit("unchanged")),
         )
         .drop("__prev_fp")

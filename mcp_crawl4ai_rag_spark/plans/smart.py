@@ -17,9 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark import StorageLevel as _StorageLevel
 
-_SER_LEVEL = _StorageLevel.MEMORY_AND_DISK  # serialized; see mcp_crawl4ai_rag_spark.local_ckpt
+from .. import SER_CKPT_LEVEL as _SER_LEVEL  # single engine-wide definition
 
 from ..config import DEFAULT_MAX_DEPTH, SITEMAP_MAX_DEPTH
 from ..functions.urls import (

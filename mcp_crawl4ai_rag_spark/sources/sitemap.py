@@ -23,9 +23,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark import StorageLevel as _StorageLevel
 
-_SER_LEVEL = _StorageLevel.MEMORY_AND_DISK  # serialized; see mcp_crawl4ai_rag_spark.local_ckpt
+from .. import SER_CKPT_LEVEL as _SER_LEVEL  # single engine-wide definition
 
 from ..config import SITEMAP_MAX_DEPTH
 

@@ -215,10 +215,23 @@ def dedup_image_stream(
     once the watermark passes, so it is bounded by the horizon, not the
     crawl. Cross-hash hamming near-dup stays a batch pass over the stored
     corpus (phash_pairs / phash_pairs_incremental) — a hamming ball is not
-    an equality key, so it has no bounded-state streaming form."""
-    return images.withWatermark(
-        "fetched_at", watermark
-    ).dropDuplicatesWithinWatermark(["phash"])
+    an equality key, so it has no bounded-state streaming form.
+
+    NULL-phash rows (undecodable payloads) bypass the collapse: streaming
+    dedup treats NULL as an equal key, which would silently fold every
+    corrupt image inside the horizon into one survivor before the verify
+    stage could flag them — the dedupe key falls back to the image_id, so
+    such rows are never deduped against each other."""
+    dk = F.coalesce(
+        F.col("phash").cast("string"),
+        F.concat(F.lit("nullphash:"), F.col("image_id")),
+    )
+    return (
+        images.withColumn("__dk", dk)
+        .withWatermark("fetched_at", watermark)
+        .dropDuplicatesWithinWatermark(["__dk"])
+        .drop("__dk")
+    )
 
 
 def verify_image_stream(images: DataFrame, min_psnr_db: float = 40.0) -> DataFrame:
@@ -228,7 +241,7 @@ def verify_image_stream(images: DataFrame, min_psnr_db: float = 40.0) -> DataFra
     recompute, caption equality) gate images before they reach the store."""
     from ..functions.images import verify_images
 
-    return verify_images(images)
+    return verify_images(images, min_psnr_db=min_psnr_db)
 
 
 def change_gate_stream(
@@ -257,8 +270,14 @@ def change_gate_stream(
         .join(idx, url_col, "left")
         .withColumn(
             "change_kind",
+            # eqNullSafe: md5(NULL markdown) is NULL; a failed extraction
+            # for a previously-indexed URL must classify as CHANGED, not
+            # slip through the null-propagating != as 'unchanged'
             F.when(F.col("__prev_fp").isNull(), F.lit("new"))
-            .when(F.col("__prev_fp") != F.col("__fp"), F.lit("changed"))
+            .when(
+                ~F.col("__prev_fp").eqNullSafe(F.col("__fp")),
+                F.lit("changed"),
+            )
             .otherwise(F.lit("unchanged")),
         )
         .drop("__prev_fp", "__fp")

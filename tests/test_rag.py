@@ -360,3 +360,22 @@ def test_fingerprint_index_update_is_idempotent(spark):
     empty = batch.limit(0)
     same = update_fingerprint_index(prev, empty)
     assert sorted(map(tuple, same.collect())) == sorted(map(tuple, prev.collect()))
+
+
+def test_doc_change_status_null_fp_is_changed(spark):
+    """A NULL fetched fingerprint (failed extraction) for an indexed URL
+    must classify CHANGED — the null-propagating != would silently read it
+    as 'unchanged' and leave the store stale."""
+    from mcp_crawl4ai_rag_spark.plans.rag import doc_change_status
+
+    prev = spark.createDataFrame(
+        [("u1", "fp-1"), ("u2", "fp-2")], "url string, fp string"
+    )
+    fetched = spark.createDataFrame(
+        [("u1", None), ("u2", "fp-2"), ("u3", None)], "url string, fp string"
+    )
+    got = {
+        r["url"]: r["change_kind"]
+        for r in doc_change_status(prev, fetched).collect()
+    }
+    assert got == {"u1": "changed", "u2": "unchanged", "u3": "new"}

@@ -324,3 +324,103 @@ def test_change_gate_stream_forwards_only_changed_and_new(spark, tmp_path):
         "https://h1.example.com/p/2": "changed",
         "https://h1.example.com/p/7": "new",
     }
+
+
+def test_change_gate_stream_null_markdown_is_changed(spark, tmp_path):
+    """Streaming twin of the NULL-fingerprint contract: md5(NULL markdown)
+    is NULL; for a previously-indexed URL that must be CHANGED (forwarded
+    to re-process), never 'unchanged'."""
+    import pyspark.sql.functions as F
+
+    from mcp_crawl4ai_rag_spark.streaming.ingest import change_gate_stream
+
+    src = str(tmp_path / "csrc")
+    out = str(tmp_path / "csink")
+    ckpt = str(tmp_path / "cckpt")
+    idx = spark.createDataFrame(
+        [("u1", "a" * 32), ("u2", "b" * 32)], "url string, fp string"
+    )
+    batch = spark.createDataFrame(
+        [("u1", None, _ts("2024-01-01 10:00:10")),
+         ("u2", "same", _ts("2024-01-01 10:00:11")),
+         ("u9", None, _ts("2024-01-01 10:00:12"))],
+        "canonical_url string, markdown string, fetched_at timestamp",
+    )
+    batch.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b0"))
+    stream = (
+        spark.readStream.schema("canonical_url string, markdown string, fetched_at timestamp")
+        .parquet(src + "/*")
+    )
+    q = (
+        change_gate_stream(stream, idx)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["canonical_url"]: r["change_kind"]
+        for r in spark.read.parquet(out).collect()
+    }
+    # u1: NULL fp vs stored → changed; u2: md5('same') != stored → changed;
+    # u9: not indexed → new
+    assert got["u1"] == "changed" and got["u9"] == "new"
+    assert got["u2"] == "changed"
+
+
+def test_dedup_image_stream_null_phash_rows_all_survive(spark, tmp_path):
+    """NULL-phash (undecodable) images must NOT collapse to one survivor:
+    streaming dedup treats NULL as an equal key, so the dedupe key falls
+    back to the image_id for such rows."""
+    import pyspark.sql.functions as F
+
+    from mcp_crawl4ai_rag_spark.sources.corpus import gen_images
+    from mcp_crawl4ai_rag_spark.streaming.ingest import (
+        dedup_image_stream,
+        stream_image_results,
+    )
+
+    src = str(tmp_path / "nsrc")
+    out = str(tmp_path / "nsink")
+    ckpt = str(tmp_path / "nckpt")
+    imgs = gen_images(spark, 6, partitions=1).localCheckpoint(eager=True)
+    batch = imgs.withColumn("fetched_at", F.lit(_ts("2024-01-01 10:00:10"))).withColumn(
+        "phash",
+        F.when(F.expr("CAST(substring(image_id, 5) AS BIGINT) < 3"), F.lit(None)).otherwise(
+            F.col("phash")
+        ),
+    )
+    batch.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b0"))
+    q = (
+        dedup_image_stream(stream_image_results(spark, src + "/*"))
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out)
+    # all 3 NULL-phash rows survive; schema unchanged (no __dk leaks)
+    assert rows.where(F.col("phash").isNull()).count() == 3
+    assert rows.count() == 6
+    assert "__dk" not in rows.columns
+
+
+def test_verify_image_stream_forwards_psnr_threshold(spark):
+    """min_psnr_db must reach the batch kernel (it was silently dropped)."""
+    from unittest.mock import patch
+
+    from mcp_crawl4ai_rag_spark.sources.corpus import gen_images
+    from mcp_crawl4ai_rag_spark.streaming.ingest import verify_image_stream
+
+    imgs = gen_images(spark, 1, partitions=1)
+    with patch(
+        "mcp_crawl4ai_rag_spark.functions.images.verify_images"
+    ) as vi:
+        verify_image_stream(imgs, min_psnr_db=33.0)
+        vi.assert_called_once_with(imgs, min_psnr_db=33.0)

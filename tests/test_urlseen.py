@@ -287,3 +287,29 @@ def test_bloom_scatter_and_unpack_paths_identical():
         small.add_hashes(h[s : s + 10_000])
     assert np.array_equal(big.bits, small.bits)
     assert big.contains_hashes(h).all()
+
+
+def test_bloom_sparse_reduceat_path_identical_and_bounded():
+    """For a filter whose unpacked bool array would dwarf the batch (the
+    10^10-bit OOM case), add_hashes must route big batches through the
+    sort+reduceat sparse path — bit-identical to the scatter path, and
+    never allocating O(m) per call."""
+    from unittest.mock import patch
+
+    import numpy as np
+
+    from mcp_crawl4ai_rag_spark.operators.urlseen import BloomFilter
+
+    h = np.random.default_rng(11).integers(
+        -(2**62), 2**62, 1_500_000, dtype=np.int64
+    )
+    # a filter big enough that m_bool_bytes > max(1<<26, idx.size<<4):
+    # m ≈ 1.44e9 bits → bool unpack would be ~1.4 GB for a ~10M-probe batch
+    sparse = BloomFilter.sized_for(150_000_000)
+    with patch("numpy.packbits", side_effect=AssertionError("O(m) unpack ran")):
+        sparse.add_hashes(h)  # 1.5M*k probes ≥ 1<<20 → must take reduceat
+    scatter = BloomFilter.sized_for(150_000_000)
+    for s in range(0, len(h), 100_000):
+        scatter.add_hashes(h[s : s + 100_000])  # 100k*7 = 700k < 1<<20 → scatter
+    assert np.array_equal(sparse.bits, scatter.bits)
+    assert sparse.contains_hashes(h).all()
