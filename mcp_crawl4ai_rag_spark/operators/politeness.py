@@ -41,6 +41,31 @@ def _order():
     return [F.col("depth").asc(), F.col("priority").asc(), F.col("seq").asc()]
 
 
+def _with_budget_dims(
+    df: DataFrame, robots: DataFrame | None, backoff: DataFrame | None
+) -> DataFrame:
+    """Attach the two small budget dims (robots crawl_delay, backoff state)
+    via broadcast left joins — THE single definition of the dim shape, so
+    attach_budgets and compute_budgets cannot drift apart."""
+    if robots is not None:
+        df = df.join(
+            F.broadcast(robots.select("host", "crawl_delay")), "host", "left"
+        )
+    else:
+        df = df.withColumn("crawl_delay", F.lit(None).cast("double"))
+    if backoff is not None:
+        df = df.join(F.broadcast(backoff), "host", "left")
+    else:
+        df = df.withColumn("backoff_level", F.lit(0))
+    return df
+
+
+def _budget_expr(epoch_seconds: float):
+    return F.greatest(
+        F.floor(F.lit(epoch_seconds) / effective_delay_expr()), F.lit(1)
+    ).cast("int")
+
+
 def attach_budgets(
     frontier: DataFrame,
     robots: DataFrame | None,
@@ -59,21 +84,8 @@ def attach_budgets(
     if epoch_seconds is None:
         epoch_seconds = EPOCH_SECONDS
     cols = frontier.columns
-    df = frontier
-    if robots is not None:
-        df = df.join(
-            F.broadcast(robots.select("host", "crawl_delay")), "host", "left"
-        )
-    else:
-        df = df.withColumn("crawl_delay", F.lit(None).cast("double"))
-    if backoff is not None:
-        df = df.join(F.broadcast(backoff), "host", "left")
-    else:
-        df = df.withColumn("backoff_level", F.lit(0))
-    budget = F.greatest(
-        F.floor(F.lit(epoch_seconds) / effective_delay_expr()), F.lit(1)
-    ).cast("int")
-    return df.select(*cols, budget.alias("budget"))
+    df = _with_budget_dims(frontier, robots, backoff)
+    return df.select(*cols, _budget_expr(epoch_seconds).alias("budget"))
 
 
 def pop_per_host(
@@ -220,9 +232,14 @@ def pop_per_host_threshold(
 
 def effective_delay_expr():
     """delay = crawl_delay override else midpoint of the RateLimiter base
-    window, doubled per backoff level, capped at max_delay."""
+    window, doubled per backoff level, capped at max_delay.
+
+    Non-positive crawl_delay falls back to the default (the parser already
+    drops it, but a foreign robots table must not produce
+    floor(epoch/0) = Infinity, whose int cast wraps negative and starves
+    the host forever)."""
     base = F.coalesce(
-        F.col("crawl_delay"),
+        F.when(F.col("crawl_delay") > 0, F.col("crawl_delay")),
         F.lit((POLITENESS_BASE_DELAY_MIN + POLITENESS_BASE_DELAY_MAX) / 2.0),
     )
     return F.least(
@@ -240,21 +257,8 @@ def compute_budgets(
     """(host) → (host, budget): floor(epoch_seconds / effective_delay),
     minimum 1 so a backed-off host still drains (the RateLimiter retries
     rather than starving)."""
-    df = hosts.select("host").distinct()
-    if robots is not None:
-        df = df.join(F.broadcast(robots.select("host", "crawl_delay")), "host", "left")
-    else:
-        df = df.withColumn("crawl_delay", F.lit(None).cast("double"))
-    if backoff is not None:
-        df = df.join(F.broadcast(backoff), "host", "left")
-    else:
-        df = df.withColumn("backoff_level", F.lit(0))
-    return df.select(
-        "host",
-        F.greatest(
-            F.floor(F.lit(epoch_seconds) / effective_delay_expr()), F.lit(1)
-        ).cast("int").alias("budget"),
-    )
+    df = _with_budget_dims(hosts.select("host").distinct(), robots, backoff)
+    return df.select("host", _budget_expr(epoch_seconds).alias("budget"))
 
 
 def update_backoff(

@@ -212,14 +212,15 @@ def build_bloom_sharded(
             if not len(pdf):
                 continue
             h = pdf["h"].to_numpy(dtype=np.int64)
-            for s in np.unique(pdf["__shard"].to_numpy()):
+            sh = pdf["__shard"].to_numpy()  # one conversion per batch
+            for s in np.unique(sh):
                 bf = local.setdefault(
                     int(s),
                     BloomFilter(
                         bits=np.zeros((m + 7) // 8, dtype=np.uint8), m=m, k=k
                     ),
                 )
-                bf.add_hashes(h[pdf["__shard"].to_numpy() == s])
+                bf.add_hashes(h[sh == s])
         for s, bf in local.items():
             yield pd.DataFrame({"shard": [s], "bits": [bf.bits.tobytes()]})
 

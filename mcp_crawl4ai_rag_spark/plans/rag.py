@@ -16,7 +16,7 @@ rank); against Iceberg this becomes a MERGE INTO on the same key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT_MATCH_COUNT
@@ -44,8 +44,14 @@ def build_chunks(
     stamp ``current_timestamp()`` like the reference."""
     chunks = explode_chunks(docs, text_col=text_col, chunk_size=chunk_size)
     chunks = with_section_info(chunks, "content")
+    # stamp in UTC regardless of session timezone (get_spark pins UTC, but
+    # the stamp must not silently shift under a foreign session): convert
+    # the session-wall-clock timestamp to UTC wall clock, label +00:00
     ts = (
-        F.date_format(F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ssXXX")
+        F.date_format(
+            F.to_utc_timestamp(F.current_timestamp(), F.current_timezone()),
+            "yyyy-MM-dd'T'HH:mm:ss'+00:00'",
+        )
         if crawl_time is None
         else F.lit(crawl_time)
     )
@@ -77,6 +83,22 @@ def enrich_chunks_with_documents(
     )
 
 
+def _row_tiebreak(df: DataFrame, exclude: tuple[str, ...] = ()) -> Column:
+    """Deterministic within-generation winner key for duplicate (url,
+    chunk_number) rows: md5 over the JSON of the row's SCALAR columns.
+    Array columns (the embedding — the store's widest field) are excluded:
+    JSON-encoding a 1536-float vector per row just to break near-never ties
+    dominated the upsert projection, and the embedding is a deterministic
+    function of the text content already included, so rows that differ at
+    all differ in a scalar."""
+    cols = [
+        c
+        for c, t in df.dtypes
+        if c not in exclude and not t.startswith("array")
+    ]
+    return F.md5(F.to_json(F.struct(*[F.col(c) for c in cols])))
+
+
 def store_documents(existing: DataFrame | None, batch: DataFrame) -> DataFrame:
     """Idempotent upsert on (url, chunk_number) — reference src/utils.py:
     493-500. New batch rows replace existing rows with the same key; ties
@@ -88,9 +110,7 @@ def store_documents(existing: DataFrame | None, batch: DataFrame) -> DataFrame:
         keyed = existing.withColumn("__gen", F.lit(0)).unionByName(
             batch.withColumn("__gen", F.lit(1))
         )
-    tiebreak = F.md5(
-        F.to_json(F.struct(*[F.col(c) for c in keyed.columns if c != "__gen"]))
-    )
+    tiebreak = _row_tiebreak(keyed, exclude=("__gen",))
     w = Window.partitionBy("url", "chunk_number").orderBy(
         F.desc("__gen"), tiebreak.asc()
     )
@@ -117,7 +137,7 @@ def store_documents_incremental(
     winners — a map-side-only plan on the store side (zero Exchange; see
     PLANS.md "Incremental upsert"). With Iceberg this whole function is
     the documented ``MERGE INTO`` on the same key (SURVEY §2.5)."""
-    tiebreak = F.md5(F.to_json(F.struct(*[F.col(c) for c in batch.columns])))
+    tiebreak = _row_tiebreak(batch)
     w = Window.partitionBy("url", "chunk_number").orderBy(tiebreak.asc())
     winners = (
         batch.withColumn("__rk", F.row_number().over(w))
@@ -330,15 +350,24 @@ def validate_crawl_params(
         MAX_DEPTH_CAP,
     )
 
-    max_depth = max(0, min(int(max_depth), MAX_DEPTH_CAP))
-    max_concurrent = int(max_concurrent)
+    def _as_int(v, default: int) -> int:
+        # warn-and-continue means NEVER raise: None / non-numeric input
+        # resets to the default like the reference's parameter handling
+        try:
+            return int(v)
+        except (TypeError, ValueError):
+            return default
+
+    max_depth = max(0, min(_as_int(max_depth, 3), MAX_DEPTH_CAP))
+    max_concurrent = _as_int(max_concurrent, DEFAULT_MAX_CONCURRENT)
     if max_concurrent <= 0:
         max_concurrent = DEFAULT_MAX_CONCURRENT
     elif max_concurrent > MAX_CONCURRENT_CAP:
         max_concurrent = MAX_CONCURRENT_CAP
-    if chunk_size is None or int(chunk_size) <= 0:
+    chunk_size = _as_int(chunk_size, DEFAULT_CHUNK_SIZE)
+    if chunk_size <= 0:
         chunk_size = DEFAULT_CHUNK_SIZE
-    return max_depth, max_concurrent, int(chunk_size)
+    return max_depth, max_concurrent, chunk_size
 
 
 def available_sources(store: DataFrame, limit: int = 1000) -> DataFrame:

@@ -37,10 +37,21 @@ ROBOTS_SCHEMA = "host string, disallow_prefixes array<string>, crawl_delay doubl
 
 def py_parse_robots(body: str, agent: str = "*") -> tuple[list[str], float | None]:
     """Pure-Python robots.txt parse → (disallow_prefixes, crawl_delay).
-    Shared by the Arrow stage and the tests' expectations."""
+    Shared by the Arrow stage and the tests' expectations.
+
+    Disallow prefixes UNION across every matching group (documented
+    strictly-more-conservative deviation from RFC 9309's pick-one-group).
+    Crawl-delay follows RFC precedence: a group naming ``agent``
+    specifically governs over a ``*`` group (first wins within the same
+    specificity) — otherwise a specific 'Crawl-delay: 60' after a generic
+    'Crawl-delay: 1' would be ignored and the host crawled 60× too fast.
+    Non-positive delays are dropped (a 'Crawl-delay: 0' means unthrottled;
+    propagating 0 into budget = floor(epoch/delay) would divide by zero)."""
     disallow: list[str] = []
-    delay: float | None = None
+    delay_specific: float | None = None
+    delay_generic: float | None = None
     selected = False  # inside a group whose user-agents include `agent`/*
+    specific = False  # ...and that group names `agent` itself
     agents_open = False  # consecutive User-agent lines build one group
     group_agents: list[str] = []
     for raw in body.splitlines():
@@ -57,7 +68,8 @@ def py_parse_robots(body: str, agent: str = "*") -> tuple[list[str], float | Non
                 group_agents = []
                 agents_open = True
             group_agents.append(val.lower())
-            selected = "*" in group_agents or agent.lower() in group_agents
+            specific = agent.lower() in group_agents
+            selected = specific or "*" in group_agents
             continue
         agents_open = False
         if not selected:
@@ -65,12 +77,18 @@ def py_parse_robots(body: str, agent: str = "*") -> tuple[list[str], float | Non
         if key == "disallow":
             if val:
                 disallow.append(val)
-        elif key == "crawl-delay" and delay is None:
+        elif key == "crawl-delay":
             try:
-                delay = float(val)
+                d = float(val)
             except ValueError:
-                pass
-    return disallow, delay
+                continue
+            if d <= 0:
+                continue
+            if specific and delay_specific is None:
+                delay_specific = d
+            elif not specific and delay_generic is None:
+                delay_generic = d
+    return disallow, delay_specific if delay_specific is not None else delay_generic
 
 
 def parse_robots_bodies(fetched: DataFrame, agent: str = "*") -> DataFrame:

@@ -379,3 +379,45 @@ def test_doc_change_status_null_fp_is_changed(spark):
         for r in doc_change_status(prev, fetched).collect()
     }
     assert got == {"u1": "changed", "u2": "unchanged", "u3": "new"}
+
+
+def test_validate_crawl_params_never_raises():
+    """The documented warn-and-continue contract: None / junk input resets
+    to defaults instead of raising."""
+    from mcp_crawl4ai_rag_spark.plans.rag import validate_crawl_params
+
+    assert validate_crawl_params(None, None, None) == (3, 10, 5000)
+    assert validate_crawl_params("abc", "xyz", "nope") == (3, 10, 5000)
+    assert validate_crawl_params(99, 99, 100) == (10, 50, 100)
+    assert validate_crawl_params(-1, 0, 0) == (0, 10, 5000)
+
+
+def test_build_chunks_default_stamp_is_utc(spark):
+    """With crawl_time=None the stamp must be UTC-labeled (+00:00) and stay
+    UTC even under a foreign session timezone."""
+    import pyspark.sql.functions as F
+
+    from mcp_crawl4ai_rag_spark.plans.rag import build_chunks
+
+    docs = spark.createDataFrame(
+        [("https://d.example.com/x", "hello world " * 20)],
+        "url string, markdown string",
+    )
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        row_ny = build_chunks(docs).select("crawl_time").head()
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        row_utc = build_chunks(docs).select("crawl_time").head()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert row_ny["crawl_time"].endswith("+00:00")
+    assert row_utc["crawl_time"].endswith("+00:00")
+    # same instant (minute precision tolerance): the NY-session stamp must
+    # not be shifted 4-5 hours off the UTC-session stamp
+    from datetime import datetime
+
+    fmt = "%Y-%m-%dT%H:%M:%S%z"
+    t1 = datetime.strptime(row_ny["crawl_time"], fmt)
+    t2 = datetime.strptime(row_utc["crawl_time"], fmt)
+    assert abs((t2 - t1).total_seconds()) < 120

@@ -77,3 +77,51 @@ def test_parse_bodies_feeds_politeness_gate(spark):
     assert got[("h1.x", "/private/x")] is True
     assert got[("h1.x", "/public")] is False
     assert got[("h2.x", "/private/x")] is False
+
+
+def test_crawl_delay_specific_agent_overrides_star():
+    """RFC 9309 group precedence for Crawl-delay: the group naming the
+    agent governs over *, regardless of file order — otherwise a site's
+    explicit 60 s directive for this bot would be ignored in favor of the
+    generic 1 s and the host crawled 60x too fast."""
+    body = (
+        "User-agent: *\nCrawl-delay: 1\n\n"
+        "User-agent: mybot\nCrawl-delay: 60\n"
+    )
+    _, delay = py_parse_robots(body, agent="mybot")
+    assert delay == 60.0
+    # reversed order: specific still wins
+    body2 = (
+        "User-agent: mybot\nCrawl-delay: 60\n\n"
+        "User-agent: *\nCrawl-delay: 1\n"
+    )
+    _, delay2 = py_parse_robots(body2, agent="mybot")
+    assert delay2 == 60.0
+    # an agent with no specific group gets the generic delay
+    _, dstar = py_parse_robots(body, agent="otherbot")
+    assert dstar == 1.0
+
+
+def test_crawl_delay_nonpositive_dropped_and_budget_never_starves(spark):
+    """'Crawl-delay: 0' must not reach the budget division: floor(epoch/0)
+    is Infinity whose int cast wraps negative and permanently defers the
+    host. The parser drops it AND effective_delay_expr clamps foreign
+    robots tables."""
+    from pyspark.sql import functions as F
+
+    from mcp_crawl4ai_rag_spark.operators.politeness import compute_budgets
+
+    _, delay = py_parse_robots("User-agent: *\nCrawl-delay: 0\n")
+    assert delay is None
+    _, dneg = py_parse_robots("User-agent: *\nCrawl-delay: -5\n")
+    assert dneg is None
+
+    # a robots table that DID carry 0/negative (foreign source): budget
+    # must still be a positive int, never a wrapped negative
+    hosts = spark.createDataFrame([("a",), ("b",), ("c",)], "host string")
+    robots = spark.createDataFrame(
+        [("a", 0.0), ("b", -3.0), ("c", 2.0)], "host string, crawl_delay double"
+    )
+    got = {r["host"]: r["budget"] for r in compute_budgets(hosts, robots, None).collect()}
+    assert all(v >= 1 for v in got.values()), got
+    assert got["c"] == 15  # 30s epoch / 2s delay
