@@ -98,6 +98,11 @@ def with_embeddings_cached(
     equi-join never sees a NULL key, so no row is silently dropped; output
     matches :func:`with_embeddings` row-for-row."""
     fp = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    # match with_embeddings' withColumn REPLACE semantics: if df already
+    # carries out_col (re-embedding a store), drop it before the join or
+    # the output holds two ambiguous columns of that name
+    if out_col in df.columns:
+        df = df.drop(out_col)
     with_fp = df.withColumn("__text_md5", fp)
     uniq = (
         with_fp.select("__text_md5", F.col(text_col).alias("__t"))

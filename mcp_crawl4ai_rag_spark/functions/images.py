@@ -28,6 +28,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -251,23 +252,41 @@ def verify_images(images: DataFrame, min_psnr_db: float = 40.0) -> DataFrame:
             rows = []
             for iid, blob, w, h, fmt, caption, stored_phash in zip(
                 pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"],
-                pdf["fmt"], pdf["caption"], pdf["phash"],
+                pdf["fmt"], pdf["caption"], pdf["__ph_str"],
             ):
-                ref = gen_pixels(iid, int(w), int(h))
-                _, dec = decode_image(bytes(blob))
-                p = psnr(ref, dec)
-                pixel_ok = bool(np.array_equal(ref, dec)) if fmt == "png" else p >= min_psnr_db
-                ph = phash64(dec)
-                rows.append(
-                    (
-                        iid, fmt,
-                        min(p, 99.0),
-                        pixel_ok,
-                        ph == int(stored_phash),
-                        caption == gen_caption(iid),
-                        ph,
+                # a verifier must FLAG corrupt payloads, never raise: one
+                # undecodable blob (or NULL phash) inside a mapInPandas
+                # batch would otherwise fail the stage — and in streaming,
+                # poison the micro-batch on every replay forever
+                try:
+                    ref = gen_pixels(iid, int(w), int(h))
+                    _, dec = decode_image(bytes(blob))
+                    p = psnr(ref, dec)
+                    pixel_ok = (
+                        bool(np.array_equal(ref, dec))
+                        if fmt == "png"
+                        else p >= min_psnr_db
                     )
-                )
+                    ph = phash64(dec)
+                    phash_ok = stored_phash is not None and ph == int(
+                        stored_phash
+                    )
+                    rows.append(
+                        (
+                            iid, fmt,
+                            min(p, 99.0),
+                            pixel_ok,
+                            phash_ok,
+                            caption == gen_caption(iid),
+                            ph,
+                        )
+                    )
+                except Exception:
+                    rows.append((iid, fmt, 0.0, False, False, False, 0))
             yield pd.DataFrame(rows, columns=[f.name for f in VERIFY_SCHEMA.fields])
 
-    return images.mapInPandas(gen, schema=VERIFY_SCHEMA)
+    # phash travels as a STRING: one NULL in the batch flips pandas'
+    # int64 column to float64, silently corrupting every other row's
+    # 64-bit hash past 2^53 — the string round-trip is exact
+    prepared = images.withColumn("__ph_str", F.col("phash").cast("string"))
+    return prepared.mapInPandas(gen, schema=VERIFY_SCHEMA)

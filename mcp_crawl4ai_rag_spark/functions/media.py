@@ -150,6 +150,10 @@ def decode_video(blob: bytes) -> tuple[int, np.ndarray]:
     if blob[:4] != _VIDEO_MAGIC:
         raise ValueError("not a fake-codec video")
     w, h, n, fps = struct.unpack("<HHHB", blob[4:11])
+    if fps <= 0:
+        # mirror decode_audio's sr guard: a zero-fps header would reach
+        # duration math (n*1000 // fps) and ZeroDivisionError mid-batch
+        raise ValueError(f"corrupt video header: fps={fps}")
     raw = zlib.decompress(blob[11:])
     return fps, np.frombuffer(raw, dtype=np.uint8).reshape(n, h, w)
 

@@ -87,8 +87,15 @@ class TiktokenTokenizer:
 
 def get_tokenizer() -> Tokenizer:
     """tiktoken when available (reference-faithful vocabulary), else the
-    regex stand-in with identical interface + truncation contract."""
+    regex stand-in with identical interface + truncation contract.
+
+    Degrade on ANY construction failure, not just ImportError:
+    ``tiktoken.get_encoding`` fetches the BPE vocab over the network on
+    first use, so a locked-down executor with tiktoken installed but no
+    egress raises a connection error — that must fall back to the regex
+    tokenizer (the reference's degrade-on-error policy, src/utils.py:
+    167-185), not crash the embed stage."""
     try:
         return TiktokenTokenizer()
-    except ImportError:
+    except Exception:
         return RegexTokenizer()

@@ -238,9 +238,22 @@ def is_internal_href(href: Column, page_host: Column) -> Column:
     """crawl4ai-style internal/external link classification (the counts the
     reference reports per page, src/crawl4ai_mcp.py:523-527): a relative
     href (no scheme) is internal by definition; an absolute one is internal
-    iff its host equals the page's host."""
-    absolute = href.rlike(r"^[a-z][a-z0-9+.\-]*://")
-    return (~absolute) | (url_host(href) == page_host)
+    iff its host equals the page's host.
+
+    Three href shapes must NOT fall through to 'relative ⇒ internal':
+    protocol-relative ``//host/...`` (internal iff same host), uppercase
+    schemes (``HTTP://...`` — schemes are case-insensitive), and
+    non-hierarchical schemes (``mailto:``, ``tel:``, ``javascript:`` —
+    never internal page links)."""
+    absolute = href.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
+    proto_rel = href.startswith("//")
+    opaque = href.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:")  # any scheme at all
+    return (
+        F.when(proto_rel, url_host(F.concat(F.lit("http:"), href)) == page_host)
+        .when(absolute, url_host(href) == page_host)
+        .when(opaque, F.lit(False))
+        .otherwise(F.lit(True))
+    )
 
 
 def with_link_counts(

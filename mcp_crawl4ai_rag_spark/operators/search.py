@@ -46,15 +46,28 @@ def bm25_write_stats(
     vocabulary's document frequencies, ``path/corpus`` the scalar
     (n_docs, avgdl) row. Computed once per corpus snapshot so the serving
     path never re-aggregates the corpus per query."""
-    toks = chunks.select(
-        F.col(id_col), words_expr(F.col(text_col)).alias("__w")
+    from .. import local_ckpt
+
+    # tokenized once for BOTH writes: the df and (n_docs, avgdl) outputs
+    # each consume `toks`, and without pinning it the second write re-scans
+    # and re-tokenizes the whole corpus — a full redundant pass per
+    # snapshot at corpus scale. Keep only (id, dl, distinct terms): the
+    # text column itself never enters the checkpoint.
+    toks = local_ckpt(
+        chunks.select(
+            F.col(id_col),
+            F.array_distinct(words_expr(F.col(text_col))).alias("__t"),
+            F.size(words_expr(F.col(text_col))).alias("dl"),
+        )
     )
+    # (id, term) rows are unique after array_distinct+explode, so a plain
+    # count(*) equals countDistinct(id) without the extra dedup aggregate
     toks.select(
-        F.col(id_col), F.explode(F.array_distinct("__w")).alias("term")
+        F.col(id_col), F.explode("__t").alias("term")
     ).groupBy("term").agg(
-        F.countDistinct(id_col).alias("df")
+        F.count("*").cast("long").alias("df")
     ).write.mode(mode).parquet(path + "/df")
-    toks.select(F.size("__w").alias("dl")).agg(
+    toks.select("dl").agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     ).write.mode(mode).parquet(path + "/corpus")
 

@@ -89,8 +89,20 @@ def dedup_url_stream(
     path's bloom/cuckoo sets cover the unbounded-history case; this covers
     the within-run duplicate storm — e.g. the same URL discovered by many
     referrers in one window)."""
-    return fetched.withWatermark("fetched_at", watermark).dropDuplicatesWithinWatermark(
-        ["canonical_url"]
+    # NULL canonical_url (failed canonicalization) must not act as one
+    # shared dedup key — same contract as dedup_image_stream's NULL-phash
+    # bypass: fall back to the row's unique ``seq`` (global discovery rank,
+    # FETCH_SCHEMA) so such rows pass through for downstream triage instead
+    # of collapsing to a single survivor.
+    dk = F.coalesce(
+        F.col("canonical_url"),
+        F.concat(F.lit("nullurl:"), F.col("seq").cast("string")),
+    )
+    return (
+        fetched.withColumn("__dk", dk)
+        .withWatermark("fetched_at", watermark)
+        .dropDuplicatesWithinWatermark(["__dk"])
+        .drop("__dk")
     )
 
 
@@ -160,9 +172,15 @@ def per_host_crawl_state(
             if not len(pdf):
                 continue
             total += len(pdf)
-            mx = max(mx, int(pdf["depth"].max()))
-            ts_us = pdf["fetched_at"].astype("datetime64[us]").astype("int64").max()
-            last_us = max(last_us, int(ts_us))
+            # nullable int arrives as float64; all-NaN max is NaN and
+            # int(NaN) raises, wedging the stateful query on replay
+            dmax = pdf["depth"].max()
+            if not pd_.isna(dmax):
+                mx = max(mx, int(dmax))
+            ts = pdf["fetched_at"].dropna()
+            if len(ts):
+                ts_us = ts.astype("datetime64[us]").astype("int64").max()
+                last_us = max(last_us, int(ts_us))
         state.update((total, mx, last_us))
         yield pd_.DataFrame(
             {

@@ -110,3 +110,34 @@ def test_extract_image_features_deterministic(spark):
         assert len(r["features"]) == 16
         assert 0.0 <= r["edge_density"] <= 1.0
         assert all(0.0 <= x <= 1.0 for x in r["features"])
+
+
+def test_verify_images_flags_corrupt_payloads_instead_of_raising(spark):
+    """One undecodable blob / NULL phash inside a batch must yield a
+    failed-verify ROW, not a stage exception (in streaming a raise poisons
+    the micro-batch on every replay)."""
+    import pyspark.sql.functions as F
+
+    from mcp_crawl4ai_rag_spark.functions.images import verify_images
+    from mcp_crawl4ai_rag_spark.sources.corpus import gen_images
+
+    imgs = gen_images(spark, 4, partitions=1)
+    corrupted = imgs.withColumn(
+        "bytes",
+        F.when(
+            F.expr("CAST(substring(image_id, 5) AS BIGINT) = 0"),
+            F.lit(b"not an image"),
+        ).otherwise(F.col("bytes")),
+    ).withColumn(
+        "phash",
+        F.when(
+            F.expr("CAST(substring(image_id, 5) AS BIGINT) = 1"), F.lit(None)
+        ).otherwise(F.col("phash")),
+    )
+    got = {r["image_id"]: r for r in verify_images(corrupted).collect()}
+    assert len(got) == 4
+    bad = got["img_000000000000"]
+    assert not bad["pixel_ok"] and not bad["phash_ok"] and not bad["caption_ok"]
+    nullp = got["img_000000000001"]
+    assert nullp["pixel_ok"] and not nullp["phash_ok"]  # decodes, phash unverifiable
+    assert got["img_000000000002"]["phash_ok"] and got["img_000000000003"]["phash_ok"]

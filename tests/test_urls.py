@@ -145,3 +145,25 @@ def test_resolve_href_matches_urljoin(spark):
 )
 def test_derive_prefix(url, want):
     assert py_derive_prefix(url) == want
+
+
+def test_is_internal_href_protocol_relative_and_opaque_schemes(spark):
+    """Protocol-relative, uppercase-scheme, and non-hierarchical hrefs must
+    not fall through to 'relative => internal'."""
+    from mcp_crawl4ai_rag_spark.functions.urls import with_link_counts
+
+    rows = [(
+        "https://a.example.com/p",
+        [
+            "/x",                          # relative -> internal
+            "//evil.com/x",                # proto-relative other host -> external
+            "//a.example.com/y",           # proto-relative same host -> internal
+            "HTTP://evil.com/x",           # uppercase scheme -> external
+            "mailto:bob@other.com",        # opaque -> external
+            "javascript:void(0)",          # opaque -> external
+            "https://a.example.com/z",     # absolute same host -> internal
+        ],
+    )]
+    df = spark.createDataFrame(rows, "url string, out_links array<string>")
+    got = with_link_counts(df).select("n_internal", "n_external").head()
+    assert (got["n_internal"], got["n_external"]) == (3, 4)
