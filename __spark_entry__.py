@@ -1276,10 +1276,19 @@ qq AS (
     FROM q
 ),
 approx AS (
-    SELECT z.vec_id,
-           CAST(list_reduce(list_transform(list_zip(z.qvec, qq.qv),
-                x -> x[1] * x[2]), (a, b) -> a + b) AS DOUBLE) * z.scale AS ap
-    FROM qz z CROSS JOIN qq
+    -- cosine-proportional key qdot*|qdot|/normsq (exact ints, one IEEE
+    -- division — engine-identical); mirrors operators/similarity.py
+    SELECT vec_id, CASE WHEN nsq > 0
+                        THEN CAST(qd * abs(qd) AS DOUBLE) / CAST(nsq AS DOUBLE)
+                        ELSE -1e308 END AS ap
+    FROM (
+        SELECT z.vec_id,
+               list_reduce(list_transform(list_zip(z.qvec, qq.qv),
+                    x -> x[1] * x[2]), (a, b) -> a + b) AS qd,
+               list_reduce(list_transform(z.qvec, x -> x * x),
+                    (a, b) -> a + b) AS nsq
+        FROM qz z CROSS JOIN qq
+    )
 ),
 cand AS (SELECT vec_id FROM approx ORDER BY ap DESC, vec_id ASC LIMIT 20)
 SELECT e.vec_id, round({cos}, 4) AS sim

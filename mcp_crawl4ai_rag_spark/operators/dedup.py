@@ -82,6 +82,14 @@ def minhash_signatures(
     so no engine overflows)."""
     from ..functions.hashing import md5int56
 
+    if num_perms > 128:
+        # KM combination h1 + p*h2 with 56-bit operands: p*h2 crosses
+        # 2^63 around p=128, and a wrapped negative breaks the exact
+        # cross-engine reproducibility the construction exists for
+        raise ValueError(
+            f"num_perms must be <= 128 (got {num_perms}): h1 + p*h2 "
+            "overflows int64 past that, breaking oracle reproducibility"
+        )
     shingles = docs.select(
         F.col(id_col),
         F.explode(word_shingles_expr(F.col(text_col), shingle_k)).alias("shingle"),
@@ -247,7 +255,11 @@ def minhash_pairs_incremental(
     # restrict the old corpus to candidate ids BEFORE shingling: the whole
     # point of the persisted index is that an increment never recomputes
     # full-corpus text kernels (a semi-join the optimizer cannot derive
-    # from the inner join below on its own)
+    # from the inner join below on its own). cand is read twice (id
+    # pruning + the verify join) — pin it or the band join re-runs
+    from .. import local_ckpt
+
+    cand = local_ckpt(cand)
     cand_ids = cand.select(F.col("id_a").alias(id_col)).distinct()
     old_sets = (
         old_docs.join(cand_ids, id_col, "left_semi")
@@ -326,6 +338,12 @@ def repeated_spans(
             )
         ).alias("pos", "wh"),
     )
+    # consumed twice (count aggregate + semi-join probe) — without the
+    # pin, the dominant cost (one md5 per k-token window over the whole
+    # corpus) executes twice
+    from .. import local_ckpt
+
+    windows = local_ckpt(windows)
     dup_h = (
         windows.groupBy("wh")
         .agg(F.count("*").alias("__n"))
@@ -372,12 +390,16 @@ def remove_spans(
     documents without spans pass through byte-identical. Per-doc work is an
     equi-join on the doc id plus a range predicate — span tables are tiny
     relative to the corpus."""
-    toks = docs.select(
-        F.col(id_col),
-        F.posexplode(
-            F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)
-        ).alias("pos", "tok"),
-    )
+    from .. import local_ckpt
+
+    toks = local_ckpt(
+        docs.select(
+            F.col(id_col),
+            F.posexplode(
+                F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)
+            ).alias("pos", "tok"),
+        )
+    )  # tokenized once: removed-probe, anti-join, and rebuild all read it
     removed = (
         toks.join(spans, id_col)
         .where(
@@ -610,6 +632,7 @@ def phash_write_index(
     bits: int = 64,
     n_chunks: int = 8,
     mode: str = "overwrite",
+    dedupe_identical: bool = False,
 ) -> None:
     """Persist the pigeonhole chunk index (id, phash, chunk_idx, chunk_val)
     for an image corpus — the phash mirror of minhash_write_index.
@@ -620,8 +643,19 @@ def phash_write_index(
     joins cluster at the parquet layer; the full 64-bit hash travels with
     each row, so verification needs no second lookup into the corpus
     (unlike minhash, whose jaccard verify refetches shingle sets)."""
+    src = images.select(id_col, phash_col)
+    if dedupe_identical:
+        # store ONE row family (the min-id rep) per distinct hash: a hot
+        # phash (blank/template images, millions of rows) otherwise makes
+        # every future increment's probe join emit |old|x|new| pairs — the
+        # clique blowup the batch path's dedupe_identical star kills.
+        # Contract: incremental pairs connect new members to stored REPS
+        # (component-equivalent, like hamming_pairs dedupe_identical);
+        # in-store identical members were star-linked when THEY were the
+        # increment. One aggregate at build time, probes stay linear.
+        src = src.groupBy(phash_col).agg(F.min(id_col).alias(id_col))
     keys = hamming_chunk_keys(
-        images.select(id_col, phash_col), id_col, phash_col, bits, n_chunks
+        src, id_col, phash_col, bits, n_chunks
     ).select(
         id_col,
         F.col("__hv").alias(phash_col),
@@ -640,6 +674,7 @@ def phash_pairs_incremental(
     bits: int = 64,
     n_chunks: int = 8,
     max_hamming: int = 4,
+    dedupe_identical: bool = False,
 ) -> DataFrame:
     """(id_a=indexed, id_b=new, hamming): near-dup pairs BETWEEN the
     existing corpus (via its persisted chunk index — keys never recomputed)
@@ -652,11 +687,29 @@ def phash_pairs_incremental(
     them against the index scan; candidates are old×new only (never
     old×old), and verification is one popcount on columns already in hand.
     A re-crawled id present in both sides self-pairs and is filtered."""
+    new_src = new_images.select(id_col, phash_col)
+    star = None
+    if dedupe_identical:
+        # mirror hamming_pairs(dedupe_identical=True) on the increment
+        # side: in-batch identical hashes collapse to star edges and only
+        # distinct hashes probe the index (pair with phash_write_index's
+        # dedupe_identical store for end-to-end linear identical clusters)
+        reps = new_src.groupBy(phash_col).agg(F.min(id_col).alias("__rep"))
+        star = (
+            new_src.join(reps, phash_col)
+            .where(F.col(id_col) != F.col("__rep"))
+            .select(
+                F.col("__rep").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.lit(0).alias("hamming"),
+            )
+        )
+        new_src = reps.select(F.col("__rep").alias(id_col), F.col(phash_col))
     new_keys = hamming_chunk_keys(
-        new_images.select(id_col, phash_col), id_col, phash_col, bits, n_chunks
+        new_src, id_col, phash_col, bits, n_chunks
     )
     index = spark.read.parquet(index_path)
-    return (
+    out = (
         index.select(
             F.col(id_col).alias("id_a"),
             F.col(phash_col).alias("__hva"),
@@ -688,3 +741,6 @@ def phash_pairs_incremental(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    if star is not None:
+        out = out.unionByName(star)
+    return out

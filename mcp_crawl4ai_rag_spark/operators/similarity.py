@@ -140,10 +140,27 @@ def quantized_topk(
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         ).alias("__qdot"),
-        "scale",
+        F.aggregate(
+            F.transform(F.col("qvec"), lambda a: (a * a).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("__qnormsq"),
     ).select(
         F.col(id_col),
-        (F.col("__qdot").cast("double") * F.col("scale")).alias("__approx"),
+        # cosine-proportional candidate key, engine-exact: rank by
+        # qdot·|qdot| / normsq — NOT the raw (dequantized) dot, which is
+        # cosine·|v| and lets a long low-cosine vector crowd the true
+        # top-k out of the shortlist on unnormalized corpora. Both factors
+        # are exact int64 (≤ dim·127² and its square, < 2^53), so the one
+        # IEEE division is bit-identical in any engine; zero vectors rank
+        # last.
+        F.when(
+            F.col("__qnormsq") > 0,
+            (F.col("__qdot") * F.abs(F.col("__qdot"))).cast("double")
+            / F.col("__qnormsq").cast("double"),
+        )
+        .otherwise(F.lit(float("-inf")))
+        .alias("__approx"),
     )
     cands = approx.orderBy(
         F.desc("__approx"), F.col(id_col).asc()
@@ -252,14 +269,7 @@ def lsh_bucket_ann(
     The bucket column is computable at write time and usable as a partition
     key, turning ANN lookup into partition-pruned scan + local top-k.
     """
-    import numpy as np
-
-    qv = np.asarray(query_vec, dtype=np.float64)
-    q_bucket = 0
-    for p in range(n_planes):
-        if float(qv @ np.asarray(hyperplane(p, dim), dtype=np.float64)) > 0:
-            q_bucket |= 1 << p
-
+    q_bucket = query_bucket(query_vec, dim, n_planes)
     bucketed = embs.withColumn("__bucket", bucket_expr(F.col(vec_col), dim, n_planes))
     return brute_topk(
         bucketed.where(F.col("__bucket") == q_bucket), query_vec, k, id_col, vec_col
@@ -537,19 +547,8 @@ def ivf_query_index(
     (`cid IN (...)` prunes at the parquet layer — visible as
     PartitionFilters in the plan), exact cosine within them. Identical
     results to :func:`ivf_topk` over the same codebook."""
-    import numpy as np
-
-    q = np.asarray(query_vec, dtype=np.float64)
     rows = sorted(centroids.select("cid", "ce").collect(), key=lambda r: r["cid"])
-    dists = []
-    for r in rows:
-        c = np.asarray(r["ce"], dtype=np.float64)
-        acc = 0.0
-        for d in range(len(c)):  # same fold order as l2sq_expr
-            diff = float(q[d]) - float(c[d])
-            acc += diff * diff
-        dists.append((acc, r["cid"]))
-    probe_cids = [cid for _, cid in sorted(dists)[:n_probe]]
+    probe_cids = _nearest_cids(rows, query_vec, n_probe)
 
     lists = spark.read.parquet(path).where(F.col("cid").isin(probe_cids))
     return brute_topk(lists, query_vec, k, id_col, vec_col)

@@ -496,3 +496,45 @@ def test_remove_spans_roundtrip_with_detector(spark):
     assert out[1]["clean"] == "" and out[1]["n_tokens_removed"] == 30
     assert out[2]["clean"] == "extra unique suffix here"
     assert out[2]["n_tokens_removed"] == 30
+
+
+def test_phash_incremental_dedupe_identical_is_linear_and_equivalent(spark, tmp_path):
+    """A hot phash (the blank/template-image storm) must cost O(cluster)
+    edges through the incremental path, not |old|x|new| pairs — and the
+    component structure must match the default-contract run."""
+    from pyspark.sql import functions as F
+
+    from mcp_crawl4ai_rag_spark.operators.dedup import (
+        phash_pairs_incremental,
+        phash_write_index,
+    )
+
+    HOT = 0x7777_0000_1234_5678
+
+    def hashes(rows):
+        return spark.createDataFrame(rows, "image_id string, phash long")
+
+    old = hashes(
+        [(f"old_{i:03d}", HOT) for i in range(50)]  # 50 identical old
+        + [("old_far", -(1 << 61))]
+    )
+    new = hashes(
+        [(f"new_{i:03d}", HOT) for i in range(20)]  # 20 identical new
+        + [("new_near", HOT ^ 1)]  # hamming 1 to the hot cluster
+    )
+    idx = str(tmp_path / "hotidx")
+    phash_write_index(old, idx, dedupe_identical=True)
+    pairs = phash_pairs_incremental(
+        spark, idx, new, dedupe_identical=True
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    # linear: 19 in-batch star edges + 1 rep-to-stored-rep hamming-0 pair
+    # + 1 near pair — NOT 50*20=1000 cross pairs
+    assert len(got) == 21, sorted(got)
+    assert got[("old_000", "new_000")] == 0  # stored rep x new rep
+    assert got[("old_000", "new_near")] == 1
+    for i in range(1, 20):
+        assert got[("new_000", f"new_{i:03d}")] == 0  # in-batch star
+    # component equivalence: hot cluster old+new all connected through reps
+    ids = {x for k in got for x in k}
+    assert "old_far" not in ids
