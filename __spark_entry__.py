@@ -982,21 +982,36 @@ def _gopher_metrics_ctes(src: str) -> str:
              + CAST(len(regexp_extract_all(text, '\\.\\.\\.|…')) AS DOUBLE) AS n_sym
     FROM {src}
 ),
-gm AS (
+graw AS (
+    -- RAW metrics: the keep thresholds must compare these exact doubles
+    -- (the engine's gopher_pass_expr does), never the 4dp display
+    -- rounding — a boundary doc would otherwise flip verdicts between
+    -- engines
     SELECT doc_id,
            CAST(len(w) AS BIGINT) AS n_words,
-           round(CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE)
-                 / GREATEST(CAST(len(w) AS DOUBLE), 1.0), 4) AS mean_word_len,
-           round(n_sym / GREATEST(CAST(len(w) AS DOUBLE), 1.0), 4) AS symbol_ratio,
-           round(CAST(len(list_filter(lines,
+           CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE)
+                 / GREATEST(CAST(len(w) AS DOUBLE), 1.0) AS r_mean_word_len,
+           n_sym / GREATEST(CAST(len(w) AS DOUBLE), 1.0) AS r_symbol_ratio,
+           CAST(len(list_filter(lines,
                      x -> regexp_matches(x, '^\\s*([-*•]|[0-9]+[.)])\\s'))) AS DOUBLE)
-                 / GREATEST(CAST(len(lines) AS DOUBLE), 1.0), 4) AS bullet_frac,
-           round(CAST(len(list_filter(lines,
+                 / GREATEST(CAST(len(lines) AS DOUBLE), 1.0) AS r_bullet_frac,
+           CAST(len(list_filter(lines,
                      x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$'))) AS DOUBLE)
-                 / GREATEST(CAST(len(lines) AS DOUBLE), 1.0), 4) AS ellipsis_frac,
-           round((CAST(len(lines) AS DOUBLE) - CAST(len(list_distinct(lines)) AS DOUBLE))
-                 / GREATEST(CAST(len(lines) AS DOUBLE), 1.0), 4) AS dup_line_frac
+                 / GREATEST(CAST(len(lines) AS DOUBLE), 1.0) AS r_ellipsis_frac,
+           (CAST(len(lines) AS DOUBLE) - CAST(len(list_distinct(lines)) AS DOUBLE))
+                 / GREATEST(CAST(len(lines) AS DOUBLE), 1.0) AS r_dup_line_frac
     FROM gbase
+),
+gm AS (
+    SELECT doc_id, n_words,
+           round(r_mean_word_len, 4) AS mean_word_len,
+           round(r_symbol_ratio, 4) AS symbol_ratio,
+           round(r_bullet_frac, 4) AS bullet_frac,
+           round(r_ellipsis_frac, 4) AS ellipsis_frac,
+           round(r_dup_line_frac, 4) AS dup_line_frac,
+           r_mean_word_len, r_symbol_ratio, r_bullet_frac,
+           r_ellipsis_frac, r_dup_line_frac
+    FROM graw
 )"""
 
 
@@ -1015,12 +1030,12 @@ def _gopher_keep_sql() -> str:
 
     return (
         f"(n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}\n"
-        f"        AND mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN!r}\n"
-        f"        AND mean_word_len <= {GOPHER_MAX_MEAN_WORD_LEN!r}\n"
-        f"        AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO!r}\n"
-        f"        AND bullet_frac <= {GOPHER_MAX_BULLET_FRAC!r}\n"
-        f"        AND ellipsis_frac <= {GOPHER_MAX_ELLIPSIS_FRAC!r}\n"
-        f"        AND dup_line_frac <= {GOPHER_MAX_DUP_LINE_FRAC!r})"
+        f"        AND r_mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN!r}\n"
+        f"        AND r_mean_word_len <= {GOPHER_MAX_MEAN_WORD_LEN!r}\n"
+        f"        AND r_symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO!r}\n"
+        f"        AND r_bullet_frac <= {GOPHER_MAX_BULLET_FRAC!r}\n"
+        f"        AND r_ellipsis_frac <= {GOPHER_MAX_ELLIPSIS_FRAC!r}\n"
+        f"        AND r_dup_line_frac <= {GOPHER_MAX_DUP_LINE_FRAC!r})"
     )
 
 
@@ -2940,11 +2955,14 @@ def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value double, props string"
     )
     # FileStreamSource requires a directory; stage the single-file table
-    stage = tempfile.mkdtemp(prefix="stream_events_")
+    # (created only when needed, removed after the stream drains — repeated
+    # bench/correctness runs must not accumulate stream_events_* dirs)
     src = f"{sf_dir}/events.parquet"
+    tmp_stage = None
     if os.path.isdir(src):
         stage = src
     else:
+        tmp_stage = stage = tempfile.mkdtemp(prefix="stream_events_")
         shutil.copy(src, os.path.join(stage, "events.parquet"))
     stream = spark.readStream.schema(schema).parquet(stage)
     agg = (
@@ -2966,6 +2984,8 @@ def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    if tmp_stage is not None:
+        shutil.rmtree(tmp_stage, ignore_errors=True)
     return spark.table(name)
 
 

@@ -143,6 +143,9 @@ def run_queries(spark) -> tuple[dict[str, float], dict[str, int]]:
     n = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
     materialized_pages(spark, n).count()
     materialized_sitemaps(spark, n).count()
+    # politeness_drain builds its own corpus size (different cache key) —
+    # warm it too or a corpus.py edit bills that one-off build to its cell
+    materialized_pages(spark, E._DRAIN_M).count()
 
     qs = E.queries()
     times: dict[str, float] = {}
@@ -173,20 +176,17 @@ def run_queries(spark) -> tuple[dict[str, float], dict[str, int]]:
         # present around this cell — co-tenant bursts on a shared VM hit
         # mid-phase and are invisible to start/end witnesses alone. A cell
         # is trustworthy iff its own and its neighbors' canaries are fast.
-        t0 = time.time()
-        acc = 0
-        for i in range(3_000_000):
-            acc += i * i
-        probes[name] = round((time.time() - t0) * 1000)
+        probes[name] = busy_probe_ms()
     return times, probes
 
 
 def frontier_epoch(
     spark, n: int, pop_fraction: float = 0.4, consumer: str = "count"
-) -> tuple[int, float]:
+) -> tuple[int, float, float]:
     """One frontier epoch at scale: n candidate URLs, n/3 already seen,
     bloom-prefiltered exact dedup, per-host politeness budgets, salted
-    two-phase pop. Returns (candidates processed, elapsed seconds).
+    two-phase pop. Returns (candidates processed, elapsed seconds,
+    bloom-build+probe phase seconds).
 
     ``consumer`` — how the pop output is materialized, which decides what
     the window exchanges actually carry:
@@ -337,6 +337,33 @@ def _burn(_arg: int) -> int:
     return s
 
 
+def busy_probe_ms() -> int:
+    """Single-thread busy probe (ms for a fixed 3M-iteration loop): only
+    slows when something ELSE eats CPU at sample time. THE one probe body
+    — canaries and phase witnesses must measure the identical workload."""
+    t0 = time.time()
+    acc = 0
+    for i in range(3_000_000):
+        acc += i * i
+    assert acc >= 0
+    return round((time.time() - t0) * 1000)
+
+
+def memstream_pass_mbps() -> int:
+    """Memory-bandwidth witness: MB/s over one 256 MB streaming sum. The
+    CPU probe cannot see a HOST-level co-tenant on the memory bus (r3
+    polluted run: probes < 400 ms while shuffle cells ran 5-10x slow and
+    this read 0.25-4.5 GB/s vs ~9.6 clean)."""
+    import numpy as _np
+
+    buf = _np.ones(32_000_000, dtype=_np.float64)  # 256 MB
+    t0 = time.time()
+    s = float(buf.sum())
+    assert s > 0
+    return round(256 / (time.time() - t0))
+
+
+
 def cpu_ceiling(lo: int, hi: int) -> dict[str, float]:
     """Hardware scaling ceiling: the same fixed-size pure-Python task run on
     lo vs hi concurrent processes (no Spark). SMT sharing + turbo/bandwidth
@@ -368,12 +395,15 @@ def emit(out: dict) -> None:
     """Print the one-line JSON contract, then (optionally) snapshot it.
 
     SPARK_GRAFT_SNAPSHOT=<path>: also write the JSON to <path> — but REFUSE
-    when the run is witness-dirty (any phase started above
-    SPARK_GRAFT_MAX_LOAD, default 4.0 loadavg) or the path already holds a
-    witness-clean snapshot. BASELINE.md quotes only snapshot cells, so a
-    polluted run must not silently replace a clean one; override with
-    SPARK_GRAFT_FORCE_SNAPSHOT=1 (the witness travels with the file either
-    way, so even forced snapshots stay self-identifying)."""
+    when the run is witness-dirty (any phase start exceeding
+    SPARK_GRAFT_MAX_LOAD loadavg / SPARK_GRAFT_MAX_PROBE_MS busy probe /
+    below SPARK_GRAFT_MIN_MEMSTREAM_MBPS bandwidth, or >20% slow query
+    canaries) or when the path already holds ANY snapshot (clean or not —
+    delete it or pick a new name to re-measure). BASELINE.md quotes only
+    snapshot cells, so a polluted run must not silently replace one;
+    override with SPARK_GRAFT_FORCE_SNAPSHOT=1 (the witness travels with
+    the file either way, so even forced snapshots stay
+    self-identifying)."""
     print(json.dumps(out))
     path = os.environ.get("SPARK_GRAFT_SNAPSHOT")
     if not path:
@@ -424,7 +454,8 @@ def emit(out: dict) -> None:
     if dirty and not force:
         print(
             f"bench: REFUSING snapshot {path}: witness-dirty phases "
-            f"{dirty} exceed loadavg {max_load} "
+            f"{dirty} exceed gates (loadavg>{max_load} / "
+            f"probe>{max_probe}ms / memstream<{min_memstream}MB/s) "
             "(SPARK_GRAFT_FORCE_SNAPSHOT=1 to override)",
             file=sys.stderr,
         )
@@ -453,24 +484,10 @@ def main() -> None:
     def _probe_ms() -> int:
         # single-thread busy probe: only slows when something ELSE eats CPU
         # at sample time (loadavg would count the bench's own threads)
-        t0 = time.time()
-        acc = 0
-        for i in range(3_000_000):
-            acc += i * i
-        return round((time.time() - t0) * 1000)
+        return busy_probe_ms()
 
     def _memstream_mbps() -> int:
-        # memory-bandwidth witness: MB/s over one 256 MB streaming pass.
-        # The CPU probe cannot see a HOST-level co-tenant on the memory bus
-        # (r3 polluted run: all probes < 400 ms while shuffle-heavy cells
-        # ran 5-10x slow and this probe read 0.25-4.5 GB/s vs ~9.6 clean).
-        import numpy as _np
-
-        buf = _np.ones(32_000_000, dtype=_np.float64)  # 256 MB
-        t0 = time.time()
-        s = float(buf.sum())
-        assert s > 0
-        return round(256 / (time.time() - t0))
+        return memstream_pass_mbps()
 
     qtimes: dict[str, float] = {}
     qprobes: dict[str, int] = {}
@@ -528,22 +545,10 @@ def main() -> None:
         # pass. Observed failure mode this made diagnosable: lo-core cells
         # reproducing exactly while every hi-core cell degrades 1.5-2x with
         # clean CPU probes.
-        import numpy as _np
-
-        t0 = time.time()
-        acc = 0
-        for i in range(3_000_000):
-            acc += i * i
-        probe = round((time.time() - t0) * 1000)
-        buf = _np.ones(32_000_000, dtype=_np.float64)  # 256 MB
-        t0 = time.time()
-        s = float(buf.sum())
-        mbps = round(256 / (time.time() - t0))
-        assert s > 0
         loads[tag] = {
             "loadavg": round(os.getloadavg()[0], 1),
-            "probe_ms": probe,
-            "memstream_mbps": mbps,
+            "probe_ms": busy_probe_ms(),
+            "memstream_mbps": memstream_pass_mbps(),
         }
 
     _load("frontier_hi")
