@@ -208,30 +208,42 @@ def repetition_stats_expr(text: Column | str) -> Column:
     dup_line_frac = (
         n_lines - F.size(F.array_distinct(lines)).cast("double")
     ) / safe_lines
+    symbol_ratio = n_symbols / F.greatest(n_words, F.lit(1.0))
     return F.struct(
         F.size(words).cast("long").alias("n_words"),
+        # 4dp-rounded display fields: hash-stable across engines in gate
+        # output. The keep verdict must NOT use these (a doc within 5e-5 of
+        # a threshold would flip between engines) — gopher_pass_expr reads
+        # the raw r_* twins below.
         F.round(mean_word_len, 4).alias("mean_word_len"),
-        F.round(n_symbols / F.greatest(n_words, F.lit(1.0)), 4).alias(
-            "symbol_ratio"
-        ),
+        F.round(symbol_ratio, 4).alias("symbol_ratio"),
         F.round(bullet_frac, 4).alias("bullet_frac"),
         F.round(ellipsis_frac, 4).alias("ellipsis_frac"),
         F.round(dup_line_frac, 4).alias("dup_line_frac"),
+        mean_word_len.alias("r_mean_word_len"),
+        symbol_ratio.alias("r_symbol_ratio"),
+        bullet_frac.alias("r_bullet_frac"),
+        ellipsis_frac.alias("r_ellipsis_frac"),
+        dup_line_frac.alias("r_dup_line_frac"),
     )
 
 
 def gopher_pass_expr(stats: Column) -> Column:
     """Boolean Gopher filter verdict over a :func:`repetition_stats_expr`
-    struct — the keep/drop decision a pretraining cleaning pass applies."""
+    struct — the keep/drop decision a pretraining cleaning pass applies.
+
+    Thresholds compare the RAW (unrounded) metric fields, matching the
+    DuckDB oracle's ``graw`` CTE exactly; the 4dp fields exist only for
+    display/hash output."""
     return (
         (stats["n_words"] >= GOPHER_MIN_WORDS)
         & (stats["n_words"] <= GOPHER_MAX_WORDS)
-        & (stats["mean_word_len"] >= GOPHER_MIN_MEAN_WORD_LEN)
-        & (stats["mean_word_len"] <= GOPHER_MAX_MEAN_WORD_LEN)
-        & (stats["symbol_ratio"] <= GOPHER_MAX_SYMBOL_RATIO)
-        & (stats["bullet_frac"] <= GOPHER_MAX_BULLET_FRAC)
-        & (stats["ellipsis_frac"] <= GOPHER_MAX_ELLIPSIS_FRAC)
-        & (stats["dup_line_frac"] <= GOPHER_MAX_DUP_LINE_FRAC)
+        & (stats["r_mean_word_len"] >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (stats["r_mean_word_len"] <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (stats["r_symbol_ratio"] <= GOPHER_MAX_SYMBOL_RATIO)
+        & (stats["r_bullet_frac"] <= GOPHER_MAX_BULLET_FRAC)
+        & (stats["r_ellipsis_frac"] <= GOPHER_MAX_ELLIPSIS_FRAC)
+        & (stats["r_dup_line_frac"] <= GOPHER_MAX_DUP_LINE_FRAC)
     )
 
 

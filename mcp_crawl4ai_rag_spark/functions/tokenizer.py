@@ -94,8 +94,20 @@ def get_tokenizer() -> Tokenizer:
     first use, so a locked-down executor with tiktoken installed but no
     egress raises a connection error — that must fall back to the regex
     tokenizer (the reference's degrade-on-error policy, src/utils.py:
-    167-185), not crash the embed stage."""
+    167-185), not crash the embed stage. The degrade is LOGGED (warning
+    naming both vocabularies and the triggering error) so a silent
+    vocabulary swap — which changes truncation lengths job-wide — is
+    diagnosable from executor logs."""
     try:
         return TiktokenTokenizer()
-    except Exception:
+    except Exception as exc:  # noqa: BLE001 — degrade-on-error by contract
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "tiktoken tokenizer unavailable (%s: %s); degrading to the "
+            "regex stand-in tokenizer — token counts/truncation lengths "
+            "will differ from the cl100k vocabulary",
+            type(exc).__name__,
+            exc,
+        )
         return RegexTokenizer()

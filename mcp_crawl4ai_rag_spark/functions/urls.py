@@ -244,13 +244,21 @@ def is_internal_href(href: Column, page_host: Column) -> Column:
     protocol-relative ``//host/...`` (internal iff same host), uppercase
     schemes (``HTTP://...`` — schemes are case-insensitive), and
     non-hierarchical schemes (``mailto:``, ``tel:``, ``javascript:`` —
-    never internal page links)."""
+    never internal page links).
+
+    Host comparison is case-insensitive (RFC 3986 §3.2.2: URI hosts are
+    case-insensitive) — ``//EXAMPLE.COM/x`` on page_host ``example.com``
+    is internal."""
     absolute = href.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
     proto_rel = href.startswith("//")
     opaque = href.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:")  # any scheme at all
+    phost = F.lower(page_host)
     return (
-        F.when(proto_rel, url_host(F.concat(F.lit("http:"), href)) == page_host)
-        .when(absolute, url_host(href) == page_host)
+        F.when(
+            proto_rel,
+            F.lower(url_host(F.concat(F.lit("http:"), href))) == phost,
+        )
+        .when(absolute, F.lower(url_host(href)) == phost)
         .when(opaque, F.lit(False))
         .otherwise(F.lit(True))
     )

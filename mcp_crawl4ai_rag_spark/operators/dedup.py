@@ -675,6 +675,7 @@ def phash_pairs_incremental(
     n_chunks: int = 8,
     max_hamming: int = 4,
     dedupe_identical: bool = False,
+    broadcast_increment: bool | None = None,
 ) -> DataFrame:
     """(id_a=indexed, id_b=new, hamming): near-dup pairs BETWEEN the
     existing corpus (via its persisted chunk index — keys never recomputed)
@@ -683,10 +684,18 @@ def phash_pairs_incremental(
     the increment's keys via :func:`phash_write_index` — the same
     three-step contract as minhash_pairs_incremental.
 
-    Scale shape: the increment's chunk keys are small → Spark broadcasts
-    them against the index scan; candidates are old×new only (never
-    old×old), and verification is one popcount on columns already in hand.
-    A re-crawled id present in both sides self-pairs and is filtered."""
+    Scale shape: the typical increment's chunk keys are small relative to
+    the index, so broadcasting them against the index scan avoids
+    shuffling the (much larger) index. But "typical" is a caller
+    assumption, not an invariant — a huge recrawl batch (millions of
+    images × n_chunks rows) can exceed driver/broadcast memory where a
+    shuffle join would succeed. ``broadcast_increment`` controls it:
+    True forces the broadcast hint, False leaves the join strategy to
+    Catalyst/AQE (runtime-sized), and None (default) auto-decides via a
+    cheap count on the increment (≤ ~1M chunk-key rows → broadcast).
+    Candidates are old×new only (never old×old), and verification is one
+    popcount on columns already in hand. A re-crawled id present in both
+    sides self-pairs and is filtered."""
     new_src = new_images.select(id_col, phash_col)
     star = None
     if dedupe_identical:
@@ -708,6 +717,19 @@ def phash_pairs_incremental(
     new_keys = hamming_chunk_keys(
         new_src, id_col, phash_col, bits, n_chunks
     )
+    probe = new_keys.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__hv").alias("__hvb"),
+        "chunk_idx",
+        "chunk_val",
+    )
+    if broadcast_increment is None:
+        # one count over the (distinct-hash) increment decides; 1M
+        # chunk-key rows ≈ tens of MB — safely under default broadcast
+        # limits, while a mega-recrawl falls through to AQE's choice
+        broadcast_increment = probe.limit(1_000_001).count() <= 1_000_000
+    if broadcast_increment:
+        probe = F.broadcast(probe)
     index = spark.read.parquet(index_path)
     out = (
         index.select(
@@ -716,17 +738,7 @@ def phash_pairs_incremental(
             "chunk_idx",
             "chunk_val",
         )
-        .join(
-            F.broadcast(
-                new_keys.select(
-                    F.col(id_col).alias("id_b"),
-                    F.col("__hv").alias("__hvb"),
-                    "chunk_idx",
-                    "chunk_val",
-                )
-            ),
-            on=["chunk_idx", "chunk_val"],
-        )
+        .join(probe, on=["chunk_idx", "chunk_val"])
         .where(F.col("id_a") != F.col("id_b"))
         .select(
             "id_a",

@@ -346,6 +346,7 @@ def validate_crawl_params(
     from ..config import (
         DEFAULT_CHUNK_SIZE,
         DEFAULT_MAX_CONCURRENT,
+        DEFAULT_MAX_DEPTH,
         MAX_CONCURRENT_CAP,
         MAX_DEPTH_CAP,
     )
@@ -358,7 +359,7 @@ def validate_crawl_params(
         except (TypeError, ValueError):
             return default
 
-    max_depth = max(0, min(_as_int(max_depth, 3), MAX_DEPTH_CAP))
+    max_depth = max(0, min(_as_int(max_depth, DEFAULT_MAX_DEPTH), MAX_DEPTH_CAP))
     max_concurrent = _as_int(max_concurrent, DEFAULT_MAX_CONCURRENT)
     if max_concurrent <= 0:
         max_concurrent = DEFAULT_MAX_CONCURRENT
