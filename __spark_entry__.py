@@ -1831,16 +1831,199 @@ def q_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("https://docs.example.com/d/"), F.col("doc_id")).alias("url"),
         F.col("text").alias("markdown"),
     )
-    chunks = build_chunks(docs, chunk_size=400)
+    chunks = build_chunks(docs, chunk_size=_RAG_CHUNK)
     batch = with_embeddings(chunks, text_col="content", dim=EMB_DIM)
     store = store_documents(None, batch)
     return search_documents(
         store,
-        "spark join performance",
+        _RAG_QUERY,
         match_count=5,
         source_filter="docs.example.com",
         dim=EMB_DIM,
     )
+
+
+_RAG_QUERY = "spark join performance"
+_RAG_CHUNK = 400
+# The driver runs oracle SQL against sf0.01; the rag_pipeline twin reads the
+# same parquet at oracle-build time. Override when selfchecking another SF.
+_ORACLE_SF_DIR_ENV = "SPARK_GRAFT_ORACLE_SF_DIR"
+_ORACLE_SF_DIR_DEFAULT = "/root/testdata/sf0.01"
+
+
+def _sql_double(x: float) -> str:
+    # bare numeric literals parse as DECIMAL in DuckDB; the driver's value
+    # hash is type-sensitive, so every injected float must be a DOUBLE
+    return f"CAST({x!r} AS DOUBLE)"
+
+
+def _seq_cosine(a, b) -> float:
+    """Bit-exact Python twin of functions/vectors.cosine_expr: sequential
+    left-fold double accumulation for dot and both norms (F.aggregate
+    folds in element order with a 0.0 double seed), then dot/(na*nb)."""
+    import math
+
+    dot = na = nb = 0.0
+    for x, y in zip(a, b):
+        dot += float(x) * float(y)
+    for x in a:
+        na += float(x) * float(x)
+    for y in b:
+        nb += float(y) * float(y)
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
+def _oracle_rag_pipeline() -> str:
+    """Hash-verified oracle via Python-twin literal injection (the
+    quality_probe precedent): the seeded embedder (BLAKE2b→PCG64→N(0,1),
+    functions/embedding.py) is not SQL-expressible, so the builder runs the
+    pure-Python pipeline twin driver-side — chunk_markdown(text, 400) →
+    clip → embed_text → sequential-fold cosine vs the embedded query — and
+    injects per-chunk similarities as a typed literal table. Chunk CONTENT
+    is still derived independently in SQL (documents.text degenerates to
+    exact 400-char slices — same invariant as the chunk_documents oracle),
+    so the gate verifies the Spark chunker, store upsert, source filter,
+    top-k ordering AND the distributed embed/cosine path end-to-end."""
+    import os
+
+    import duckdb
+
+    from mcp_crawl4ai_rag_spark.config import MAX_DOCUMENT_LENGTH
+    from mcp_crawl4ai_rag_spark.functions.chunking import chunk_markdown
+    from mcp_crawl4ai_rag_spark.functions.embedding import embed_query, embed_text
+    from mcp_crawl4ai_rag_spark.functions.tokenizer import (
+        MAX_EMBED_TOKENS,
+        get_tokenizer,
+    )
+
+    sf_dir = os.environ.get(_ORACLE_SF_DIR_ENV, _ORACLE_SF_DIR_DEFAULT)
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
+        "WHERE text IS NOT NULL AND length(text) > 0 ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    tok = get_tokenizer()
+    qv = embed_query(_RAG_QUERY, dim=EMB_DIM)
+    sims = []
+    for doc_id, text in docs:
+        for k, chunk in enumerate(chunk_markdown(text, _RAG_CHUNK)):
+            clipped = tok.truncate(chunk[:MAX_DOCUMENT_LENGTH], MAX_EMBED_TOKENS)
+            v = embed_text(clipped, EMB_DIM)
+            sims.append(
+                f"({int(doc_id)}, {k}, "
+                f"{_sql_double(round(_seq_cosine(v, qv), 4))})"
+            )
+    vals = ",\n        ".join(sims)
+    piece = (
+        f"trim(substr(d.text, CAST(ks.k * {_RAG_CHUNK} + 1 AS INTEGER), "
+        f"{_RAG_CHUNK}))"
+    )
+    return f"""
+WITH sims(doc_id, chunk_number, similarity) AS (
+    VALUES {vals}
+),
+ch AS (
+    SELECT d.doc_id, ks.k AS chunk_number, {piece} AS content
+    FROM documents d
+    JOIN (SELECT unnest(generate_series(0,
+            (SELECT CAST((max(length(text)) - 1) // {_RAG_CHUNK} AS BIGINT)
+             FROM documents))) AS k) ks
+      ON ks.k <= (length(d.text) - 1) // {_RAG_CHUNK}
+    WHERE d.text IS NOT NULL AND length(d.text) > 0
+)
+SELECT 'https://docs.example.com/d/' || CAST(c.doc_id AS VARCHAR) AS url,
+       CAST(c.chunk_number AS INTEGER) AS chunk_number,
+       c.content,
+       'docs.example.com' AS source,
+       s.similarity
+FROM ch c
+JOIN sims s ON s.doc_id = c.doc_id AND s.chunk_number = c.chunk_number
+ORDER BY s.similarity DESC, url ASC, chunk_number ASC
+LIMIT 5
+"""
+
+
+def _oracle_media_features() -> str:
+    """Hash-verified oracle via Python-twin literal injection: the three
+    modality aggregates are pure functions of the closed-form corpus id
+    formulas (sources/corpus.py gen_images/gen_audio/gen_videos) and the
+    fake codecs, so the builder regenerates all 3×500 payloads in-process
+    (numpy, no Spark) with the same per-item math the mapInPandas
+    extractors run, aggregates driver-side, and injects the three expected
+    rows as typed literals. The gate then verifies the distributed
+    plumbing: Arrow batching, codec round-trips, and Spark-side avg."""
+    import numpy as np
+
+    from mcp_crawl4ai_rag_spark.functions.images import (
+        decode_image,
+        encode_image,
+        gen_pixels,
+    )
+    from mcp_crawl4ai_rag_spark.functions.media import (
+        decode_audio,
+        decode_video,
+        encode_audio,
+        encode_video,
+        gen_frame,
+        gen_waveform,
+    )
+
+    n = 500
+    lums, edges = [], []
+    for i in range(n):
+        w, h = 32 + (i % 5) * 8, 32 + (i % 3) * 16
+        fmt = "png" if i % 2 == 0 else "jpeg"
+        blob = encode_image(gen_pixels(f"img_{i:012d}", w, h), fmt)
+        _, px = decode_image(blob)
+        f = px.astype(np.float64)
+        gy, gx = np.gradient(f)
+        lums.append(float(f.mean()))
+        edges.append(float(np.mean(np.hypot(gx, gy) > 8.0)))
+    rmss, zcs = [], []
+    for i in range(n):
+        sr = 8000 + (i % 3) * 4000
+        ns = (sr * (2 + i % 4)) // 4
+        fmt = "pcm" if i % 2 == 0 else "qpcm"
+        blob = encode_audio(gen_waveform(f"aud_{i:012d}", sr, ns), sr, fmt)
+        _, _, s = decode_audio(blob)
+        f = s.astype(np.float64)
+        rmss.append(float(np.sqrt(np.mean(f**2))))
+        zcs.append(
+            int(np.count_nonzero(np.signbit(f[1:]) != np.signbit(f[:-1])))
+        )
+    motions, durs = [], []
+    for i in range(n):
+        vid = f"vid_{i:012d}"
+        w, h = 32 + (i % 3) * 16, 32 + (i % 2) * 16
+        nf = 8 + (i % 4) * 4
+        frames = np.stack([gen_frame(vid, w, h, k) for k in range(nf)])
+        fps, dec = decode_video(encode_video(frames, 8))
+        m = (
+            float(
+                np.mean(
+                    np.abs(
+                        dec[1:].astype(np.float64) - dec[:-1].astype(np.float64)
+                    )
+                )
+            )
+            if dec.shape[0] > 1
+            else 0.0
+        )
+        motions.append(m)
+        durs.append(int(dec.shape[0] * 1000) // fps)
+
+    def row(kind: str, a: list, b: list) -> str:
+        return (
+            f"('{kind}', CAST({n} AS BIGINT), "
+            f"{_sql_double(round(sum(a) / n, 3))}, "
+            f"{_sql_double(round(sum(b) / n, 3))})"
+        )
+
+    vals = ",\n       ".join(
+        [row("image", lums, edges), row("audio", rmss, zcs), row("video", motions, durs)]
+    )
+    return f"SELECT * FROM (VALUES\n       {vals}) AS t(kind, n, avg_a, avg_b)"
 
 
 # ---------------------------------------------------------------------------
@@ -4291,9 +4474,13 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": _oracle_events_sessionize(),
         "media_verify": _oracle_media_verify(),
         "media_transform": _oracle_media_transform(),
-        # media_features / rag_pipeline: intentionally no oracle (binary
-        # feature extraction, waveform/frame math, and the seeded embedder
-        # are not SQL-expressible) -> rows-only check.
+        # media_features / rag_pipeline: the binary feature math and the
+        # seeded embedder are not SQL-expressible, so their oracles are
+        # Python-twin literal injections (the quality_probe precedent) —
+        # expected values recomputed driver-side without Spark, emitted as
+        # typed VALUES literals.
+        "media_features": _oracle_media_features(),
+        "rag_pipeline": _oracle_rag_pipeline(),
         "crawl_ops": _oracle_crawl_ops(),
         "upsert_store": _oracle_upsert_store(),
         "contextual_enrich": _oracle_contextual_enrich(),

@@ -98,16 +98,22 @@ def get_tokenizer() -> Tokenizer:
     naming both vocabularies and the triggering error) so a silent
     vocabulary swap — which changes truncation lengths job-wide — is
     diagnosable from executor logs."""
+    global _WARNED_FALLBACK
     try:
         return TiktokenTokenizer()
     except Exception as exc:  # noqa: BLE001 — degrade-on-error by contract
-        import logging
+        if not _WARNED_FALLBACK:
+            _WARNED_FALLBACK = True  # once per process, not per Arrow batch
+            import logging
 
-        logging.getLogger(__name__).warning(
-            "tiktoken tokenizer unavailable (%s: %s); degrading to the "
-            "regex stand-in tokenizer — token counts/truncation lengths "
-            "will differ from the cl100k vocabulary",
-            type(exc).__name__,
-            exc,
-        )
+            logging.getLogger(__name__).warning(
+                "tiktoken tokenizer unavailable (%s: %s); degrading to the "
+                "regex stand-in tokenizer — token counts/truncation lengths "
+                "will differ from the cl100k vocabulary",
+                type(exc).__name__,
+                exc,
+            )
         return RegexTokenizer()
+
+
+_WARNED_FALLBACK = False
