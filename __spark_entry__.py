@@ -93,6 +93,8 @@ from mcp_crawl4ai_rag_spark.functions.images import verify_images
 # ---------------------------------------------------------------------------
 
 N_SQL = "(SELECT count(*) FROM lineitem)"
+# html-extraction corpus size — must mirror q_chunk_documents' Spark-side n
+_HTML_N_SQL = f"GREATEST({N_SQL} // 30, 100)"
 CRAWL_DEPTH = 3
 EMB_DIM = 64  # driver testdata embeddings.parquet dimensionality
 
@@ -414,16 +416,76 @@ def q_smart_crawl_webpage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K1/K2: greedy chunker (200-char windows) + per-chunk section stats."""
+    """K1/K2 + HTML→markdown extraction (r4), three tagged legs:
+
+    - ``doc``: greedy chunker (200-char windows) + per-chunk section stats
+      over the documents table (the original gate).
+    - ``html_md``: the extraction operator itself — gen_html_pages renders
+      raw HTML from closed-form id formulas; functions/html.html_to_markdown
+      (Arrow-batched projection) converts it; the oracle restates the
+      expected markdown character-for-character in SQL. Covers the pipeline
+      stage the reference delegates to crawl4ai's DefaultMarkdownGenerator
+      (src/crawl4ai_mcp.py:948,1016).
+    - ``html_chunk``: the composed path — the extracted markdown fed
+      through the SAME chunker+section-info pipeline (chunk_size=800; the
+      synthetic page is provably < 800 chars, so exactly one chunk equal to
+      the stripped markdown, keeping the oracle closed-form).
+    """
+    from mcp_crawl4ai_rag_spark.functions.html import extract_markdown
+    from mcp_crawl4ai_rag_spark.sources.corpus import gen_html_pages
+
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     chunks = explode_chunks(docs, text_col="text", chunk_size=200)
     chunks = with_section_info(chunks, "content")
-    return chunks.select(
-        "doc_id",
+    leg_doc = chunks.select(
+        F.lit("doc").alias("leg"),
+        F.col("doc_id").cast("string").alias("key"),
         F.col("chunk_number").cast("long").alias("chunk_number"),
         "content",
         F.col("char_count").cast("long").alias("char_count"),
         F.col("word_count").cast("long").alias("word_count"),
+    )
+    n = max(_lineitem_count(spark, sf_dir) // 30, 100)
+    md = extract_markdown(gen_html_pages(spark, n), "raw_html", "markdown")
+    leg_md = md.select(
+        F.lit("html_md").alias("leg"),
+        F.col("url").alias("key"),
+        F.lit(0).cast("long").alias("chunk_number"),
+        F.col("markdown").alias("content"),
+        F.length("markdown").cast("long").alias("char_count"),
+        F.size(F.regexp_extract_all(F.col("markdown"), F.lit(r"\S+"), 0))
+        .cast("long")
+        .alias("word_count"),
+    )
+    hchunks = with_section_info(
+        explode_chunks(
+            md.select("url", "markdown"), text_col="markdown", chunk_size=800
+        ),
+        "content",
+    )
+    leg_hc = hchunks.select(
+        F.lit("html_chunk").alias("leg"),
+        F.col("url").alias("key"),
+        F.col("chunk_number").cast("long").alias("chunk_number"),
+        "content",
+        F.col("char_count").cast("long").alias("char_count"),
+        F.col("word_count").cast("long").alias("word_count"),
+    )
+    return leg_doc.unionByName(leg_md).unionByName(leg_hc)
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only leg: HTML→markdown extraction throughput — one Arrow
+    projection over the raw-html corpus, reduced to a scalar so the bench
+    times the full conversion, not result materialization."""
+    from mcp_crawl4ai_rag_spark.functions.html import extract_markdown
+    from mcp_crawl4ai_rag_spark.sources.corpus import gen_html_pages
+
+    n = max(_lineitem_count(spark, sf_dir) // 3, 100)
+    md = extract_markdown(gen_html_pages(spark, n), "raw_html", "markdown")
+    return md.select(
+        F.count("*").cast("long").alias("n_pages"),
+        F.sum(F.length("markdown")).cast("long").alias("total_chars"),
     )
 
 
@@ -2170,12 +2232,41 @@ GROUP BY 1
 
 
 def _oracle_chunk_documents() -> str:
-    # documents.text has no '\n\n', no '```', no '. ' → the greedy chunker
-    # degenerates to exact 200-char slices (verified by the engine's own
-    # chunker semantics; see functions/chunking.py).
+    # leg 'doc': documents.text has no '\n\n', no '```', no '. ' → the
+    # greedy chunker degenerates to exact 200-char slices (verified by the
+    # engine's own chunker semantics; see functions/chunking.py).
+    # legs 'html_md'/'html_chunk': the expected EXTRACTED markdown restated
+    # character-for-character from gen_html_pages' closed-form id formulas
+    # (sources/corpus.py) — heading markers, entity decodes, fence, list,
+    # link/image rewrites, whitespace normalization all included. The
+    # html_chunk leg equals the markdown because the page is < 800 chars
+    # (single-chunk degeneracy, same invariant family as leg 'doc').
+    from mcp_crawl4ai_rag_spark.sources.corpus import oracle_url_sql
+
     piece = "trim(substr(d.text, CAST(ks.k * 200 + 1 AS INTEGER), 200))"
+    nl = "chr(10)"
+    nl2 = f"{nl} || {nl}"
+    u0 = oracle_url_sql(f"(31*i + 1) % {_HTML_N_SQL}")
+    u2 = oracle_url_sql(f"(31*i + 15) % {_HTML_N_SQL}")
+    host = f"(CASE WHEN i % {C.HOT_HOST_MOD} = 0 THEN 0 ELSE i % {C.N_HOSTS} END)"
+    md = (
+        f"'# Page ' || i || {nl2} || "
+        f"'Synthetic host h' || {host} || '.example.com body text with words."
+        f" More sentences here.' || {nl2} || "
+        f"'## Section' || {nl2} || "
+        f"'```' || {nl} || 'code block line ' || (i % 13) || {nl} || '```' || {nl2} || "
+        f"'Tail paragraph ' || rtrim(repeat('filler' || (i % 17) || ' ', 12)) || {nl2} || "
+        f"'- alpha ' || (i % 7) || {nl} || '- beta & gamma' || {nl2} || "
+        f"'See [next page](' || {u0} || ') and [more](' || {u2} || ') and "
+        f"![pic ' || i || '](https://h' || {host} || '.example.com/img_' || i || '.png)'"
+    )
     return f"""
-SELECT d.doc_id,
+WITH mdq AS (
+    SELECT {C.oracle_url_sql('i')} AS url, {md} AS md
+    FROM (SELECT unnest(generate_series(0, {_HTML_N_SQL} - 1)) AS i)
+)
+SELECT 'doc' AS leg,
+       CAST(d.doc_id AS VARCHAR) AS key,
        CAST(ks.k AS BIGINT) AS chunk_number,
        {piece} AS content,
        CAST(length({piece}) AS BIGINT) AS char_count,
@@ -2184,6 +2275,16 @@ FROM documents d
 JOIN (SELECT unnest(generate_series(0, (SELECT CAST((max(length(text)) - 1) // 200 AS BIGINT) FROM documents))) AS k) ks
   ON ks.k <= (length(d.text) - 1) // 200
 WHERE length(d.text) > 0
+UNION ALL
+SELECT 'html_md', url, CAST(0 AS BIGINT), md,
+       CAST(length(md) AS BIGINT),
+       CAST(len(regexp_extract_all(md, '{_WS_RE}')) AS BIGINT)
+FROM mdq
+UNION ALL
+SELECT 'html_chunk', url, CAST(0 AS BIGINT), md,
+       CAST(length(md) AS BIGINT),
+       CAST(len(regexp_extract_all(md, '{_WS_RE}')) AS BIGINT)
+FROM mdq
 """
 
 

@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "sources_distinct",
     "doc_token_stats",
     "chunk_documents",
+    "html_extract",
     "quality_score",
     "lang_id",
     "exact_dedup",

@@ -189,6 +189,53 @@ def gen_pages(spark: SparkSession, n: int, partitions: int = 32) -> DataFrame:
     )
 
 
+def gen_html_pages(spark: SparkSession, n: int, partitions: int = 32) -> DataFrame:
+    """Raw-HTML corpus for the HTML→markdown extraction stage (the input
+    shape crawl4ai's generator consumes before the reference ever sees
+    ``result.markdown``, src/crawl4ai_mcp.py:948). Rendered from the same
+    modular id formulas as :func:`gen_pages` — headings, bold, entities
+    (&nbsp; &amp;), a fenced code block, a list, double- and single-quoted
+    links to graph edge targets, an image tag, plus comment/style/script
+    noise the extractor must drop — so the expected extracted markdown has
+    a closed form the DuckDB oracle restates."""
+    df = spark.range(0, n, 1, partitions)
+    i = F.col("id")
+    host = _host_expr(i)
+    hostname = F.concat(F.lit("h"), host.cast("string"), F.lit(".example.com"))
+    url = _url_expr(i)
+
+    def turl(j: int):
+        return _url_expr((i * EDGE_A + F.lit(EDGE_B * j + EDGE_C)) % F.lit(n))
+
+    img_src = F.concat(
+        F.lit("https://"), hostname, F.lit("/img_"), i.cast("string"), F.lit(".png")
+    )
+    filler = F.repeat(
+        F.concat(F.lit("filler"), (i % 17).cast("string"), F.lit(" ")), 12
+    )
+    raw_html = F.concat(
+        F.lit("<html><head><title>Page "), i.cast("string"),
+        F.lit("</title><style>body { margin: 0; }</style></head>\n<body>\n<!-- gen page "),
+        i.cast("string"),
+        F.lit(" -->\n<h1>Page "), i.cast("string"),
+        F.lit("</h1>\n<p>Synthetic host <b>"), hostname,
+        F.lit("</b> body text with&nbsp;words. More sentences here.</p>\n"
+              "<h2>Section</h2>\n<pre><code>code block line "),
+        (i % 13).cast("string"),
+        F.lit("</code></pre>\n<p>Tail paragraph "), filler,
+        F.lit("</p>\n<ul><li>alpha "), (i % 7).cast("string"),
+        F.lit('</li><li>beta &amp; gamma</li></ul>\n<p>See <a href="'), turl(0),
+        F.lit("\">next page</a> and <a href='"), turl(2),
+        F.lit("'>more</a> and <img src=\""), img_src,
+        F.lit('" alt="pic '), i.cast("string"),
+        F.lit('"/></p>\n<script>var x = '), i.cast("string"),
+        F.lit(";</script>\n</body></html>"),
+    )
+    return df.select(
+        i.alias("page_id"), url.alias("url"), raw_html.alias("raw_html")
+    )
+
+
 IMAGES_SCHEMA = StructType(
     [
         StructField("image_id", StringType()),
