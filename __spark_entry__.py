@@ -3963,7 +3963,16 @@ def _oracle_bm25_paths() -> str:
 
 def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3 + token counting + language-ID + quality scoring in ONE codegen
-    projection over documents — the per-document scalar-signal family."""
+    projection over documents — the per-document scalar-signal family —
+    plus (r4) the vendored mini-BPE tokenizer (C9): real token count and
+    the reference's encode→slice→decode truncation boundary at 64 tokens
+    (src/utils.py:167-185), hash-verified against a rank-replay BPE twin
+    in the oracle builder."""
+    from mcp_crawl4ai_rag_spark.functions.tokenizer import (
+        mbpe_count_udf,
+        mbpe_truncate_udf,
+    )
+
     t = F.col("text")
     return _docs(spark, sf_dir).select(
         "doc_id",
@@ -3973,16 +3982,93 @@ def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         punct_count(t).cast("long").alias("punct_chars"),
         lang_id_expr(t).alias("lang_pred"),
         quality_score_expr(t).alias("quality"),
+        mbpe_count_udf()(t).alias("mbpe_tokens"),
+        F.md5(mbpe_truncate_udf(64)(t)).alias("mbpe_cut64_md5"),
     )
+
+
+def _mbpe_twin_rows() -> str:
+    """Rank-replay BPE twin for the mini-BPE gate columns: applies the
+    checked-in merges strictly in rank order, one left-to-right
+    replace-all pass per rank — a DIFFERENT algorithm from the engine's
+    iterative lowest-rank-pair search (functions/tokenizer.py), equivalent
+    because a merge at rank r can only create pairs involving token 256+r,
+    whose own merges all have rank > r (new pairs never out-rank the
+    current one). Expected (doc_id, n_tokens, md5(truncate@64)) are
+    emitted as literals."""
+    import hashlib
+    import os
+
+    import duckdb
+
+    from mcp_crawl4ai_rag_spark.functions.tokenizer import (
+        _PRETOKEN_RE,
+        _load_merges,
+    )
+
+    merges = _load_merges()
+    vocab = [bytes([i]) for i in range(256)]
+    for a, b in merges:
+        vocab.append(vocab[a] + vocab[b])
+
+    cache: dict[str, list[int]] = {}
+
+    def enc_pre(piece: str) -> list[int]:
+        got = cache.get(piece)
+        if got is None:
+            ids = list(piece.encode("utf-8"))
+            for rank, (a, b) in enumerate(merges):
+                if len(ids) < 2:
+                    break
+                nid = 256 + rank
+                j = 0
+                while j < len(ids) - 1:
+                    if ids[j] == a and ids[j + 1] == b:
+                        ids[j : j + 2] = [nid]
+                    else:
+                        j += 1
+            got = cache[piece] = ids
+        return got
+
+    def enc(text: str) -> list[int]:
+        out: list[int] = []
+        for m in _PRETOKEN_RE.finditer(text):
+            out.extend(enc_pre(m.group(0)))
+        return out
+
+    sf_dir = os.environ.get(_ORACLE_SF_DIR_ENV, _ORACLE_SF_DIR_DEFAULT)
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, coalesce(text, '') FROM '{sf_dir}/documents.parquet' "
+        "ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    rows = []
+    for doc_id, text in docs:
+        ids = enc(text)
+        cut = (
+            text
+            if len(ids) <= 64
+            else b"".join(vocab[i] for i in ids[:64]).decode(
+                "utf-8", errors="replace"
+            )
+        )
+        h = hashlib.md5(cut.encode("utf-8")).hexdigest()
+        rows.append(f"({int(doc_id)}, {len(ids)}, '{h}')")
+    return ",\n        ".join(rows)
 
 
 def _oracle_text_signals() -> str:
     return f"""
 SELECT s.doc_id, s.char_count, s.ws_tokens, s.bpe_tokens, s.punct_chars,
-       l.lang_pred, q.quality
+       l.lang_pred, q.quality,
+       CAST(b.mbpe_tokens AS BIGINT) AS mbpe_tokens,
+       b.mbpe_cut64_md5
 FROM ({_oracle_doc_token_stats().strip()}) s
 JOIN ({_oracle_lang_id().strip()}) l USING (doc_id)
 JOIN ({_oracle_quality_score().strip()}) q USING (doc_id)
+JOIN (VALUES {_mbpe_twin_rows()})
+     b(doc_id, mbpe_tokens, mbpe_cut64_md5) ON b.doc_id = s.doc_id
 """
 
 

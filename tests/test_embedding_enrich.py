@@ -117,6 +117,89 @@ def test_tokenizer_truncation_boundary():
     assert active.count(cut) <= MAX_EMBED_TOKENS < active.count(long)
 
 
+_BPE_FIXTURES = [
+    "",
+    "hello world",
+    "word " * 10000,                       # > 8191 tokens
+    "a.b,c;d:e!f?g(h)i[j]k{l}m",           # punctuation-dense
+    "naïve café — über-Straße №5",         # accents / unicode punct
+    "print('hi')\n\tfor i in range(10):\n\t\tpass\n" * 400,  # code
+    "数据处理流水线" * 2000,                 # CJK (multi-byte tokens)
+    "🙂🚀🎉 emoji stream " * 1500,          # surrogate-heavy
+    "  leading and   irregular \t whitespace\n\n" * 500,
+]
+
+
+def test_minibpe_conformance():
+    """The C9 contract executes IN-SANDBOX against the vendored mini-BPE
+    (no skip): an independent rank-replay BPE twin (apply merges strictly
+    in rank order — a different algorithm from the engine's iterative
+    lowest-rank search) reproduces count and the reference truncation
+    policy (encode → slice → decode, src/utils.py:167-185) on the same
+    fixture set the tiktoken conformance test uses."""
+    from mcp_crawl4ai_rag_spark.functions.tokenizer import (
+        MAX_EMBED_TOKENS,
+        _PRETOKEN_RE,
+        _load_merges,
+        mini_bpe,
+    )
+
+    merges = _load_merges()
+    assert len(merges) >= 256  # a real trained table, not a stub
+    vocab = [bytes([i]) for i in range(256)]
+    for a, b in merges:
+        vocab.append(vocab[a] + vocab[b])
+
+    def twin_encode(text):
+        out = []
+        for m in _PRETOKEN_RE.finditer(text):
+            ids = list(m.group(0).encode("utf-8"))
+            for rank, (a, b) in enumerate(merges):
+                if len(ids) < 2:
+                    break
+                j = 0
+                while j < len(ids) - 1:
+                    if ids[j] == a and ids[j + 1] == b:
+                        ids[j : j + 2] = [256 + rank]
+                    else:
+                        j += 1
+            out.extend(ids)
+        return out
+
+    tok = mini_bpe()
+    for text in _BPE_FIXTURES:
+        ids = twin_encode(text)
+        assert tok.count(text) == len(ids)
+        assert tok.encode(text) == ids
+        assert tok.decode(ids) == text  # pre-tokens partition ⇒ round-trip
+        for k in (0, 1, 7, 100, MAX_EMBED_TOKENS):
+            want = (
+                text
+                if len(ids) <= k
+                else b"".join(vocab[i] for i in ids[:k]).decode(
+                    "utf-8", errors="replace"
+                )
+            )
+            assert tok.truncate(text, k) == want, (len(text), k)
+    # in this sandbox (no tiktoken) the factory must pick the mini-BPE
+    import importlib.util
+
+    if importlib.util.find_spec("tiktoken") is None:
+        from mcp_crawl4ai_rag_spark.functions.tokenizer import get_tokenizer
+
+        assert get_tokenizer().name == "mini-bpe-512"
+
+
+def test_minibpe_merges_actually_compress():
+    """English text must tokenize well below byte count — the merges table
+    is trained, not decorative."""
+    from mcp_crawl4ai_rag_spark.functions.tokenizer import mini_bpe
+
+    tok = mini_bpe()
+    text = "the crawl frontier schedule with politeness and robots " * 50
+    assert tok.count(text) < len(text.encode("utf-8")) * 0.55
+
+
 def test_tiktoken_conformance_when_available():
     """Auto-skip conformance: wherever tiktoken IS installed, the adapter
     must reproduce the reference's exact truncation boundary
