@@ -72,7 +72,6 @@ from mcp_crawl4ai_rag_spark.plans.rag import (
     build_chunks,
     search_documents,
     store_documents,
-    store_documents_incremental,
 )
 from mcp_crawl4ai_rag_spark.plans.smart import smart_crawl
 from mcp_crawl4ai_rag_spark.sources import corpus as C
@@ -1437,6 +1436,53 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         probes, ["qid", "cid"], "left_semi"
     )
 
+    # PQ legs (r4): the round-3 serving capstones measured, not asserted —
+    # ADC shortlist (rerank 20 per query) + exact-cosine rescore, flat
+    # (pq_topk's plan) and IVF-probe-pruned (ivfpq_query_index's plan).
+    # Codes are query-independent (computed once on the corpus side of the
+    # join); the ADC score is an explicit t0+t1+t2+t3 of float64 left-fold
+    # slice distances so the oracle's rank-identical restatement is
+    # bit-exact.
+    from mcp_crawl4ai_rag_spark.operators.similarity import pq_codes_expr
+
+    cb_rows = sorted(centroids.collect(), key=lambda r: r["cid"])
+    sub = EMB_DIM // _PQ_M
+    corpus_pq = corpus.withColumn(
+        "codes", pq_codes_expr(cb_rows, _PQ_M, "embedding")
+    )
+    pairs_pq = corpus_pq.join(F.broadcast(qs)).withColumn(
+        "sim", F.round(cosine_expr(F.col("embedding"), F.col("qvec")), 4)
+    )
+    adc = None
+    for j in range(_PQ_M):
+        cb_slice = F.array(
+            *[
+                F.array(
+                    *[F.lit(float(v)) for v in r["ce"][j * sub : (j + 1) * sub]]
+                )
+                for r in cb_rows
+            ]
+        )
+        term = l2sq_expr(
+            F.slice(F.col("qvec"), j * sub + 1, sub),
+            F.element_at(cb_slice, F.element_at(F.col("codes"), j + 1)),
+        )
+        adc = term if adc is None else adc + term
+    pairs_adc = pairs_pq.withColumn("__adc", adc)
+    wadc = Window.partitionBy("qid").orderBy(F.asc("__adc"), F.asc("vec_id"))
+    pq_short = (
+        pairs_adc.withColumn("__arn", F.row_number().over(wadc))
+        .where(F.col("__arn") <= 20)
+        .drop("__arn")
+    )
+    ivfpq_short = (
+        pairs_adc.join(assign, "vec_id")
+        .join(probes, ["qid", "cid"], "left_semi")
+        .withColumn("__arn", F.row_number().over(wadc))
+        .where(F.col("__arn") <= 20)
+        .drop("__arn")
+    )
+
     methods = {
         # single-bucket probing vs the radius-1 multi-probe remedy vs IVF
         "lsh1": pairs.where(F.col("bucket") == F.col("qbucket")),
@@ -1444,6 +1490,8 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket"))) <= 1
         ),
         "ivf2of8": ivf_pairs,
+        "pq_adc20": pq_short,
+        "ivfpq_2of8_adc20": ivfpq_short,
     }
     outs = [
         recall_at_k(truth, top5(df), 5).select(
@@ -1457,6 +1505,83 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def _pq_recall_ctes() -> str:
+    """CTE chain for the PQ recall legs: per-subspace code assignment
+    (argmin over centroid slices, ties to lowest cid — exactly
+    pq_codes_expr's array_position-of-min), explicit t0+t1+t2+t3 ADC (the
+    same left-to-right float64 addition order as the Spark expression),
+    rerank-20 shortlist, exact-sim top-5 — flat and IVF-probe-pruned."""
+    sub = EMB_DIM // _PQ_M
+    code_ctes = []
+    code_joins = []
+    terms = []
+    for j in range(_PQ_M):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        d = _sql_l2sq(f"c.embedding[{lo}:{hi}]", f"cents.ce[{lo}:{hi}]")
+        code_ctes.append(
+            f"""pcode{j} AS (
+    SELECT c.vec_id, cents.cid FROM c CROSS JOIN cents
+    QUALIFY row_number() OVER (PARTITION BY c.vec_id
+        ORDER BY {d} ASC, cents.cid ASC) = 1
+)"""
+        )
+        code_joins.append(
+            f"JOIN pcode{j} k{j} ON k{j}.vec_id = p.vec_id "
+            f"JOIN cents e{j} ON e{j}.cid = k{j}.cid"
+        )
+        terms.append(_sql_l2sq(f"q.qvec[{lo}:{hi}]", f"e{j}.ce[{lo}:{hi}]"))
+    adc = " + ".join(terms)
+    joins = "\n    ".join(code_joins)
+    codes_sql = ",\n".join(code_ctes)
+    return f"""{codes_sql},
+padc AS (
+    SELECT p.qid, p.vec_id, p.sim, {adc} AS adc
+    FROM pairs p
+    JOIN q ON q.qid = p.qid
+    {joins}
+),
+pqshort AS (
+    SELECT qid, vec_id, sim FROM (
+        SELECT qid, vec_id, sim,
+               row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS rn
+        FROM padc
+    ) WHERE rn <= 20
+),
+pqtop AS (
+    SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
+        FROM pqshort
+    ) WHERE rn <= 5
+),
+ipshort AS (
+    SELECT p.qid, p.vec_id, p.sim FROM (
+        SELECT p2.qid, p2.vec_id, p2.sim,
+               row_number() OVER (PARTITION BY p2.qid ORDER BY p2.adc ASC, p2.vec_id ASC) AS rn
+        FROM padc p2
+        JOIN assign a ON a.vec_id = p2.vec_id
+        JOIN probes pr ON pr.qid = p2.qid AND pr.cid = a.cid
+    ) p WHERE p.rn <= 20
+),
+iptop AS (
+    SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
+        FROM ipshort
+    ) WHERE rn <= 5
+),
+hitspq AS (
+    SELECT t.qid, count(*) AS h
+    FROM truth t JOIN pqtop l ON t.qid = l.qid AND t.vec_id = l.vec_id
+    GROUP BY t.qid
+),
+hitsipq AS (
+    SELECT t.qid, count(*) AS h
+    FROM truth t JOIN iptop l ON t.qid = l.qid AND t.vec_id = l.vec_id
+    GROUP BY t.qid
+),"""
 
 
 def _oracle_ann_recall() -> str:
@@ -1533,6 +1658,7 @@ ivf AS (
         JOIN probes pr ON pr.qid = p.qid AND pr.cid = a.cid
     ) WHERE rn <= 5
 ),
+{_pq_recall_ctes()}
 hits1 AS (
     SELECT t.qid, count(*) AS h
     FROM truth t JOIN lsh1 l ON t.qid = l.qid AND t.vec_id = l.vec_id
@@ -1560,6 +1686,14 @@ UNION ALL
 SELECT 'ivf2of8' AS method, CAST(q2.qid AS BIGINT) AS qid,
        round(COALESCE(h.h, 0) / 5.0, 4) AS recall
 FROM qids q2 LEFT JOIN hitsi h ON h.qid = q2.qid
+UNION ALL
+SELECT 'pq_adc20' AS method, CAST(q2.qid AS BIGINT) AS qid,
+       round(COALESCE(h.h, 0) / 5.0, 4) AS recall
+FROM qids q2 LEFT JOIN hitspq h ON h.qid = q2.qid
+UNION ALL
+SELECT 'ivfpq_2of8_adc20' AS method, CAST(q2.qid AS BIGINT) AS qid,
+       round(COALESCE(h.h, 0) / 5.0, 4) AS recall
+FROM qids q2 LEFT JOIN hitsipq h ON h.qid = q2.qid
 """
 
 
@@ -2901,7 +3035,19 @@ def q_upsert_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    merged = store_documents_incremental(existing, batch).select(
+    # r4: the merge runs THROUGH the snapshot-committed store (write-new-
+    # generation → fsync → atomic manifest swap; sources/docstore.py), so
+    # the gate covers the crash-safe commit path, not just the plan. Two
+    # commits: gen 0 = the pre-existing store, gen 1 = the batch upsert.
+    import shutil as _shutil
+
+    from mcp_crawl4ai_rag_spark.sources.docstore import DocumentStore
+
+    _store_root = "/dev/shm/mcp_spark_docstore_gate"
+    _shutil.rmtree(_store_root, ignore_errors=True)
+    _store = DocumentStore(spark, _store_root)
+    _store.commit_batch(existing)
+    merged = _store.commit_batch(batch).select(
         "url",
         "chunk_number",
         "content",
