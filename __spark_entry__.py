@@ -179,8 +179,42 @@ def _plane_sql(p: int, dim: int) -> str:
     ) + "]"
 
 
+def _scale_mult(env: str) -> int:
+    """Bench-only corpus multiplier (default 1 = the driver contract).
+    bench.py's compose phase sets these to run the composed e2e gates at
+    10× input — a composition-level scale cell the sf0.1 gates can't see.
+    Oracles are only valid at mult 1; the driver never sets these."""
+    import os
+
+    return max(int(os.environ.get(env, "1")), 1)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mult = _scale_mult("SPARK_GRAFT_DOCS_MULT")
+    if mult > 1:
+        # replicate with disjoint ids and per-replica text variation so
+        # dedup stages see scaled-up yet non-degenerate structure
+        parts = [df]
+        for m in range(1, mult):
+            parts.append(
+                df.select(
+                    (F.col("doc_id") + 10_000_000 * m).alias("doc_id"),
+                    F.concat(
+                        F.col("text"), F.lit(f" replica{m} tail"),
+                    ).alias("text"),
+                    "lang",
+                    "source",
+                    (F.col("n_chars") + F.lit(len(f" replica{m} tail"))).alias(
+                        "n_chars"
+                    ),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+    return df
 
 
 def _docs2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -211,7 +245,8 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lineitem_count(spark: SparkSession, sf_dir: str) -> int:
-    return spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    n = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    return n * _scale_mult("SPARK_GRAFT_N_MULT")
 
 
 def _utc(spark: SparkSession) -> None:

@@ -338,6 +338,140 @@ def _burn(_arg: int) -> int:
     return s
 
 
+def _task_skew(spark, min_stage_id: int, min_tasks: int = 8) -> dict:
+    """Max/median task-duration skew witness over the HEAVY stages of the
+    stages executed since ``min_stage_id`` (Spark UI REST taskSummary).
+    Stages with < min_tasks tasks or < 200 ms median are scheduling noise,
+    not skew signals, and are skipped. Returns the worst ratio plus the
+    stage it came from — 'no task > 2× median on the salted paths' is the
+    pass bar (VERDICT r3 #6)."""
+    import json as _json
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    try:
+        stages = _json.load(
+            urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{app}/stages?status=complete"
+            )
+        )
+    except Exception:
+        return {"err": "ui_unavailable"}
+    worst = None
+    n_heavy = 0
+    for s in stages:
+        if s["stageId"] < min_stage_id or s.get("numCompleteTasks", 0) < min_tasks:
+            continue
+        try:
+            q = _json.load(
+                urllib.request.urlopen(
+                    f"{ui}/api/v1/applications/{app}/stages/{s['stageId']}/"
+                    f"{s['attemptId']}/taskSummary?quantiles=0.5,1.0"
+                )
+            )
+        except Exception:
+            continue
+        med, mx = q["duration"][0], q["duration"][1]
+        if med < 200.0:
+            continue
+        n_heavy += 1
+        ratio = mx / med
+        if worst is None or ratio > worst["max_over_median"]:
+            worst = {
+                "max_over_median": round(ratio, 2),
+                "stage_id": s["stageId"],
+                "n_tasks": s["numCompleteTasks"],
+                "median_ms": round(med),
+                "max_ms": round(mx),
+            }
+    return {"heavy_stages": n_heavy, "worst": worst}
+
+
+def _max_stage_id(spark) -> int:
+    import json as _json
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    try:
+        stages = _json.load(
+            urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/stages")
+        )
+        return max((s["stageId"] for s in stages), default=-1) + 1
+    except Exception:
+        return 0
+
+
+def compose_scale_cell() -> dict:
+    """Composed-gate scale cell (VERDICT r3 #6): run crawl_e2e and
+    pipeline_e2e ONCE at SPARK_GRAFT_COMPOSE_MULT× (default 10× ≈ sf1 when
+    SF_DIR is sf0.1) and record wall time + the max/median task-duration
+    skew witness — the cheapest probe for a composition-level scale cliff
+    (or a salted path silently degrading to one hot task) that the sf0.1
+    gates cannot see. Corpus build (write-once materialization at the new
+    size) is warmed untimed."""
+    import __spark_entry__ as E
+    from mcp_crawl4ai_rag_spark.sources.corpus import materialized_pages
+
+    mult = int(os.environ.get("SPARK_GRAFT_COMPOSE_MULT", "10"))
+    # REST task metrics need the UI; _mk_spark disables it, so this phase
+    # builds its own session
+    spark = _mk_spark_ui(CPUS)
+    cell: dict = {"mult": mult}
+    os.environ["SPARK_GRAFT_N_MULT"] = str(mult)
+    os.environ["SPARK_GRAFT_DOCS_MULT"] = str(mult)
+    try:
+        n = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count() * mult
+        materialized_pages(spark, n).count()  # untimed write-once build
+        qs = E.queries()
+        for name in ("crawl_e2e", "pipeline_e2e"):
+            # cold run: wall time incl. codegen/JIT. warm run: the skew
+            # witness — measured cold, the FIRST wave of tasks (one per
+            # core) all carry whole-stage-codegen compilation (~2 s vs
+            # ~0.25 s later waves, measured) and read as 8x fake "skew";
+            # on a cluster with long-lived executors that cost amortizes,
+            # so steady-state max/median is the honest salt/balance signal
+            t0 = time.time()
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            cold = round(time.time() - t0, 2)
+            spark.catalog.clearCache()
+            wm = _max_stage_id(spark)
+            t0 = time.time()
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            warm = round(time.time() - t0, 2)
+            cell[name] = {
+                "sec_cold": cold,
+                "sec_warm": warm,
+                "skew": _task_skew(spark, wm),
+            }
+            spark.catalog.clearCache()
+    finally:
+        os.environ.pop("SPARK_GRAFT_N_MULT", None)
+        os.environ.pop("SPARK_GRAFT_DOCS_MULT", None)
+        spark.stop()
+    return cell
+
+
+def _mk_spark_ui(cores: int):
+    from mcp_crawl4ai_rag_spark import get_spark
+
+    os.makedirs("/dev/shm/spark-tmp", exist_ok=True)
+    spark = get_spark(
+        app_name=f"bench-compose-local{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=SHUFFLE_PARTITIONS,
+        extra_conf={
+            "spark.local.dir": "/dev/shm/spark-tmp",
+            "spark.driver.memory": "32g",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
+            "spark.ui.enabled": "true",  # REST task metrics for the skew witness
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
 def busy_probe_ms() -> int:
     """Single-thread busy probe (ms for a fixed 3M-iteration loop): only
     slows when something ELSE eats CPU at sample time. THE one probe body
@@ -521,6 +655,18 @@ def main() -> None:
             "probe_ms_per_query": qprobes,
         })
         return
+    if phases == "compose":
+        # standalone compose cell (re-measure after pollution, or quick check)
+        cell = compose_scale_cell()
+        emit({
+            "metric": "urls_scheduled_deduped_per_sec",
+            "value": None, "unit": "sec", "queries": {},
+            "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
+            "scaling": {"compose10x": cell, "loadavg_at_phase_start": {}},
+            "loadavg_at_queries_start": None,
+            "probe_ms_at_queries_end": None,
+        })
+        return
 
     # One FRESH JVM per (phase, parallelism) cell. Round-1 lesson: the
     # kernel scan sharing a JVM with the 16M-row frontier runs inherits its
@@ -573,6 +719,9 @@ def main() -> None:
     spark_klo.stop()
     n_hi = n_lo = FRONTIER_N
 
+    _load("compose")
+    compose = compose_scale_cell()
+
     _load("ceiling")
     ceiling = cpu_ceiling(lo_cores, CPUS)
     # final witness AFTER the last measured cell: each cell's start sample
@@ -617,6 +766,7 @@ def main() -> None:
                     "kernel_speedup": round(k_lo / k_hi, 3),
                     "kernel_efficiency_vs_4x": round(k_lo / k_hi / (CPUS / lo_cores), 3),
                     **ceiling,
+                    "compose10x": compose,
                     "loadavg_at_phase_start": loads,
                 },
             }
