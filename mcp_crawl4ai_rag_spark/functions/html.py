@@ -73,7 +73,11 @@ def html_to_markdown(html: str) -> str:
     the Arrow-batched UDF applies per cell)."""
     if not html:
         return ""
-    s = _COMMENT_RE.sub("", html)
+    # NUL delimits the fence placeholders below; strip it from the input so
+    # adversarial bytes (\x001\x00) can't splice fences or index past the
+    # list and kill the whole Arrow batch. NUL is invalid in HTML anyway.
+    s = html.replace("\x00", "") if "\x00" in html else html
+    s = _COMMENT_RE.sub("", s)
     s = _DROP_RE.sub("", s)
 
     fences: list[str] = []
