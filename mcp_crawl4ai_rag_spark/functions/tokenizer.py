@@ -91,18 +91,33 @@ _PRETOKEN_RE = re.compile(r"[A-Za-z]+|[0-9]+|\s+|[^A-Za-z0-9\s]+")
 _MERGES_FILE = "bpe_merges.txt"
 
 
-def _load_merges() -> list[tuple[int, int]]:
-    import os
+def _merges_text() -> str:
+    """Read the vendored merges table zip-import-safe: under
+    ``spark-submit --py-files pkg.zip`` executors import the package from
+    the zip, where ``open(dirname(__file__)/...)`` raises — the resource
+    reader works in both layouts (north rule: the job ships as a zip)."""
+    try:
+        from importlib import resources
 
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), _MERGES_FILE)
+        return (resources.files(__package__) / _MERGES_FILE).read_text("ascii")
+    except Exception:  # pragma: no cover — non-package import layouts
+        import os
+
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), _MERGES_FILE
+        )
+        with open(path, encoding="ascii") as fh:
+            return fh.read()
+
+
+def _load_merges() -> list[tuple[int, int]]:
     merges: list[tuple[int, int]] = []
-    with open(path, encoding="ascii") as fh:
-        for line in fh:
-            line = line.strip()
-            if not line or line.startswith("#"):
-                continue
-            a, b = line.split()
-            merges.append((int(a), int(b)))
+    for line in _merges_text().splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        a, b = line.split()
+        merges.append((int(a), int(b)))
     return merges
 
 

@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from mcp_crawl4ai_rag_spark.functions.embedding import (
@@ -198,6 +200,51 @@ def test_minibpe_merges_actually_compress():
     tok = mini_bpe()
     text = "the crawl frontier schedule with politeness and robots " * 50
     assert tok.count(text) < len(text.encode("utf-8")) * 0.55
+
+
+def test_minibpe_loads_from_pyfiles_zip(tmp_path):
+    """spark-submit --py-files ships the package as a ZIP: executors import
+    from it, where ``open(dirname(__file__)/bpe_merges.txt)`` raises. The
+    merges loader must go through the zip-safe resource reader — otherwise
+    mbpe UDF tasks crash (and get_tokenizer silently swaps vocabularies)
+    only on real clusters. Simulated here: zip the package, import it in a
+    subprocess whose sys.path holds ONLY the zip + stdlib, and tokenize."""
+    import subprocess
+    import sys
+    import zipfile
+
+    import mcp_crawl4ai_rag_spark as pkg
+
+    pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    zpath = tmp_path / "pkg.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                full = os.path.join(root, f)
+                rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                z.write(full, rel)
+    code = (
+        "import sys\n"
+        f"sys.path.insert(0, {str(zpath)!r})\n"
+        "from mcp_crawl4ai_rag_spark.functions import tokenizer as t\n"
+        "assert t.__file__.startswith(sys.path[0]), t.__file__\n"
+        "tok = t.mini_bpe()\n"
+        "n = tok.count('the crawl frontier schedule')\n"
+        "assert 0 < n < 28, n\n"
+        "assert tok.decode(tok.encode('abc def')) == 'abc def'\n"
+        "print('ZIPOK', n)\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),  # NOT the repo: only the zip provides the package
+        timeout=60,
+    )
+    assert out.returncode == 0, out.stderr
+    assert "ZIPOK" in out.stdout
 
 
 def test_tiktoken_conformance_when_available():
