@@ -525,8 +525,13 @@ def _materialized(spark: SparkSession, name: str, n: int, gen) -> DataFrame:
     import hashlib
     import os
 
-    with open(__file__, "rb") as fh:
-        src = fh.read()
+    # zip-import-safe source read (spark-submit --py-files ships the
+    # package as a zip, where open(__file__) raises): the module loader's
+    # get_source works in both layouts
+    import importlib.util
+
+    spec = importlib.util.find_spec(__name__)
+    src = (spec.loader.get_source(__name__) or "").encode()
     key = hashlib.md5(src + f":{name}:{n}".encode()).hexdigest()[:12]
     path = os.path.join(_CORPUS_CACHE_DIR, f"{name}_{n}_{key}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):

@@ -234,6 +234,12 @@ def test_minibpe_loads_from_pyfiles_zip(tmp_path):
         "n = tok.count('the crawl frontier schedule')\n"
         "assert 0 < n < 28, n\n"
         "assert tok.decode(tok.encode('abc def')) == 'abc def'\n"
+        # corpus cache key derivation (open(__file__) would raise in a zip)
+        "import importlib.util\n"
+        "import mcp_crawl4ai_rag_spark.sources.corpus as c\n"
+        "spec = importlib.util.find_spec(c.__name__)\n"
+        "src = spec.loader.get_source(c.__name__)\n"
+        "assert src and 'def _materialized' in src\n"
         "print('ZIPOK', n)\n"
     )
     out = subprocess.run(
