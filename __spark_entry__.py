@@ -1940,11 +1940,14 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image+audio+video feature extraction (rows-only: binary decode /
-    waveform / frame math is not SQL-expressible): luminance+edge stats,
+    """Image+audio+video feature extraction: luminance+edge stats,
     RMS/zero-crossings, and motion energy, aggregated per modality. One
     gate covers all three mapInPandas extractors; bench times each leg
-    separately (image_features / media_features)."""
+    separately (image_features / media_features). Hash-verified since r4:
+    the binary decode / waveform / frame math is not SQL-expressible, so
+    the oracle regenerates the payloads driver-side with the numpy twin
+    and injects the three expected rows as typed literals
+    (_oracle_media_features)."""
     from mcp_crawl4ai_rag_spark.functions.images import extract_image_features
     from mcp_crawl4ai_rag_spark.functions.media import (
         extract_audio_features,
@@ -2056,8 +2059,11 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full RAG path (rows-only: seeded embedder isn't SQL-expressible):
-    chunk → embed → upsert-store → top-5 retrieval with source filter."""
+    """Full RAG path: chunk → embed → upsert-store → top-5 retrieval with
+    source filter. Hash-verified since r4: the seeded embedder isn't
+    SQL-expressible, so the oracle runs the pure-Python pipeline twin
+    driver-side and injects per-chunk similarities as literals while chunk
+    content is still derived independently in SQL (_oracle_rag_pipeline)."""
     docs = _docs(spark, sf_dir).select(
         F.concat(F.lit("https://docs.example.com/d/"), F.col("doc_id")).alias("url"),
         F.col("text").alias("markdown"),
