@@ -656,13 +656,24 @@ def main() -> None:
         })
         return
     if phases == "compose":
-        # standalone compose cell (re-measure after pollution, or quick check)
+        # standalone compose cell (re-measure after pollution, or quick
+        # check) — witnessed start AND end so a snapshot of this phase is
+        # gate-checked like any other, never vacuously accepted
+        def _wit() -> dict:
+            return {
+                "loadavg": round(os.getloadavg()[0], 1),
+                "probe_ms": busy_probe_ms(),
+                "memstream_mbps": memstream_pass_mbps(),
+            }
+
+        wit = {"compose": _wit()}
         cell = compose_scale_cell()
+        wit["end"] = _wit()
         emit({
             "metric": "urls_scheduled_deduped_per_sec",
             "value": None, "unit": "sec", "queries": {},
             "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
-            "scaling": {"compose10x": cell, "loadavg_at_phase_start": {}},
+            "scaling": {"compose10x": cell, "loadavg_at_phase_start": wit},
             "loadavg_at_queries_start": None,
             "probe_ms_at_queries_end": None,
         })
