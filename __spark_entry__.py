@@ -194,50 +194,82 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     mult = _scale_mult("SPARK_GRAFT_DOCS_MULT")
     if mult > 1:
         # replicate with disjoint ids and per-replica text variation so
-        # dedup stages see scaled-up yet non-degenerate structure
-        parts = [df]
-        for m in range(1, mult):
-            parts.append(
-                df.select(
-                    (F.col("doc_id") + 10_000_000 * m).alias("doc_id"),
-                    F.concat(
-                        F.col("text"), F.lit(f" replica{m} tail"),
-                    ).alias("text"),
-                    "lang",
-                    "source",
-                    (F.col("n_chars") + F.lit(len(f" replica{m} tail"))).alias(
-                        "n_chars"
-                    ),
+        # dedup stages see scaled-up yet non-degenerate structure. ONE
+        # scan + explode(sequence) instead of a mult-way union: the union
+        # shape made plan size O(mult) (a 100× cell would carry 300 scan
+        # branches through the optimizer) and produced one task per
+        # 5000/1000/500-row branch in the composed gates — the 10.33×
+        # max/median "skew" the r4 compose witness tripped on was exactly
+        # the 5000:500 branch row ratio, not a hot key. The exploded shape
+        # keeps every task's row count uniform at any mult — but scan
+        # parallelism is decided by input BYTES, and this corpus is one
+        # tiny file (≈1 split), so the mult× rows would otherwise land on
+        # ~1 task (measured: pipeline_e2e 10× warm 40→100 s). Spreading
+        # the pre-explode base rows first is a trivial shuffle (5k rows)
+        # that restores full-width replication; a real 100-TB input has
+        # thousands of splits and needs neither.
+        df = df.repartition(spark.sparkContext.defaultParallelism * 2)
+        rep = F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("rep")
+        return df.select(rep, "*").select(
+            (F.col("doc_id") + F.lit(10_000_000) * F.col("rep")).alias(
+                "doc_id"
+            ),
+            F.when(F.col("rep") == 0, F.col("text"))
+            .otherwise(
+                F.concat(
+                    F.col("text"),
+                    F.lit(" replica"),
+                    F.col("rep").cast("string"),
+                    F.lit(" tail"),
                 )
             )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+            .alias("text"),
+            "lang",
+            "source",
+            F.when(F.col("rep") == 0, F.col("n_chars"))
+            .otherwise(
+                F.col("n_chars")
+                + F.length(F.concat(F.lit(" replica"), F.col("rep").cast("string"), F.lit(" tail")))
+            )
+            .alias("n_chars"),
+        )
     return df
+
+
+def _planted(docs: DataFrame, twins: list[tuple[int, int]]) -> DataFrame:
+    """Plant near-twin hazards as ONE scan: every doc emits its base row,
+    and every 10th additionally emits, per (id_offset, text_start) in
+    ``twins``, a copy shifted by that offset with text sliced from that
+    1-based start. explode(array_compact) instead of a union of filtered
+    scans — the union shape gave each twin leg its own single-task scan
+    branch (rows ∝ 1/10 vs full), the exact task-granularity cliff the r4
+    compose-cell skew witness flagged on pipeline_e2e."""
+    legs = [
+        F.struct(F.col("doc_id").alias("doc_id"), F.col("text").alias("text"))
+    ]
+    for off, start in twins:
+        legs.append(
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.struct(
+                    (F.col("doc_id") + off).alias("doc_id"),
+                    F.expr(f"substring(text, {start})").alias("text"),
+                ),
+            )
+        )
+    return docs.select(
+        F.explode(F.array_compact(F.array(*legs))).alias("r")
+    ).select("r.doc_id", "r.text")
 
 
 def _docs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    aug = docs.where(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.expr("substring(text, 21)").alias("text"),
-    )
-    return docs.unionByName(aug)
+    return _planted(docs, [(1000000, 21)])
 
 
 def _docs3(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    base = docs.where(F.col("doc_id") % 10 == 0)
-    aug1 = base.select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.expr("substring(text, 21)").alias("text"),
-    )
-    aug2 = base.select(
-        (F.col("doc_id") + 2000000).alias("doc_id"),
-        F.expr("substring(text, 41)").alias("text"),
-    )
-    return docs.unionByName(aug1).unionByName(aug2)
+    return _planted(docs, [(1000000, 21), (2000000, 41)])
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4366,18 +4398,37 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             "555-123-4567 at 10.0.', doc_id % 256, '.7')"
         ).alias("text"),
     )
-    corpus = (
-        pii.unionByName(
-            pii.where(F.col("doc_id") % 5 == 0).select(
-                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    # one scan, not a 3-way union: each doc emits its base row plus the
+    # conditionally-planted hazards via explode(array_compact(...)) — the
+    # union shape gave each leg its own scan branch whose single task
+    # carried 10×/2×/1× the rows (the r4 compose-cell "skew"); exploded,
+    # every task's cost is uniform at any corpus multiplier
+    corpus = pii.select(
+        F.explode(
+            F.array_compact(
+                F.array(
+                    F.struct(
+                        F.col("doc_id").alias("doc_id"),
+                        F.col("text").alias("text"),
+                    ),
+                    F.when(
+                        F.col("doc_id") % 5 == 0,
+                        F.struct(
+                            (F.col("doc_id") + 2000000).alias("doc_id"),
+                            F.col("text").alias("text"),
+                        ),
+                    ),
+                    F.when(
+                        F.col("doc_id") % 10 == 0,
+                        F.struct(
+                            (F.col("doc_id") + 1000000).alias("doc_id"),
+                            F.expr("substring(text, 21)").alias("text"),
+                        ),
+                    ),
+                )
             )
-        ).unionByName(
-            pii.where(F.col("doc_id") % 10 == 0).select(
-                (F.col("doc_id") + 1000000).alias("doc_id"),
-                F.expr("substring(text, 21)").alias("text"),
-            )
-        )
-    )
+        ).alias("r")
+    ).select("r.doc_id", "r.text")
     # stage A: Gopher shape filter (one codegen projection)
     gf = corpus.where(gopher_pass_expr(repetition_stats_expr(F.col("text"))))
     # stage B: PII scrub (codegen regexp chain)
