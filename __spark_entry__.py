@@ -236,6 +236,21 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Even out under-split synthetic inputs: the sf corpus tables are ONE
+    tiny parquet file (one row group → one scan split no matter what
+    maxPartitionBytes says), so every pre-shuffle stage — minhash
+    signatures, shingle sets, gopher/PII regex — would run on a single
+    task. A real 100-TB input arrives in thousands of splits and needs no
+    help; spread only when the scan yields fewer partitions than cores,
+    so well-split inputs (and the mult>1 replicated corpus, already
+    repartitioned) pass through without an extra exchange."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def _planted(docs: DataFrame, twins: list[tuple[int, int]]) -> DataFrame:
     """Plant near-twin hazards as ONE scan: every doc emits its base row,
     and every 10th additionally emits, per (id_offset, text_start) in
@@ -257,7 +272,7 @@ def _planted(docs: DataFrame, twins: list[tuple[int, int]]) -> DataFrame:
                 ),
             )
         )
-    return docs.select(
+    return _spread(docs).select(
         F.explode(F.array_compact(F.array(*legs))).alias("r")
     ).select("r.doc_id", "r.text")
 
@@ -616,7 +631,7 @@ def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_write_index,
     )
 
-    old = _docs(spark, sf_dir).select("doc_id", "text")
+    old = _spread(_docs(spark, sf_dir).select("doc_id", "text"))
     new = old.where(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.expr("substring(text, 21)").alias("text"),
@@ -1337,7 +1352,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     with overlap_frac ≈ 1."""
     from mcp_crawl4ai_rag_spark.operators.corpus_ops import contamination_pairs
 
-    train = _docs(spark, sf_dir).select("doc_id", "text")
+    train = _spread(_docs(spark, sf_dir).select("doc_id", "text"))
     ev = train.where(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 5000000).alias("doc_id"),
         F.expr("substring(text, 101)").alias("text"),
@@ -3652,7 +3667,7 @@ def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     token log-likelihood and perplexity."""
     from mcp_crawl4ai_rag_spark.operators.corpus_ops import unigram_lm_scores
 
-    return unigram_lm_scores(_docs(spark, sf_dir), "doc_id", "text")
+    return unigram_lm_scores(_spread(_docs(spark, sf_dir)), "doc_id", "text")
 
 
 def _oracle_unigram_lm() -> str:
@@ -4390,7 +4405,7 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_lsh_pairs,
     )
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = _spread(_docs(spark, sf_dir).select("doc_id", "text"))
     pii = docs.select(
         "doc_id",
         F.expr(
