@@ -60,7 +60,28 @@ def main() -> int:
     n_store = store.count()
     assert n_store >= n_fetched, n_store
 
-    print(f"SUBMIT-SMOKE OK seen={n_seen} fetched={n_fetched} chunks={n_store}")
+    # r4 zip-safety fixes must hold from inside the shipped artifact:
+    # (a) the mini-BPE merges table loads via importlib.resources (NOT a
+    #     filesystem path — commit 7a80b2f), driver-side AND executor-side;
+    # (b) the html->markdown kernel runs as an executor Arrow UDF.
+    from mcp_crawl4ai_rag_spark.functions.html import extract_markdown
+    from mcp_crawl4ai_rag_spark.functions.tokenizer import (
+        MiniBpeTokenizer,
+        mbpe_truncate_udf,
+    )
+
+    tok = MiniBpeTokenizer()  # driver-side merges load from the zip
+    assert tok.count("the quick brown fox") >= 2
+    sample = docs.limit(8).select(
+        "url",
+        F.concat(F.lit("<h1>T</h1><p>body &amp; tail</p>"), F.col("markdown")).alias("raw_html"),
+    )
+    md = extract_markdown(sample, "raw_html", "md")
+    trunc = md.select(mbpe_truncate_udf(16)(F.col("md")).alias("t"))
+    n_tok = trunc.where(F.length("t") > 0).count()  # executor-side merges load
+    assert n_tok == 8, n_tok
+
+    print(f"SUBMIT-SMOKE OK seen={n_seen} fetched={n_fetched} chunks={n_store} bpe+html=ok")
     spark.stop()
     return 0
 
