@@ -351,3 +351,33 @@ def test_with_embeddings_cached_null_and_empty_text(spark):
     assert cached == direct
     # NULL and "" share one embedding (fillna("") in the clip stage)
     assert cached[0] == cached[1] == cached[3]
+
+
+def test_minibpe_property_roundtrip():
+    """Mini-BPE totality + round-trip over arbitrary unicode (the fixture
+    conformance test pins known texts; this pins the INVARIANTS): the
+    pre-tokenizer partitions every string, so decode(encode(x)) == x
+    exactly; count agrees with encode; truncation is definitionally
+    decode(ids[:k]) (the reference's encode→slice→decode policy,
+    src/utils.py:167-185) and a no-op when k ≥ count."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mcp_crawl4ai_rag_spark.functions.tokenizer import mini_bpe
+
+    tok = mini_bpe()
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=200), st.integers(min_value=0, max_value=64))
+    def check(text, k):
+        ids = tok.encode(text)
+        assert tok.decode(ids) == text          # exact round-trip
+        assert tok.count(text) == len(ids)
+        out = tok.truncate(text, k)
+        if len(ids) <= k:
+            assert out == text                  # no-op past the boundary
+        else:
+            assert out == tok.decode(ids[:k])   # the slice policy, exactly
+        assert tok.truncate(text, 0) == ""
+
+    check()

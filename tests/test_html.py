@@ -103,3 +103,42 @@ def test_extraction_plan_is_single_stage(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_html_to_markdown_properties():
+    """Kernel totality under adversarial input: arbitrary text — including
+    NUL bytes, stray angle brackets, half-open tags, and fence-placeholder
+    shaped bytes (\\x001\\x00) — must never raise, never leak a NUL or a
+    fence placeholder into the output, and must keep <script>/<style>
+    payloads out. An Arrow batch dies whole if one cell throws, so
+    totality IS the scale property here."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    tag_soup = st.sampled_from(
+        ["<", ">", "</p", "<pre>", "</pre>", "<a href='", "\x00", "\x001\x00",
+         "&amp;", "&nbsp;", "<!--", "-->", "<script>", "</script>", "x", " ", "\n"]
+    )
+    docs = st.lists(tag_soup, max_size=40).map("".join) | st.text(max_size=200)
+
+    @settings(max_examples=300, deadline=None)
+    @given(docs)
+    def check(doc):
+        out = html_to_markdown(doc)
+        assert isinstance(out, str)
+        assert "\x00" not in out                    # placeholders never leak
+        assert "<script>" not in out.lower()
+        assert "<style>" not in out.lower()
+
+    check()
+
+
+def test_html_script_payload_never_survives():
+    """The DROP rule must win even when the payload contains markup-ish
+    text that later rules would otherwise rewrite."""
+    out = html_to_markdown(
+        "<p>keep</p><script>var s = '<h1>inject</h1>';</script>"
+        "<style>p::before { content: '<li>'; }</style>"
+    )
+    assert out == "keep"
+    assert "inject" not in out
