@@ -768,10 +768,15 @@ LEFT JOIN nrem ON nrem.doc_id = d.doc_id
 
 
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup cluster formation: MinHash+LSH pair graph (jaccard ≥ 0.5) →
-    hash-min connected components → canonical keep-list. The docs3 corpus
-    plants 3-doc chains (base, +1M, +2M twins) so components must merge
-    transitively."""
+    """Dedup cluster formation, two tagged legs behind one gate:
+    'minhash' — MinHash+LSH pair graph (jaccard ≥ 0.5) → hash-min connected
+    components → canonical keep-list over the docs3 planted-chain corpus;
+    'semantic' — SemDeDup (Abbas et al. 2023, arXiv:2303.09540) over the
+    closed-form embedding corpus with planted twins: trained k-means
+    clusters, within-cluster cosine pairs, keep = least-centroid-similar
+    group member (see :func:`q_semdedup`). Schema
+    (mode, doc_id, component_id, kept, score) — score is the semantic leg's
+    4dp centroid cosine, 0.0 on the minhash leg."""
     docs = _docs3(spark, sf_dir)
     edges = minhash_lsh_pairs(
         docs, min_jaccard=_COMPONENTS_MIN_JACCARD
@@ -782,11 +787,21 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept_ids = canonical_docs(docs, comps).select(
         "doc_id", F.lit(True).alias("kept")
     )
-    return comps.join(kept_ids, "doc_id", "left").select(
+    mh = comps.join(kept_ids, "doc_id", "left").select(
+        F.lit("minhash").alias("mode"),
         "doc_id",
         "component_id",
         F.coalesce(F.col("kept"), F.lit(False)).alias("kept"),
+        F.lit(0.0).alias("score"),
     )
+    sem = q_semdedup(spark, sf_dir).select(
+        F.lit("semantic").alias("mode"),
+        F.col("vec_id").alias("doc_id"),
+        "component_id",
+        F.col("keep").alias("kept"),
+        F.col("cent_sim").alias("score"),
+    )
+    return mh.unionByName(sem)
 
 
 def q_embed_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2660,10 +2675,30 @@ _COMPONENTS_MIN_JACCARD = 0.5
 
 
 def _oracle_dedup_components() -> str:
-    """Transitive closure over the ≥-threshold MinHash pair graph via a
+    """Two tagged legs (see :func:`q_dedup_components`): the minhash leg's
+    transitive closure over the ≥-threshold MinHash pair graph via a
     fixpoint recursive CTE (UNION dedups, so cycles terminate), then
-    component_id = min reachable id; kept ⇔ the doc IS its component's min.
-    Mirrors operators/components.py hash-min semantics exactly."""
+    component_id = min reachable id; kept ⇔ the doc IS its component's min —
+    mirrors operators/components.py hash-min semantics exactly. The semantic
+    leg re-derives SemDeDup end-to-end (:func:`_oracle_semdedup`)."""
+    sel_mh = (
+        "'minhash' AS mode, CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(component_id AS BIGINT) AS component_id, kept, "
+        "CAST(0.0 AS DOUBLE) AS score"
+    )
+    sel_sem = (
+        "'semantic' AS mode, CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(component_id AS BIGINT) AS component_id, kept, "
+        "CAST(score AS DOUBLE) AS score"
+    )
+    return (
+        _tagged(_oracle_dedup_components_minhash(), sel_mh)
+        + "\nUNION ALL\n"
+        + _tagged(_oracle_semdedup(), sel_sem)
+    )
+
+
+def _oracle_dedup_components_minhash() -> str:
     return f"""
 WITH RECURSIVE {_DOCS3_SQL.strip()},
 {_minhash_pairs_ctes('docs3')},
@@ -3658,6 +3693,132 @@ SELECT s.vec_id, round({cos}, 4) AS sim
 FROM s
 ORDER BY sim DESC, s.vec_id
 LIMIT 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup over the closed-form km corpus (+ planted twins)
+# ---------------------------------------------------------------------------
+
+_SEM_MIN_SIM = 0.999
+_SEM_STEP = 10  # every 10th base vector gets a planted semantic twin
+_SEM_OFF = 1_000_000
+
+
+def _sem_embs(spark: SparkSession) -> DataFrame:
+    """The SemDeDup gate corpus: the closed-form km vectors plus, for every
+    ``_SEM_STEP``-th, a perturbed twin (x·0.98 + 0.005 per dim — cosine
+    ≥ 0.9999 to its base, so each (base, twin) pair is a planted duplicate
+    group that must co-cluster and resolve to exactly one keeper)."""
+    i = F.col("id")
+    base = spark.range(_KM_N).select(
+        i.alias("vec_id"), _km_emb_expr(i).alias("embedding")
+    )
+    twins = spark.range(0, _KM_N, _SEM_STEP).select(
+        (i + _SEM_OFF).alias("vec_id"),
+        F.transform(
+            _km_emb_expr(i), lambda x: x * F.lit(0.98) + F.lit(0.005)
+        ).alias("embedding"),
+    )
+    return base.unionByName(twins)
+
+
+def _sem_py_items() -> list[tuple[int, list[float]]]:
+    items = [(i, _km_py_vec(i)) for i in range(_KM_N)]
+    items += [
+        (i + _SEM_OFF, [x * 0.98 + 0.005 for x in _km_py_vec(i)])
+        for i in range(0, _KM_N, _SEM_STEP)
+    ]
+    return items
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) end-to-end: k-means
+    codebook trained distributed (bit-exact vs the Python twin), zero-shuffle
+    cluster assignment, within-cluster cosine pairs (cid equi-join — never
+    all-pairs), connected components, keep = the group member least similar
+    to its centroid. Feeds the ⊕ dedup_components gate as the 'semantic'
+    leg; also a standalone bench leg."""
+    from mcp_crawl4ai_rag_spark.operators.similarity import (
+        semdedup,
+        train_centroids,
+    )
+
+    embs = _sem_embs(spark)
+    cents = train_centroids(embs, _KM_K, iters=_KM_ITERS, sample_n=_KM_SAMPLE)
+    return semdedup(embs, cents, _SEM_MIN_SIM)
+
+
+def _oracle_semdedup() -> str:
+    """DuckDB twin of :func:`q_semdedup`: corpus and twins restated from the
+    closed md5 forms, the TRAINED centroids injected as literals via
+    py_train_centroids (bit-identical to the Spark trainer — the
+    ann_ivf_trained precedent), assignment/pairs/components/keep re-derived
+    entirely in SQL (recursive-CTE closure like the minhash leg)."""
+    from mcp_crawl4ai_rag_spark.operators.similarity import py_train_centroids
+
+    cents = py_train_centroids(
+        _sem_py_items(), _KM_K, iters=_KM_ITERS, sample_n=_KM_SAMPLE
+    )
+    cent_rows = ",\n       ".join(
+        "({}, [{}])".format(cid, ", ".join(repr(x) for x in ce))
+        for cid, ce in cents
+    )
+
+    def dim_expr(d: int) -> str:
+        src = f"'kv:' || CAST(i AS VARCHAR) || ':{d}'"
+        return f"(({_sql_md5int64(src)}) % 1000) / 1000.0"
+
+    emb = "[" + ", ".join(dim_expr(d) for d in range(_KM_DIM)) + "]"
+    return f"""
+WITH RECURSIVE raw AS (
+  SELECT i, {emb} AS v
+  FROM (SELECT unnest(generate_series(0, {_KM_N - 1})) AS i)
+),
+e AS (
+  SELECT i AS vec_id, v AS embedding FROM raw
+  UNION ALL
+  SELECT i + {_SEM_OFF} AS vec_id,
+         list_transform(v, x -> x * 0.98 + 0.005) AS embedding
+  FROM raw WHERE i % {_SEM_STEP} = 0
+),
+c(cid, ce) AS (
+  VALUES {cent_rows}
+),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         {_sql_l2sq('e.embedding', 'c.ce')} AS d
+  FROM e CROSS JOIN c
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY d ASC, c.cid ASC) = 1
+),
+scored AS (
+  SELECT a.vec_id, a.embedding, a.cid,
+         round({_sql_cosine('a.embedding', 'c.ce')}, 4) AS cent_sim
+  FROM assign a JOIN c ON a.cid = c.cid
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM scored a JOIN scored b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE round({_sql_cosine('a.embedding', 'b.embedding')}, 4) >= {_SEM_MIN_SIM}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT vec_id, vec_id FROM e
+  UNION
+  SELECT r.src, x.dst FROM reach r JOIN edges x ON r.dst = x.src
+),
+comp AS (SELECT src AS vec_id, MIN(dst) AS component_id FROM reach GROUP BY src)
+SELECT s.vec_id AS doc_id,
+       cp.component_id,
+       (row_number() OVER (
+            PARTITION BY cp.component_id
+            ORDER BY s.cent_sim ASC, s.vec_id ASC) = 1) AS kept,
+       s.cent_sim AS score
+FROM scored s JOIN comp cp ON s.vec_id = cp.vec_id
 """
 
 

@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "repeated_spans",
     "span_removal",
     "dedup_components",
+    "semdedup",
     "simhash_pairs",
     "corpus_split",
     "vocab_topk",

@@ -651,6 +651,97 @@ def alignment_filter(
     )
 
 
+def semdedup(
+    embs: DataFrame,
+    centroids: DataFrame,
+    min_sim: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication over an embedding column. K-means-cluster the corpus,
+    compare pairs ONLY within a cluster, connect the ≥ ``min_sim`` pairs
+    into duplicate groups, and inside every group keep the single member
+    LEAST similar to its cluster centroid — the paper's rule: the exemplar
+    farthest from the cluster center carries the most marginal information.
+    Ties break to the lowest id; singletons are trivially kept.
+
+    Returns ``(id_col, cid, component_id, cent_sim, keep)`` — one row per
+    input vector, ``cent_sim`` the 4dp-rounded cosine to its own centroid,
+    ``keep`` the dedup verdict (the training corpus is ``keep`` == true).
+
+    Scale shape (the reason this composes instead of re-deriving anything):
+    assignment is :func:`ivf_assign`'s zero-shuffle literal-argmin
+    projection; ``cent_sim`` comes from one K-row broadcast join; candidate
+    pairs are an equi-join on ``cid`` — never all-pairs, and the paper's own
+    knob (cluster count K grows with corpus size) bounds the per-cluster
+    fan-out; duplicate groups reuse the hash-min + pointer-jumping connected
+    components (O(log n) rounds); the keep rule is one map-side-combinable
+    min-struct aggregation equi-joined back on ``component_id``. Every
+    cosine folds left-to-right in float64 and every verdict compares the
+    4dp-rounded value, so a DuckDB oracle restating the same formulas makes
+    bit-identical keep/drop calls.
+
+    Recall caveat (inherent to the paper's method, not this plan): a
+    duplicate pair whose members straddle a cluster boundary is never
+    compared and survives dedup — that is the price of the equi-join shape.
+    Raise K more slowly than corpus size, or run :func:`cosine_pairs`
+    (LSH-blocked) when boundary recall matters more than cost.
+    """
+    from .components import connected_components
+
+    assigned = ivf_assign(embs, centroids, id_col, vec_col)
+    scored = (
+        assigned.join(F.broadcast(centroids), "cid")
+        .select(
+            id_col,
+            vec_col,
+            "cid",
+            F.round(cosine_expr(F.col(vec_col), F.col("ce")), 4).alias(
+                "cent_sim"
+            ),
+        )
+    )
+    a = scored.select(
+        "cid", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = scored.select(
+        "cid", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    pairs = (
+        a.join(b, "cid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_expr(F.col("va"), F.col("vb")), 4).alias("sim"),
+        )
+        .where(F.col("sim") >= F.lit(float(min_sim)))
+    )
+    comps = connected_components(
+        pairs.select("id_a", "id_b"),
+        vertices=scored.select(id_col),
+        id_col=id_col,
+    )
+    member = scored.select(id_col, "cid", "cent_sim").join(comps, id_col)
+    winners = member.groupBy("component_id").agg(
+        F.min(F.struct("cent_sim", id_col)).alias("__w")
+    )
+    return (
+        member.join(winners, "component_id")
+        .select(
+            id_col,
+            "cid",
+            "component_id",
+            "cent_sim",
+            (
+                (F.col("cent_sim") == F.col("__w.cent_sim"))
+                & (F.col(id_col) == F.col(f"__w.{id_col}"))
+            ).alias("keep"),
+        )
+    )
+
+
 def _py_l2sq(a, b) -> float:
     """Left-to-right float64 squared-L2 fold — the Python twin of
     :func:`l2sq_expr` / the oracle's list_reduce (identical IEEE op order,

@@ -594,3 +594,137 @@ def test_image_neardup_retrieval_through_ivfpq(spark, tmp_path):
         n_probe=3, n_sub=M, rerank=10, id_col="image_id", vec_col="features",
     ).collect()
     assert got and got[0]["image_id"] == target, [tuple(r) for r in got]
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup (cluster → within-cluster pairs → keep rule)
+# ---------------------------------------------------------------------------
+
+
+def _fold_dot(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def _fold_cos(a, b):
+    import math
+
+    na = math.sqrt(_fold_dot(a, a))
+    nb = math.sqrt(_fold_dot(b, b))
+    return _fold_dot(a, b) / (na * nb)
+
+
+def _py_semdedup(vecs, cents, min_sim):
+    """Pure-Python twin of operators.similarity.semdedup: identical fold
+    order, identical 4dp rounding, identical tie-breaks."""
+    from mcp_crawl4ai_rag_spark.operators.similarity import _py_l2sq
+
+    cids = sorted(cents)
+    assign = {}
+    for i, v in vecs.items():
+        d = [(_py_l2sq(v, cents[c]), c) for c in cids]
+        assign[i] = min(d)[1]
+    cent_sim = {
+        i: round(_fold_cos(v, cents[assign[i]]), 4) for i, v in vecs.items()
+    }
+    parent = {i: i for i in vecs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = sorted(vecs)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            if assign[a] != assign[b]:
+                continue
+            if round(_fold_cos(vecs[a], vecs[b]), 4) >= min_sim:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    comp = {i: find(i) for i in vecs}
+    winners = {}
+    for i in vecs:
+        key = (cent_sim[i], i)
+        c = comp[i]
+        if c not in winners or key < winners[c]:
+            winners[c] = key
+    return {
+        i: (assign[i], comp[i], cent_sim[i], winners[comp[i]][1] == i)
+        for i in vecs
+    }
+
+
+def _sem_corpus():
+    """50 random vectors + a perturbed twin for every 5th — planted
+    duplicate groups whose members co-cluster by construction."""
+    v = _vecs()
+    vecs = {i: [float(x) for x in v[i]] for i in range(N)}
+    for i in range(0, N, 5):
+        vecs[i + 1000] = [x * 0.98 + 0.005 for x in vecs[i]]
+    return vecs
+
+
+def test_semdedup_matches_python_twin(spark):
+    from mcp_crawl4ai_rag_spark.operators.similarity import semdedup
+
+    vecs = _sem_corpus()
+    v = _vecs()
+    cents = {c: [float(x) for x in v[c]] for c in range(4)}
+    embs = spark.createDataFrame(
+        sorted(vecs.items()), "vec_id long, embedding array<double>"
+    )
+    cents_df = spark.createDataFrame(
+        sorted(cents.items()), "cid int, ce array<double>"
+    )
+    got = {
+        r["vec_id"]: (r["cid"], r["component_id"], r["cent_sim"], r["keep"])
+        for r in semdedup(embs, cents_df, 0.99).collect()
+    }
+    want = _py_semdedup(vecs, cents, 0.99)
+    assert got == want
+    # planted twins form non-trivial groups: exactly one of each pair kept
+    for i in range(0, N, 5):
+        assert got[i][1] == got[i + 1000][1] == i  # co-component, min id
+        assert got[i][3] != got[i + 1000][3]  # exactly one kept
+    # the paper's rule: the kept member is the one LEAST similar to the
+    # centroid (ties to lowest id)
+    for i in range(0, N, 5):
+        a, b = got[i], got[i + 1000]
+        kept, dropped = (a, b) if a[3] else (b, a)
+        assert (kept[2], i if a[3] else i + 1000) <= (
+            dropped[2],
+            i + 1000 if a[3] else i,
+        )
+
+
+def test_semdedup_singletons_kept_and_plan_has_no_cartesian(spark):
+    from mcp_crawl4ai_rag_spark.operators.similarity import semdedup
+
+    vecs = _sem_corpus()
+    v = _vecs()
+    cents = {c: [float(x) for x in v[c]] for c in range(4)}
+    embs = spark.createDataFrame(
+        sorted(vecs.items()), "vec_id long, embedding array<double>"
+    )
+    cents_df = spark.createDataFrame(
+        sorted(cents.items()), "cid int, ce array<double>"
+    )
+    out = semdedup(embs, cents_df, 0.99)
+    rows = out.collect()
+    # every singleton component is kept; exactly one keeper per component
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r["component_id"], []).append(r)
+    for comp, members in by_comp.items():
+        assert sum(m["keep"] for m in members) == 1
+        if len(members) == 1:
+            assert members[0]["keep"]
+    # candidate generation is the cid equi-join, never a cross join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
