@@ -286,6 +286,24 @@ def frontier_epoch(
     return n, elapsed, t_bloom
 
 
+def ladder_rung(n: int) -> dict:
+    """One input-size ladder rung: the full frontier epoch at ``n`` URLs on
+    ``CPUS`` cores in a FRESH JVM (the one-JVM-per-cell lesson). The ladder
+    is the 100×-scale-up witness the core-count cells can't give: at fixed
+    parallelism, URLs/s should hold as the input grows — a super-linear
+    time curve would mean some stage (bloom build, window rank, driver
+    merge) degrades with input size and would cliff long before 10^10."""
+    spark = _mk_spark(CPUS)
+    t, bloom = best_frontier_time(spark, n)
+    spark.stop()
+    return {
+        "n": n,
+        "sec": round(t, 2),
+        "bloom_sec": round(bloom, 2),
+        "urls_per_sec": round(n / t, 1),
+    }
+
+
 def best_frontier_time(spark, n: int, reps: int = 2) -> tuple[float, float]:
     """Warm up (JIT/codegen), then take the best of ``reps`` runs — the
     steady-state (total, bloom-phase) times, least polluted by GC noise.
@@ -664,6 +682,43 @@ def main() -> None:
             "probe_ms_per_query": qprobes,
         })
         return
+    if phases == "ladder":
+        # standalone input-size ladder (all three rungs measured fresh);
+        # per-rung witnesses land under scaling.loadavg_at_phase_start so
+        # the snapshot gate checks them like any scaling cell
+        lloads: dict[str, dict[str, float]] = {}
+
+        def _lwit(tag: str) -> None:
+            lloads[tag] = {
+                "loadavg": round(os.getloadavg()[0], 1),
+                "probe_ms": busy_probe_ms(),
+                "memstream_mbps": memstream_pass_mbps(),
+            }
+
+        rungs = []
+        for n in (FRONTIER_N // 4, FRONTIER_N, FRONTIER_N * 4):
+            _lwit(f"ladder_{n}")
+            rungs.append(ladder_rung(n))
+        _lwit("end")
+        emit({
+            "metric": "urls_scheduled_deduped_per_sec",
+            "value": None, "unit": "sec", "queries": {},
+            "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
+            "scaling": {
+                "input_ladder": {
+                    "cores": CPUS,
+                    "rungs": rungs,
+                    "throughput_linearity_16x": round(
+                        rungs[-1]["urls_per_sec"] / rungs[0]["urls_per_sec"],
+                        3,
+                    ),
+                },
+                "loadavg_at_phase_start": lloads,
+            },
+            "loadavg_at_queries_start": None,
+            "probe_ms_at_queries_end": None,
+        })
+        return
     if phases == "compose":
         # standalone compose cell (re-measure after pollution, or quick
         # check) — witnessed start AND end so a snapshot of this phase is
@@ -739,6 +794,33 @@ def main() -> None:
     spark_klo.stop()
     n_hi = n_lo = FRONTIER_N
 
+    # input-size ladder: quarter / 1× / 4× of FRONTIER_N at fixed CPUS
+    # cores (the 1× rung reuses the frontier_hi cell above — same shape,
+    # same JVM policy). 16× input growth across the ladder.
+    _load("ladder_quarter")
+    rung_q = ladder_rung(FRONTIER_N // 4)
+    _load("ladder_4x")
+    rung_4 = ladder_rung(FRONTIER_N * 4)
+    ladder = {
+        "cores": CPUS,
+        "rungs": [
+            rung_q,
+            {
+                "n": FRONTIER_N,
+                "sec": round(t_hi, 2),
+                "bloom_sec": round(bloom_hi, 2),
+                "urls_per_sec": round(FRONTIER_N / t_hi, 1),
+            },
+            rung_4,
+        ],
+        # ≥ ~0.8 = throughput flat over 16× input: no stage degrades with
+        # input size; the plan's cost is linear in N as the 10^10 frontier
+        # requires
+        "throughput_linearity_16x": round(
+            rung_4["urls_per_sec"] / rung_q["urls_per_sec"], 3
+        ),
+    }
+
     _load("compose")
     compose = compose_scale_cell()
 
@@ -786,6 +868,7 @@ def main() -> None:
                     "kernel_speedup": round(k_lo / k_hi, 3),
                     "kernel_efficiency_vs_4x": round(k_lo / k_hi / (CPUS / lo_cores), 3),
                     **ceiling,
+                    "input_ladder": ladder,
                     "compose10x": compose,
                     "loadavg_at_phase_start": loads,
                 },
