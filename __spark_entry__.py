@@ -879,31 +879,119 @@ _MIX_RATES = {"src0": 0.0, "src1": 0.25, "src2": 0.5, "src3": 1.0}
 _MIX_DEFAULT = 0.75
 
 
-def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic per-source corpus mixing (pretraining data recipe):
-    src0 dropped, src1 kept at 25%, src2 at 50%, src3 fully, everything
-    else at the 75% default — membership a pure function of (salt, id)."""
-    from mcp_crawl4ai_rag_spark.operators.corpus_ops import mix_corpus
+_TMIX_ALPHA = 0.3
+# skewed closed-form source buckets over doc_id%16 — 8:4:2:1:1, so the
+# α-tempered rates genuinely downsample the head ('web') and upsample the
+# tail ('wiki'/'ref' land above rate 2 → duplicated rows)
+_TMIX_CASES = (("web", 8), ("books", 12), ("code", 14), ("wiki", 15))
 
-    return mix_corpus(
+
+def _tmix_source_expr():
+    m = F.pmod(F.col("doc_id"), F.lit(16))
+    out = None
+    for name, bound in _TMIX_CASES:
+        cond = m < bound
+        out = F.when(cond, name) if out is None else out.when(cond, name)
+    return out.otherwise("ref")
+
+
+def _tmix_source_sql() -> str:
+    whens = " ".join(
+        f"WHEN doc_id % 16 < {b} THEN '{n}'" for n, b in _TMIX_CASES
+    )
+    return f"CASE {whens} ELSE 'ref' END"
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing, two tagged legs (pretraining data recipes):
+    'fixed' — explicit per-source rates (src0 dropped, src1 at 25%, src2 at
+    50%, src3 fully, 75% default); 'temperature' — mT5/PaLM α-tempered
+    re-balance (operators/corpus_ops.temperature_mix, α=0.3) over skewed
+    closed-form source buckets: the engine measures the histogram, derives
+    p_s ∝ n_s^α rates, downsamples the head and upsamples the tail by
+    deterministic duplication. Schema (mode, doc_id, source); upsampled
+    rows appear with multiplicity."""
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import (
+        mix_corpus,
+        temperature_mix,
+    )
+
+    fixed = mix_corpus(
         _docs(spark, sf_dir).select("doc_id", "source"),
         _MIX_RATES,
         default_rate=_MIX_DEFAULT,
+    ).select(F.lit("fixed").alias("mode"), "doc_id", "source")
+    tdocs = _docs(spark, sf_dir).select(
+        "doc_id", _tmix_source_expr().alias("source")
     )
+    temp = temperature_mix(tdocs, _TMIX_ALPHA).select(
+        F.lit("temperature").alias("mode"), "doc_id", "source"
+    )
+    return fixed.unionByName(temp)
 
 
 def _oracle_corpus_mix() -> str:
-    from mcp_crawl4ai_rag_spark.operators.corpus_ops import sql_split_fraction
+    """'fixed' restates the literal rate CASE; 'temperature' reads the SAME
+    histogram the engine measures (DuckDB over the sf parquet — the
+    rag_pipeline builder precedent) and calls the SAME
+    temperature_rates(), so the injected rate doubles are bit-identical to
+    the ones the engine derives from its Spark-side histogram; the
+    duplication arithmetic (floor + fractional-hash threshold) is restated
+    over a bounded numbers table."""
+    import os
+
+    import duckdb
+
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import (
+        sql_split_fraction,
+        temperature_rates,
+    )
 
     frac = sql_split_fraction("doc_id", "mix")
     whens = " ".join(
         f"WHEN source = '{s}' THEN {r!r}" for s, r in _MIX_RATES.items()
     )
-    return f"""
-SELECT doc_id, source
+    fixed = f"""
+SELECT 'fixed' AS mode, doc_id, source
 FROM documents
 WHERE {frac} < (CASE {whens} ELSE {_MIX_DEFAULT!r} END)
 """
+    sf_dir = os.environ.get(_ORACLE_SF_DIR_ENV, _ORACLE_SF_DIR_DEFAULT)
+    con = duckdb.connect()
+    hist = con.execute(
+        f"SELECT {_tmix_source_sql()} AS source, count(*) AS n "
+        f"FROM '{sf_dir}/documents.parquet' GROUP BY 1"
+    ).fetchall()
+    con.close()
+    rates = temperature_rates({s: int(n) for s, n in hist}, _TMIX_ALPHA)
+    max_copies = max(int(r) + 1 for r in rates.values())
+    rate_case = " ".join(
+        f"WHEN source = '{s}' THEN {_sql_double(r)}"
+        for s, r in sorted(rates.items())
+    )
+    tfrac = sql_split_fraction("doc_id", "tmix")
+    temp = f"""
+WITH tdocs AS (
+  SELECT doc_id, {_tmix_source_sql()} AS source FROM documents
+),
+rated AS (
+  SELECT doc_id, source,
+         (CASE {rate_case} ELSE CAST(0.0 AS DOUBLE) END) AS rate
+  FROM tdocs
+),
+cop AS (
+  SELECT doc_id, source,
+         CAST(floor(rate) AS BIGINT)
+         + (CASE WHEN {tfrac} < rate - floor(rate) THEN 1 ELSE 0 END)
+         AS n_copies
+  FROM rated
+),
+nums AS (SELECT unnest(generate_series(1, {max_copies})) AS k)
+SELECT 'temperature' AS mode, doc_id, source
+FROM cop JOIN nums ON nums.k <= cop.n_copies
+"""
+    # a WITH cannot follow UNION ALL at top level — wrap the CTE leg
+    return fixed + "\nUNION ALL\n" + _tagged(temp, "mode, doc_id, source")
 
 
 _PR_ITERS = 5

@@ -216,6 +216,70 @@ def mix_corpus(
     )
 
 
+def temperature_rates(
+    counts: dict[str, int], alpha: float, budget: int | None = None
+) -> dict[str, float]:
+    """α-tempered per-source sampling rates — the mT5/PaLM multilingual
+    mixing rule: sample source s with probability p_s ∝ n_s^α (α < 1 damps
+    head sources, boosts tail ones; α=1 is natural, α=0 uniform), then
+    rate_s = budget·p_s / n_s so the mixed corpus totals ``budget`` rows in
+    expectation (default: the input size — a pure re-balance).
+
+    Driver-side on purpose: the source histogram is K-bounded (thousands of
+    sources against 10^10 docs), and keeping the one transcendental (**α)
+    in Python means the engine and any oracle call THIS function and get
+    bit-identical doubles — no cross-engine pow() ULP drift. All folds run
+    in sorted-source order so the result is independent of dict order.
+    """
+    srcs = sorted(counts)
+    w = [float(counts[s]) ** alpha for s in srcs]
+    tot = 0.0
+    for x in w:
+        tot += x
+    if budget is None:
+        b = 0
+        for s in srcs:
+            b += counts[s]
+        budget = b
+    return {
+        s: (float(budget) * (wi / tot)) / float(counts[s])
+        for s, wi in zip(srcs, w)
+    }
+
+
+def temperature_mix(
+    docs: DataFrame,
+    alpha: float,
+    budget: int | None = None,
+    salt: str = "tmix",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Temperature-based corpus re-balancing: compute the per-source
+    histogram (one map-side-combinable groupBy on a low-cardinality key,
+    K rows collected), derive α-tempered rates with
+    :func:`temperature_rates`, and apply them through :func:`mix_corpus` —
+    tail sources upsample by deterministic duplication (rate > 1), head
+    sources downsample (rate < 1), all membership a pure function of
+    (salt, id). Unknown-at-histogram-time sources can't exist (the
+    histogram IS the data), so the default rate is 0."""
+    counts = {
+        r[source_col]: r["n"]
+        for r in docs.groupBy(source_col)
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    rates = temperature_rates(counts, alpha, budget)
+    return mix_corpus(
+        docs,
+        rates,
+        default_rate=0.0,
+        salt=salt,
+        id_col=id_col,
+        source_col=source_col,
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     seq_len: int,

@@ -651,6 +651,45 @@ def alignment_filter(
     )
 
 
+def _semdedup_stages(
+    embs: DataFrame,
+    centroids: DataFrame,
+    min_sim: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """SemDeDup's first two stages, exposed for the plan audit:
+    ``scored`` = (id, vec, cid, cent_sim) via zero-shuffle assignment + a
+    K-row broadcast join; ``pairs`` = within-cluster ≥ min_sim candidate
+    pairs via the cid equi-join (never a cross product)."""
+    assigned = ivf_assign(embs, centroids, id_col, vec_col)
+    scored = assigned.join(F.broadcast(centroids), "cid").select(
+        id_col,
+        vec_col,
+        "cid",
+        F.round(cosine_expr(F.col(vec_col), F.col("ce")), 4).alias(
+            "cent_sim"
+        ),
+    )
+    a = scored.select(
+        "cid", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = scored.select(
+        "cid", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    pairs = (
+        a.join(b, "cid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_expr(F.col("va"), F.col("vb")), 4).alias("sim"),
+        )
+        .where(F.col("sim") >= F.lit(float(min_sim)))
+    )
+    return scored, pairs
+
+
 def semdedup(
     embs: DataFrame,
     centroids: DataFrame,
@@ -690,34 +729,7 @@ def semdedup(
     """
     from .components import connected_components
 
-    assigned = ivf_assign(embs, centroids, id_col, vec_col)
-    scored = (
-        assigned.join(F.broadcast(centroids), "cid")
-        .select(
-            id_col,
-            vec_col,
-            "cid",
-            F.round(cosine_expr(F.col(vec_col), F.col("ce")), 4).alias(
-                "cent_sim"
-            ),
-        )
-    )
-    a = scored.select(
-        "cid", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
-    )
-    b = scored.select(
-        "cid", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
-    )
-    pairs = (
-        a.join(b, "cid")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine_expr(F.col("va"), F.col("vb")), 4).alias("sim"),
-        )
-        .where(F.col("sim") >= F.lit(float(min_sim)))
-    )
+    scored, pairs = _semdedup_stages(embs, centroids, min_sim, id_col, vec_col)
     comps = connected_components(
         pairs.select("id_a", "id_b"),
         vertices=scored.select(id_col),

@@ -673,3 +673,65 @@ def test_split_by_component_is_leakage_safe(spark):
     # the clusters actually straddle under plain hash_split somewhere,
     # otherwise this test proves nothing
     assert any(len({plain[d] for d in c}) > 1 for c in clusters)
+
+
+# ---------------------------------------------------------------------------
+# temperature-based corpus mixing (mT5/PaLM alpha-tempering)
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_rates_properties():
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import temperature_rates
+
+    counts = {"web": 252, "books": 124, "code": 62, "wiki": 31, "ref": 31}
+    total = sum(counts.values())
+    rates = temperature_rates(counts, 0.3)
+    # budget conservation: expected output size == input size
+    assert abs(sum(rates[s] * counts[s] for s in counts) - total) < 1e-9
+    # alpha<1 damps the head and boosts the tail
+    assert rates["web"] < 1.0 < rates["wiki"]
+    assert rates["wiki"] == rates["ref"]  # equal counts, equal rates
+    # alpha=1 is the natural distribution: every rate exactly 1
+    r1 = temperature_rates(counts, 1.0)
+    assert all(abs(r1[s] - 1.0) < 1e-12 for s in counts)
+    # alpha=0 is uniform-over-sources: rate_s = (total/K)/n_s
+    r0 = temperature_rates(counts, 0.0)
+    assert all(
+        abs(r0[s] - (total / len(counts)) / counts[s]) < 1e-12 for s in counts
+    )
+    # explicit budget scales every rate linearly
+    r2 = temperature_rates(counts, 0.3, budget=2 * total)
+    assert all(abs(r2[s] - 2 * rates[s]) < 1e-12 for s in counts)
+
+
+def test_temperature_mix_matches_python_twin(spark):
+    import math
+
+    from collections import Counter
+
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import (
+        temperature_mix,
+        temperature_rates,
+    )
+
+    rows = [(i, "tail" if i % 4 == 0 else "head") for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mix(docs, 0.5).collect()
+    got = Counter((r["doc_id"], r["source"]) for r in out)
+
+    rates = temperature_rates({"head": 150, "tail": 50}, 0.5)
+    assert rates["tail"] > 1.0  # the tail genuinely upsamples
+    want = {}
+    for i, s in rows:
+        r = rates[s]
+        n = int(math.floor(r)) + (1 if _py_frac("tmix", i) < r - math.floor(r) else 0)
+        if n:
+            want[(i, s)] = n
+    assert dict(got) == want
+    # expected-size re-balance: totals stay near the input size
+    assert abs(sum(got.values()) - 200) <= 25
+    # determinism: a second run is identical
+    again = Counter(
+        (r["doc_id"], r["source"]) for r in temperature_mix(docs, 0.5).collect()
+    )
+    assert again == got

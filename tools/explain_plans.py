@@ -679,6 +679,47 @@ def main():
         ],
     ))
 
+    # SemDeDup: candidate generation must be the cid equi-join (never a
+    # cross product) over the zero-shuffle assignment, and the keep rule a
+    # map-side-combinable min-struct aggregation; the codebook joins in as
+    # a K-row broadcast on both stages.
+    from mcp_crawl4ai_rag_spark.operators.similarity import (
+        _semdedup_stages,
+        semdedup,
+    )
+
+    sd_embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    sd_cents = sd_embs.where(F.col("vec_id") < 4).selectExpr(
+        "CAST(vec_id AS INT) AS cid", "embedding AS ce"
+    )
+    _scored, sd_pairs = _semdedup_stages(sd_embs, sd_cents, 0.99)
+    sdp_plan = formatted(sd_pairs)
+    checks = [
+        ("BroadcastHashJoin", "K-row codebook broadcast for centroid scoring"),
+        ("Join", "within-cluster candidates from the cid equi-join"),
+    ]
+    if "CartesianProduct" in sdp_plan or "BroadcastNestedLoop" in sdp_plan:
+        checks.append(("never", "CROSS JOIN FOUND — candidates must come from the cid equi-join"))
+    sections.append((
+        "SemDeDup candidate stage (zero-shuffle assignment + cid equi-join pairs)",
+        sdp_plan,
+        checks,
+    ))
+    sd_plan = formatted(semdedup(sd_embs, sd_cents, 0.99))
+    checks = [
+        ("partial_min", "keep-rule winner election combines map-side"),
+        ("BroadcastHashJoin", "codebook/winner joins broadcast the small side"),
+    ]
+    if "Window" in sd_plan:
+        checks.append(("never", "WINDOW FOUND — the keep rule must be the min-struct aggregation, not a component-partitioned window"))
+    sections.append((
+        "SemDeDup keep rule (min-struct aggregation joined back on component)",
+        sd_plan,
+        checks,
+    ))
+
     # crawl_e2e composition gate: PageRank priorities survive the
     # bloom+anti-join dedup into the budgeted pop, in ONE plan
     e2e = E.q_crawl_e2e(spark, sf_dir)
