@@ -735,3 +735,44 @@ def test_temperature_mix_matches_python_twin(spark):
         (r["doc_id"], r["source"]) for r in temperature_mix(docs, 0.5).collect()
     )
     assert again == got
+
+
+def test_temperature_rates_property_invariants():
+    """Hypothesis sweep: budget conservation, positivity, α-monotonicity
+    (α<1 favors small sources, α>1 large ones), equal-count symmetry, and
+    dict-order independence — for arbitrary histograms and temperatures."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import temperature_rates
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        counts=st.dictionaries(
+            st.text(alphabet="abcdefgh", min_size=1, max_size=4),
+            st.integers(1, 10**9),
+            min_size=1,
+            max_size=12,
+        ),
+        alpha=st.floats(0.0, 1.5, allow_nan=False, allow_infinity=False),
+    )
+    def check(counts, alpha):
+        rates = temperature_rates(counts, alpha)
+        total = sum(counts.values())
+        got = 0.0
+        for s in sorted(counts):
+            got += rates[s] * counts[s]
+        assert abs(got - total) <= 1e-9 * total
+        assert all(r > 0.0 for r in rates.values())
+        by_n = sorted(counts, key=lambda s: (counts[s], s))
+        for a, b in zip(by_n, by_n[1:]):
+            if counts[a] == counts[b]:
+                assert rates[a] == rates[b]
+            elif alpha < 1.0:
+                assert rates[a] >= rates[b] * (1 - 1e-12)
+            elif alpha > 1.0:
+                assert rates[a] <= rates[b] * (1 + 1e-12)
+        rev = dict(reversed(list(counts.items())))
+        assert temperature_rates(rev, alpha) == rates
+
+    check()
