@@ -728,3 +728,40 @@ def test_semdedup_singletons_kept_and_plan_has_no_cartesian(spark):
     # candidate generation is the cid equi-join, never a cross join
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_semdedup_duplicate_recall_vs_all_pairs(spark):
+    """Quantify the documented recall trade-off: every true ≥min_sim pair
+    whose members share a cluster must co-component (within-cluster recall
+    is exact by construction); overall pair recall on this corpus is pinned
+    ≥ 0.9 so a silent assignment regression (e.g. a perturbed argmin
+    scattering twins across clusters) trips the gate."""
+    from mcp_crawl4ai_rag_spark.operators.similarity import semdedup
+
+    vecs = _sem_corpus()
+    v = _vecs()
+    cents = {c: [float(x) for x in v[c]] for c in range(4)}
+    embs = spark.createDataFrame(
+        sorted(vecs.items()), "vec_id long, embedding array<double>"
+    )
+    cents_df = spark.createDataFrame(
+        sorted(cents.items()), "cid int, ce array<double>"
+    )
+    out = {
+        r["vec_id"]: (r["cid"], r["component_id"])
+        for r in semdedup(embs, cents_df, 0.99).collect()
+    }
+    ids = sorted(vecs)
+    truth = [
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if round(_fold_cos(vecs[a], vecs[b]), 4) >= 0.99
+    ]
+    assert truth  # non-vacuous: the planted twins are in there
+    same_cluster = [(a, b) for a, b in truth if out[a][0] == out[b][0]]
+    hit = [(a, b) for a, b in truth if out[a][1] == out[b][1]]
+    # exactness where the method looks: every same-cluster true pair found
+    assert all(out[a][1] == out[b][1] for a, b in same_cluster)
+    # and the method looks almost everywhere on this corpus
+    assert len(hit) / len(truth) >= 0.9, (len(hit), len(truth))
