@@ -768,15 +768,23 @@ LEFT JOIN nrem ON nrem.doc_id = d.doc_id
 
 
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup cluster formation, two tagged legs behind one gate:
+    """Dedup cluster formation, three tagged legs behind one gate:
     'minhash' — MinHash+LSH pair graph (jaccard ≥ 0.5) → hash-min connected
     components → canonical keep-list over the docs3 planted-chain corpus;
-    'semantic' — SemDeDup (Abbas et al. 2023, arXiv:2303.09540) over the
-    closed-form embedding corpus with planted twins: trained k-means
-    clusters, within-cluster cosine pairs, keep = least-centroid-similar
-    group member (see :func:`q_semdedup`). Schema
-    (mode, doc_id, component_id, kept, score) — score is the semantic leg's
-    4dp centroid cosine, 0.0 on the minhash leg."""
+    'quality' — the SAME components through the quality-aware keeper
+    (operators/components.best_member_keep): each cluster keeps its
+    highest-token-count member (ties → lowest id) — the rule production
+    dedup ships instead of an arbitrary canonical member; 'semantic' —
+    SemDeDup (Abbas et al. 2023, arXiv:2303.09540) over the closed-form
+    embedding corpus with planted twins: trained k-means clusters,
+    within-cluster cosine pairs, keep = least-centroid-similar group
+    member (see :func:`q_semdedup`). Schema
+    (mode, doc_id, component_id, kept, score) — score is the semantic
+    leg's 4dp centroid cosine, the quality leg's token count, 0.0 on the
+    minhash leg."""
+    from mcp_crawl4ai_rag_spark.functions.text import token_count_ws
+    from mcp_crawl4ai_rag_spark.operators.components import best_member_keep
+
     docs = _docs3(spark, sf_dir)
     edges = minhash_lsh_pairs(
         docs, min_jaccard=_COMPONENTS_MIN_JACCARD
@@ -794,6 +802,15 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("kept"), F.lit(False)).alias("kept"),
         F.lit(0.0).alias("score"),
     )
+    qual = best_member_keep(
+        docs, comps, token_count_ws(F.col("text")).cast("long")
+    ).select(
+        F.lit("quality").alias("mode"),
+        "doc_id",
+        "component_id",
+        "kept",
+        F.col("quality").cast("double").alias("score"),
+    )
     sem = q_semdedup(spark, sf_dir).select(
         F.lit("semantic").alias("mode"),
         F.col("vec_id").alias("doc_id"),
@@ -801,7 +818,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("keep").alias("kept"),
         F.col("cent_sim").alias("score"),
     )
-    return mh.unionByName(sem)
+    return mh.unionByName(qual).unionByName(sem)
 
 
 def q_embed_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2763,16 +2780,23 @@ _COMPONENTS_MIN_JACCARD = 0.5
 
 
 def _oracle_dedup_components() -> str:
-    """Two tagged legs (see :func:`q_dedup_components`): the minhash leg's
-    transitive closure over the ≥-threshold MinHash pair graph via a
+    """Three tagged legs (see :func:`q_dedup_components`): the minhash
+    leg's transitive closure over the ≥-threshold MinHash pair graph via a
     fixpoint recursive CTE (UNION dedups, so cycles terminate), then
-    component_id = min reachable id; kept ⇔ the doc IS its component's min —
-    mirrors operators/components.py hash-min semantics exactly. The semantic
-    leg re-derives SemDeDup end-to-end (:func:`_oracle_semdedup`)."""
+    component_id = min reachable id; kept ⇔ the doc IS its component's
+    min — mirrors operators/components.py hash-min semantics exactly. The
+    quality leg re-ranks the SAME components by whitespace token count
+    (ties → lowest id, the best_member_keep struct tie-break). The
+    semantic leg re-derives SemDeDup end-to-end (:func:`_oracle_semdedup`)."""
     sel_mh = (
         "'minhash' AS mode, CAST(doc_id AS BIGINT) AS doc_id, "
         "CAST(component_id AS BIGINT) AS component_id, kept, "
         "CAST(0.0 AS DOUBLE) AS score"
+    )
+    sel_qual = (
+        "'quality' AS mode, CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(component_id AS BIGINT) AS component_id, kept, "
+        "CAST(score AS DOUBLE) AS score"
     )
     sel_sem = (
         "'semantic' AS mode, CAST(doc_id AS BIGINT) AS doc_id, "
@@ -2782,8 +2806,53 @@ def _oracle_dedup_components() -> str:
     return (
         _tagged(_oracle_dedup_components_minhash(), sel_mh)
         + "\nUNION ALL\n"
+        + _tagged(_oracle_dedup_components_quality(), sel_qual)
+        + "\nUNION ALL\n"
         + _tagged(_oracle_semdedup(), sel_sem)
     )
+
+
+def _oracle_dedup_components_quality() -> str:
+    return f"""
+WITH RECURSIVE {_DOCS3_SQL.strip()},
+{_minhash_pairs_ctes('docs3')},
+pairs AS (
+    SELECT id_a, id_b FROM ({_PAIRS_SELECT_SQL.strip()}) p
+    WHERE p.jaccard >= {_COMPONENTS_MIN_JACCARD}
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+    SELECT doc_id, doc_id FROM docs3
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (SELECT src AS doc_id, MIN(dst) AS component_id FROM reach GROUP BY src),
+tc AS (
+    SELECT doc_id, len(regexp_extract_all(text, '{_WS_RE}')) AS tc
+    FROM docs3
+),
+j AS (
+    SELECT comp.doc_id, comp.component_id, tc.tc
+    FROM comp JOIN tc ON tc.doc_id = comp.doc_id
+),
+best AS (
+    SELECT component_id, doc_id AS best_id FROM (
+        SELECT component_id, doc_id,
+               row_number() OVER (
+                 PARTITION BY component_id ORDER BY tc DESC, doc_id ASC
+               ) AS rn
+        FROM j
+    ) WHERE rn = 1
+)
+SELECT j.doc_id, j.component_id,
+       (j.doc_id = best.best_id) AS kept,
+       j.tc AS score
+FROM j JOIN best ON best.component_id = j.component_id
+"""
 
 
 def _oracle_dedup_components_minhash() -> str:
@@ -3911,15 +3980,110 @@ FROM scored s JOIN comp cp ON s.vec_id = cp.vec_id
 
 
 def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet-perplexity-shape filter (operators/corpus_ops.unigram_lm_scores):
-    unigram LM trained on the corpus itself, every document scored by mean
-    token log-likelihood and perplexity."""
-    from mcp_crawl4ai_rag_spark.operators.corpus_ops import unigram_lm_scores
+    """CCNet-perplexity-shape LM filters, two tagged legs (Wenzek et al.
+    2020): 'unigram' — operators/corpus_ops.unigram_lm_scores, unigram LM
+    trained on the corpus itself; 'bigram' —
+    operators/corpus_ops.bigram_lm_scores, the interpolated bigram model
+    (λ·bigram MLE + (1−λ)·unigram backoff, the KenLM shape) over the same
+    corpus. Every document scored by mean token log-likelihood and
+    perplexity; schema (model, doc_id, n_tokens, mean_logprob, ppl)."""
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import (
+        bigram_lm_scores,
+        unigram_lm_scores,
+    )
 
-    return unigram_lm_scores(_spread(_docs(spark, sf_dir)), "doc_id", "text")
+    docs = _spread(_docs(spark, sf_dir))
+    uni = unigram_lm_scores(docs, "doc_id", "text").select(
+        F.lit("unigram").alias("model"), "doc_id", "n_tokens",
+        "mean_logprob", "ppl",
+    )
+    bi = q_bigram_lm(spark, sf_dir).select(
+        F.lit("bigram").alias("model"), "doc_id", "n_tokens",
+        "mean_logprob", "ppl",
+    )
+    return uni.unionByName(bi)
+
+
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone bigram leg (bench cell + the gate's second leg)."""
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import bigram_lm_scores
+
+    return bigram_lm_scores(_spread(_docs(spark, sf_dir)), "doc_id", "text")
 
 
 def _oracle_unigram_lm() -> str:
+    sel = (
+        "doc_id, n_tokens, mean_logprob, ppl"
+    )
+    return (
+        _tagged(_oracle_unigram_lm_leg(), f"'unigram' AS model, {sel}")
+        + "\nUNION ALL\n"
+        + _tagged(_oracle_bigram_lm_leg(), f"'bigram' AS model, {sel}")
+    )
+
+
+def _oracle_bigram_lm_leg() -> str:
+    """DuckDB twin of bigram_lm_scores: identical IEEE literals (λ and 1−λ
+    repr-formatted from the SAME Python doubles the engine passes to
+    F.lit), identical per-term expression shape; 4dp rounding at the
+    boundary absorbs summation order (the unigram/BM25 precedent)."""
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import BIGRAM_LAM
+
+    lam, om = BIGRAM_LAM, 1.0 - BIGRAM_LAM
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_WS_RE}') AS w
+  FROM documents
+),
+base AS (SELECT doc_id, w, len(w) AS dl FROM toks WHERE len(w) > 0),
+uni AS (
+  SELECT term, count(*) AS c
+  FROM (SELECT unnest(w) AS term FROM base)
+  GROUP BY term
+),
+tot AS (SELECT sum(c) AS t_total FROM uni),
+bg AS (
+  SELECT doc_id, w[i] AS prev, w[i + 1] AS cur
+  FROM base, unnest(generate_series(1, dl - 1)) t(i)
+  WHERE dl > 1
+),
+bgtf AS (
+  SELECT doc_id, prev, cur, count(*) AS tf FROM bg GROUP BY doc_id, prev, cur
+),
+bgc AS (SELECT prev, cur, sum(tf) AS c_bg FROM bgtf GROUP BY prev, cur),
+ctx AS (SELECT prev, sum(c_bg) AS c_ctx FROM bgc GROUP BY prev),
+bll AS (
+  SELECT bgtf.doc_id,
+         sum(CAST(tf AS DOUBLE) * ln(
+           {lam!r} * (CAST(c_bg AS DOUBLE) / CAST(c_ctx AS DOUBLE))
+           + {om!r} * (CAST(u.c AS DOUBLE) / CAST(tot.t_total AS DOUBLE))
+         )) AS ll_bg
+  FROM bgtf
+  JOIN bgc USING (prev, cur)
+  JOIN ctx USING (prev)
+  JOIN uni u ON u.term = bgtf.cur
+  CROSS JOIN tot
+  GROUP BY bgtf.doc_id
+),
+fll AS (
+  SELECT base.doc_id, base.dl,
+         ln(CAST(u.c AS DOUBLE) / CAST(tot.t_total AS DOUBLE)) AS ll0
+  FROM base JOIN uni u ON u.term = w[1] CROSS JOIN tot
+),
+s AS (
+  SELECT fll.doc_id, fll.dl,
+         fll.ll0 + COALESCE(bll.ll_bg, 0.0) AS ll
+  FROM fll LEFT JOIN bll ON bll.doc_id = fll.doc_id
+)
+SELECT doc_id,
+       CAST(dl AS BIGINT) AS n_tokens,
+       round(ll / dl, 4) AS mean_logprob,
+       round(exp(-(ll / dl)), 4) AS ppl
+FROM s
+"""
+
+
+def _oracle_unigram_lm_leg() -> str:
     return f"""
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '{_WS_RE}') AS w
@@ -4002,14 +4166,22 @@ def _qp_feats_df(spark: SparkSession) -> DataFrame:
 
 
 def q_quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed weak-label quality classifier
+    """Data-selection scorers, two tagged legs:
+    'probe' — distributed weak-label quality classifier
     (operators/corpus_ops.train_linear_probe): least-squares linear probe
     fit by exact normal equations — one map-side-combined Gram-matrix
     aggregation over the corpus, exact rational solve on the driver — then
-    every row scored in one codegen projection. The CCNet/fastText-
-    distillation shape for corpus quality filtering; weights are a pure
-    function of the data, so the oracle retrains via the Python twin and
-    scores with the same literals."""
+    every row scored in one codegen projection (the CCNet/fastText-
+    distillation shape; weights are a pure function of the data, so the
+    oracle retrains via the Python twin and scores with the same
+    literals). 'dsir' — Data Selection via Importance Resampling (Xie et
+    al. 2023, arXiv:2302.03169; operators/corpus_ops.dsir_select): hashed
+    unigram+bigram features, per-bucket importance log-ratios under
+    add-λ-smoothed multinomial models (target = the 'de' slice, raw = the
+    whole corpus), Gumbel top-k resampling of the top 20%. Schema
+    (mode, doc_i, score, pred, label) — score is the 4dp probe score /
+    DSIR log-weight, pred the thresholded / resampled verdict, label the
+    weak truth (noisy linear rule / target-language membership)."""
     from mcp_crawl4ai_rag_spark.operators.corpus_ops import (
         linear_probe_score_expr,
         train_linear_probe,
@@ -4018,15 +4190,121 @@ def q_quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = _qp_feats_df(spark)
     w = train_linear_probe(feats, _QP_FEATS, "label")
     score = F.round(linear_probe_score_expr(w, _QP_FEATS), 4)
-    return feats.select(
+    probe = feats.select(
+        F.lit("probe").alias("mode"),
         "doc_i",
         score.alias("score"),
         (score >= 0.5).alias("pred"),
         "label",
     )
 
+    docs = _spread(_docs(spark, sf_dir)).select("doc_id", "lang")
+    sel = q_dsir_select(spark, sf_dir)
+    dsir = sel.join(docs, "doc_id").select(
+        F.lit("dsir").alias("mode"),
+        F.col("doc_id").alias("doc_i"),
+        F.round("log_weight", 4).alias("score"),
+        F.col("selected").alias("pred"),
+        (F.col("lang") == "de").cast("long").alias("label"),
+    )
+    return probe.unionByName(dsir)
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone DSIR leg (bench cell + the gate's second leg): importance
+    resampling of the top 20% of the corpus toward the 'de' target slice."""
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import dsir_select
+
+    docs = _spread(_docs(spark, sf_dir)).select("doc_id", "text")
+    target = _docs(spark, sf_dir).where(F.col("lang") == "de").select(
+        "doc_id", "text"
+    )
+    k = (docs.count() + 4) // 5
+    return dsir_select(docs, target, k)
+
 
 def _oracle_quality_probe() -> str:
+    sel = "doc_i, score, pred, label"
+    return (
+        _tagged(_oracle_quality_probe_leg(), f"'probe' AS mode, {sel}")
+        + "\nUNION ALL\n"
+        + _tagged(_oracle_dsir_leg(), f"'dsir' AS mode, {sel}")
+    )
+
+
+def _oracle_dsir_leg() -> str:
+    """DuckDB twin of dsir_select over the documents table: identical md5
+    bucket hashing, identical smoothing literals (repr of the SAME Python
+    doubles), identical Gumbel keys from the md5 fraction; the top-k rank
+    is a window here (the oracle runs at oracle scale) vs the engine's
+    distributed_rank."""
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import (
+        DSIR_BUCKETS,
+        DSIR_SMOOTH,
+        sql_split_fraction,
+    )
+
+    s = float(DSIR_SMOOTH)
+    ks = s * float(DSIR_BUCKETS)
+    md5f = _sql_md5int64("'dsir:' || a.f")
+    gfrac = sql_split_fraction("d.doc_id", "dsir-g")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_WS_RE}') AS w
+  FROM documents
+),
+unis AS (SELECT doc_id, unnest(w) AS f FROM toks),
+bis AS (
+  SELECT doc_id, w[i] || chr(31) || w[i + 1] AS f
+  FROM toks, unnest(generate_series(1, len(w) - 1)) t(i)
+),
+feats AS (
+  SELECT a.doc_id, ({md5f}) % {DSIR_BUCKETS} AS bucket
+  FROM (SELECT * FROM unis UNION ALL SELECT * FROM bis) a
+),
+tmask AS (SELECT doc_id FROM documents WHERE lang = 'de'),
+ct AS (
+  SELECT bucket, count(*) AS ct
+  FROM feats JOIN tmask USING (doc_id) GROUP BY bucket
+),
+cq AS (SELECT bucket, count(*) AS cq FROM feats GROUP BY bucket),
+tab AS (
+  SELECT COALESCE(ct.bucket, cq.bucket) AS bucket,
+         COALESCE(ct.ct, 0) AS ct, COALESCE(cq.cq, 0) AS cq
+  FROM ct FULL JOIN cq ON ct.bucket = cq.bucket
+),
+tot AS (SELECT sum(ct) AS ct_tot, sum(cq) AS cq_tot FROM tab),
+ratio AS (
+  SELECT bucket,
+         ln((CAST(ct AS DOUBLE) + {s!r}) / (CAST(ct_tot AS DOUBLE) + {ks!r}))
+         - ln((CAST(cq AS DOUBLE) + {s!r}) / (CAST(cq_tot AS DOUBLE) + {ks!r}))
+         AS log_ratio
+  FROM tab CROSS JOIN tot
+),
+dtf AS (SELECT doc_id, bucket, count(*) AS tf FROM feats GROUP BY doc_id, bucket),
+lw AS (
+  SELECT doc_id, sum(CAST(tf AS DOUBLE) * log_ratio) AS log_weight
+  FROM dtf JOIN ratio USING (bucket) GROUP BY doc_id
+),
+scored AS (
+  SELECT d.doc_id, d.lang, COALESCE(lw.log_weight, 0.0) AS log_weight,
+         COALESCE(lw.log_weight, 0.0) + (-ln(-ln({gfrac}))) AS key
+  FROM documents d LEFT JOIN lw ON lw.doc_id = d.doc_id
+),
+kk AS (SELECT (count(*) + 4) // 5 AS k FROM documents),
+rk AS (
+  SELECT doc_id, lang, log_weight,
+         row_number() OVER (ORDER BY key DESC, doc_id) - 1 AS r
+  FROM scored
+)
+SELECT doc_id AS doc_i, round(log_weight, 4) AS score,
+       r < (SELECT k FROM kk) AS pred,
+       CAST(lang = 'de' AS BIGINT) AS label
+FROM rk
+"""
+
+
+def _oracle_quality_probe_leg() -> str:
     from mcp_crawl4ai_rag_spark.operators.corpus_ops import (
         py_train_linear_probe,
         sql_linear_probe_score,

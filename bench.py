@@ -62,7 +62,9 @@ BENCH_QUERIES = [
     "hybrid_rrf",
     "gopher_filter",
     "quality_probe",
+    "dsir_select",
     "unigram_lm",
+    "bigram_lm",
     "pii_scrub",
     "pack_schedule",
     "link_pagerank",

@@ -150,3 +150,42 @@ def canonical_docs(
     survivors_in_graph = docs.join(canon_ids, id_col, "left_semi")
     isolated = docs.join(in_graph, id_col, "left_anti")
     return survivors_in_graph.unionByName(isolated)
+
+
+def best_member_keep(
+    docs: DataFrame,
+    components: DataFrame,
+    quality,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware keeper rule: ``(id, component_id, kept, quality)``
+    with ``kept`` ⇔ the document is its component's HIGHEST-``quality``
+    member (ties → lowest id). What production dedup actually ships —
+    :func:`canonical_docs`' min-id rule keeps an arbitrary member, but a
+    near-dup cluster of a page and its truncated/boilerplate-wrapped
+    variants should survive through its best representative (longest
+    body, best quality score, …).
+
+    ``quality`` is any deterministic numeric Column over ``docs``
+    (token count, a gopher sub-score, a linear-probe score).
+
+    Scale shape: one equi-join components ⋈ docs (components cover every
+    vertex when built with ``vertices=``), then a per-component ``max_by``
+    over ``struct(quality, -id)`` — a map-side-combinable aggregate whose
+    output is one row per component, NEVER a
+    ``row_number() OVER (PARTITION BY component)`` window — and a join
+    back on component_id. The struct encodes the tie-break, so the winner
+    is deterministic under any partitioning (a bare max_by on equal keys
+    is not)."""
+    j = components.join(
+        docs.select(F.col(id_col), quality.alias("__q")), id_col
+    )
+    best = j.groupBy("component_id").agg(
+        F.expr(f"max_by({id_col}, struct(__q, -{id_col}))").alias("__best")
+    )
+    return j.join(best, "component_id").select(
+        F.col(id_col),
+        "component_id",
+        (F.col(id_col) == F.col("__best")).alias("kept"),
+        F.col("__q").alias("quality"),
+    )

@@ -619,6 +619,355 @@ def unigram_lm_scores(
     )
 
 
+def hot_cold_count_join(
+    tf: DataFrame,
+    counts: DataFrame,
+    keys: list[str],
+    cnt_col: str,
+    hot_k: int,
+) -> DataFrame:
+    """Equi-join ``tf`` to the aggregate table ``counts`` on ``keys`` with
+    the top-``hot_k`` rows (by ``cnt_col``) broadcast — the reusable form
+    of :func:`unigram_lm_scores`' inline hot/cold split. By construction
+    the join's hot keys ARE the highest-count rows (token/bigram joins
+    under a Zipf corpus), so the hot branch takes a BroadcastHashJoin with
+    ZERO shuffle while the cold tail equi-joins a hot-free, balanced key
+    space. Output values are identical under any split; the same
+    "AQE's OptimizeSkewedJoin cannot fire here" analysis applies (the
+    counts side carries its final HashAggregate directly under the join)."""
+    if not hot_k:
+        return tf.join(counts, keys)
+    hot = counts.orderBy(F.desc(cnt_col), *keys).limit(hot_k)
+    tagged = tf.join(
+        F.broadcast(hot.withColumnRenamed(cnt_col, "__c_hot")), keys, "left"
+    )
+    hot_rows = (
+        tagged.where(F.col("__c_hot").isNotNull())
+        .withColumn(cnt_col, F.col("__c_hot"))
+        .drop("__c_hot")
+    )
+    cold_rows = (
+        tagged.where(F.col("__c_hot").isNull())
+        .drop("__c_hot")
+        .join(counts, keys)
+    )
+    return hot_rows.unionByName(cold_rows)
+
+
+BIGRAM_LAM = 0.8
+"""Interpolation weight on the bigram MLE term (the unigram term gets
+``1 - BIGRAM_LAM``). Module-level so gate and oracle restate the SAME
+IEEE literals — note ``1.0 - 0.8 == 0.19999999999999996``, not ``0.2``."""
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = BIGRAM_LAM,
+    hot_k: int = 256,
+) -> DataFrame:
+    """Interpolated bigram language-model document scoring — the CCNet /
+    KenLM-perplexity filtering shape one order up from
+    :func:`unigram_lm_scores`: train bigram + unigram MLE models on the
+    corpus itself, score every document by mean token log-likelihood under
+    ``p(w|prev) = λ·c(prev,w)/c(prev,·) + (1−λ)·c(w)/total`` (the first
+    token scores under the unigram model alone), and bucket on
+    ``ppl = exp(-mean_logprob)``. Interpolation plays the role of KenLM's
+    backoff: an unseen-in-context word still gets its unigram mass, so no
+    document scores −inf.
+
+    Returns ``(id, n_tokens, mean_logprob, ppl)``, 4dp at the boundary —
+    the same contract as the unigram scorer, so the two run as tagged legs
+    of one gate.
+
+    Scale shape: tokenization is pinned once (serialized localCheckpoint —
+    three independent aggregations consume the token arrays, and unlike
+    the unigram scorer they share no shuffle stage). Then: per-(doc, prev,
+    cur) tf groupBy (map-side combine — the shuffle carries distinct
+    bigram types per doc, not occurrences); bigram counts and context
+    counts are two further map-side-combined aggregates (context counts
+    aggregate the BIGRAM-COUNT table, vocab-sized, not the corpus); the
+    three model joins (bigram counts on (prev,cur), context counts on
+    (prev), unigram counts on (cur)) all go through
+    :func:`hot_cold_count_join`, so the Zipf-hot head of each key space —
+    the overwhelming majority of token occurrences at web scale — takes
+    broadcast joins with zero shuffle and the cold tails join balanced key
+    spaces. The corpus total is a one-row broadcast. No cross joins beyond
+    it, no per-row Python; ln/exp stay in codegen.
+
+    Float parity: every probability is written as the literal expression
+    ``λ·(CAST(c_bg)/CAST(c_ctx)) + (1−λ)·(CAST(c)/CAST(total))`` with λ
+    and 1−λ passed as the SAME Python doubles the SQL twin formats with
+    ``repr`` — both engines fold identical IEEE terms, and 4dp rounding at
+    the boundary absorbs summation-order differences (the BM25/unigram
+    precedent).
+
+    Reference has no counterpart (stops at chunk+embed+store,
+    /root/reference/src/utils.py); SURVEY.md training-data layer —
+    CCNet-style LM quality bucketing (Wenzek et al. 2020)."""
+    from .. import local_ckpt
+
+    om = 1.0 - lam
+    toks = local_ckpt(
+        docs.select(
+            F.col(id_col), words_expr(F.col(text_col)).alias("__w")
+        ).where(F.size("__w") > 0)
+    )
+    uni = (
+        toks.select(F.explode("__w").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    total = uni.agg(F.sum("c").alias("t_total"))
+
+    # first token: unigram model (no context exists)
+    firsts = toks.select(
+        F.col(id_col),
+        F.size("__w").alias("dl"),
+        F.element_at("__w", 1).alias("term"),
+    )
+    fll = (
+        hot_cold_count_join(firsts, uni, ["term"], "c", hot_k)
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            "dl",
+            F.log(
+                F.col("c").cast("double") / F.col("t_total").cast("double")
+            ).alias("ll0"),
+        )
+    )
+
+    # bigram types per doc; slice+transform keeps 1-token docs empty
+    # (never a reversed sequence(1, 0)) and explode drops them
+    bg = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(slice(__w, 2, size(__w) - 1),"
+                " (x, i) -> struct(__w[i] AS prev, x AS cur))"
+            )
+        ).alias("__b"),
+    ).select(id_col, F.col("__b.prev").alias("prev"), F.col("__b.cur").alias("cur"))
+    bgtf = bg.groupBy(id_col, "prev", "cur").agg(F.count("*").alias("tf"))
+    bgc = bgtf.groupBy("prev", "cur").agg(F.sum("tf").alias("c_bg"))
+    ctx = bgc.groupBy("prev").agg(F.sum("c_bg").alias("c_ctx"))
+
+    uni_cur = uni.select(F.col("term").alias("cur"), F.col("c").alias("c_uni"))
+    joined = hot_cold_count_join(
+        hot_cold_count_join(
+            hot_cold_count_join(bgtf, bgc, ["prev", "cur"], "c_bg", hot_k),
+            ctx,
+            ["prev"],
+            "c_ctx",
+            hot_k,
+        ),
+        uni_cur,
+        ["cur"],
+        "c_uni",
+        hot_k,
+    )
+    lnp = F.log(
+        F.lit(lam)
+        * (F.col("c_bg").cast("double") / F.col("c_ctx").cast("double"))
+        + F.lit(om)
+        * (F.col("c_uni").cast("double") / F.col("t_total").cast("double"))
+    )
+    bll = (
+        joined.crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(F.sum(F.col("tf").cast("double") * lnp).alias("ll_bg"))
+    )
+
+    ll = F.col("ll0") + F.coalesce(F.col("ll_bg"), F.lit(0.0))
+    mean_lp = ll / F.col("dl")
+    return fll.join(bll, id_col, "left").select(
+        F.col(id_col),
+        F.col("dl").cast("long").alias("n_tokens"),
+        F.round(mean_lp, 4).alias("mean_logprob"),
+        F.round(F.exp(-mean_lp), 4).alias("ppl"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169): score every raw document by its importance weight
+# log p_target(x) − log p_raw(x) under two bag-of-hashed-n-gram unigram
+# models, then resample via Gumbel top-k (≈ sampling without replacement
+# proportional to the weights). The selection rule behind "pick the web
+# subset that looks like the target corpus" in LLM pretraining recipes.
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 4096
+"""Hashed-feature space size (the paper uses 10⁴; any fixed K works —
+collisions are part of the model). K-bounded by construction, so the
+log-ratio table is always broadcastable."""
+
+DSIR_SMOOTH = 1.0
+"""Add-λ smoothing on bucket counts: every bucket keeps mass under both
+models, so no document scores ±inf."""
+
+
+def dsir_features(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+    salt: str = "dsir",
+) -> DataFrame:
+    """``(id, bucket)`` hashed n-gram feature occurrences — lower-cased
+    whitespace unigrams plus adjacent bigrams (joined with the 0x1f unit
+    separator), md5-hashed into ``n_buckets``. One stateless projection +
+    explode per n-gram order; no shuffle. The md5 hash has exact
+    SQL/Python twins (functions/hashing.py), so an independent oracle
+    reproduces every bucket id bit-for-bit."""
+    toks = docs.select(F.col(id_col), words_expr(F.col(text_col)).alias("__w"))
+    unis = toks.select(F.col(id_col), F.explode("__w").alias("__f"))
+    bis = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                # greatest(..., 0): a zero-token doc would make the slice
+                # length -1, which Spark rejects at runtime
+                "transform(slice(__w, 2, greatest(size(__w) - 1, 0)),"
+                " (x, i) -> concat(__w[i], char(31), x))"
+            )
+        ).alias("__f"),
+    )
+    return unis.unionByName(bis).select(
+        F.col(id_col),
+        (
+            md5int64(F.concat(F.lit(salt + ":"), F.col("__f"))) % n_buckets
+        ).alias("bucket"),
+    )
+
+
+def dsir_log_ratio_table(
+    raw_feats: DataFrame,
+    target_feats: DataFrame,
+    n_buckets: int = DSIR_BUCKETS,
+    smoothing: float = DSIR_SMOOTH,
+) -> DataFrame:
+    """``(bucket, log_ratio)`` — the per-bucket importance log-ratio
+    ``ln p̂_target(b) − ln p̂_raw(b)`` under add-λ-smoothed multinomial
+    MLEs. Two map-side-combined K-bounded aggregates, a full outer join
+    over at most ``n_buckets`` rows, and a one-row totals broadcast;
+    ln stays in codegen. The result is a ≤K-row dim table — broadcast it
+    into the scoring join."""
+    ks = float(smoothing) * float(n_buckets)
+    ct = target_feats.groupBy("bucket").agg(F.count("*").alias("ct"))
+    cq = raw_feats.groupBy("bucket").agg(F.count("*").alias("cq"))
+    tab = ct.join(cq, "bucket", "full").select(
+        "bucket",
+        F.coalesce("ct", F.lit(0)).alias("ct"),
+        F.coalesce("cq", F.lit(0)).alias("cq"),
+    )
+    tot = tab.agg(F.sum("ct").alias("ct_tot"), F.sum("cq").alias("cq_tot"))
+    lr = F.log(
+        (F.col("ct").cast("double") + F.lit(float(smoothing)))
+        / (F.col("ct_tot").cast("double") + F.lit(ks))
+    ) - F.log(
+        (F.col("cq").cast("double") + F.lit(float(smoothing)))
+        / (F.col("cq_tot").cast("double") + F.lit(ks))
+    )
+    return tab.crossJoin(F.broadcast(tot)).select(
+        "bucket", lr.alias("log_ratio")
+    )
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+    smoothing: float = DSIR_SMOOTH,
+    salt: str = "dsir",
+) -> DataFrame:
+    """``(id, log_weight)`` for every raw document: ``Σ_b tf_b ·
+    log_ratio(b)`` — the document's importance log-weight under the
+    hashed-n-gram models. Featureless (empty) documents weigh 0.0 (equally
+    likely under both models).
+
+    Scale shape: the raw feature stream is pinned once (serialized
+    localCheckpoint — it feeds both the raw model fit and the per-doc tf)
+    → per-(doc, bucket) tf groupBy (map-side combine) → BROADCAST hash
+    join against the ≤K-row ratio table (zero shuffle — K is bounded by
+    construction, this is never a size gamble) → per-doc sum. The target
+    corpus in the paper's setting is orders of magnitude smaller than raw
+    (a quality reference like Wikipedia); its fit is one K-bounded
+    aggregate over a smaller scan."""
+    from .. import local_ckpt
+
+    rf = local_ckpt(
+        dsir_features(raw, id_col, text_col, n_buckets, salt)
+    )
+    tf_t = dsir_features(target, id_col, text_col, n_buckets, salt)
+    ratio = dsir_log_ratio_table(rf, tf_t, n_buckets, smoothing)
+    doc_tf = rf.groupBy(id_col, "bucket").agg(F.count("*").alias("tf"))
+    w = (
+        doc_tf.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.col("tf").cast("double") * F.col("log_ratio")
+            ).alias("log_weight")
+        )
+    )
+    return raw.select(id_col).join(w, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+    smoothing: float = DSIR_SMOOTH,
+    salt: str = "dsir",
+    gumbel_salt: str = "dsir-g",
+) -> DataFrame:
+    """``(id, log_weight, key, selected)`` — Gumbel top-k importance
+    resampling over :func:`dsir_log_weights`: ``key = log_weight + g`` with
+    ``g = −ln(−ln(u))`` and ``u`` the deterministic md5 fraction of
+    ``(gumbel_salt, id)``, so the draw is reproducible across engines and
+    re-runs (the paper's without-replacement sampler, derandomized the way
+    every stochastic step in this engine is). Exactly ``k`` rows carry
+    ``selected = true``.
+
+    The top-k membership test is NOT a global window: ranks come from
+    :func:`~.ordering.distributed_rank` (one range exchange balanced by
+    data volume), so a 10¹⁰-doc resample never funnels through one
+    partition or a driver-side TakeOrdered of k rows."""
+    from .ordering import distributed_rank
+
+    lw = dsir_log_weights(
+        raw, target, id_col, text_col, n_buckets, smoothing, salt
+    )
+    u = split_fraction_expr(F.col(id_col), gumbel_salt)
+    scored = lw.select(
+        id_col,
+        "log_weight",
+        (F.col("log_weight") + (-F.log(-F.log(u)))).alias("key"),
+    )
+    ranked = distributed_rank(
+        scored.withColumn("__negkey", -F.col("key")),
+        ["__negkey", id_col],
+        out_col="__rk",
+    )
+    return ranked.select(
+        id_col,
+        "log_weight",
+        "key",
+        (F.col("__rk") < int(k)).alias("selected"),
+    )
+
+
 DEFAULT_ASPECT_BUCKETS: list[tuple[int, int]] = [
     (32, 64),
     (40, 64),

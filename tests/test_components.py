@@ -109,3 +109,43 @@ def test_long_path_without_acceleration_needs_diameter_rounds(spark):
     edges = [(i, i + 1) for i in range(300)]
     got = _cc(spark, edges, max_rounds=12, accelerate=False)
     assert set(got.values()) != {0}  # provably unconverged at 12 rounds
+
+
+def test_best_member_keep_quality_rule(spark):
+    """Each component keeps exactly its highest-quality member (ties →
+    lowest id); isolated vertices keep themselves; partition-invariant."""
+    from mcp_crawl4ai_rag_spark.operators.components import (
+        best_member_keep,
+        connected_components,
+    )
+
+    # components: {1,2,3} (chain), {10,11} (tie on quality), {20} isolated
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),          # 3 tokens
+            (2, "a b c d e"),      # 5 tokens — best of comp 1
+            (3, "a"),              # 1 token
+            (10, "x y"),           # tie with 11 → lower id wins
+            (11, "p q"),
+            (20, "solo doc"),
+        ],
+        "doc_id long, text string",
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    comps = connected_components(edges, vertices=docs.select("doc_id"))
+    out = best_member_keep(
+        docs, comps, F.size(F.split("text", " ")).cast("long")
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert {i for i, r in rows.items() if r["kept"]} == {2, 10, 20}
+    assert rows[1]["component_id"] == rows[2]["component_id"] == rows[3]["component_id"]
+    assert rows[10]["quality"] == rows[11]["quality"] == 2
+
+    out7 = best_member_keep(
+        docs.repartition(5), comps, F.size(F.split("text", " ")).cast("long")
+    )
+    assert {r["doc_id"]: r["kept"] for r in out7.collect()} == {
+        i: r["kept"] for i, r in rows.items()
+    }

@@ -776,3 +776,221 @@ def test_temperature_rates_property_invariants():
         assert temperature_rates(rev, alpha) == rates
 
     check()
+
+
+def _py_bigram_lm(texts: dict[int, str], lam: float):
+    """Transparent Python twin of bigram_lm_scores (interpolated bigram LM)."""
+    import math
+
+    uni: dict[str, int] = {}
+    bgc: dict[tuple[str, str], int] = {}
+    ctx: dict[str, int] = {}
+    toks = {i: t.lower().split() for i, t in texts.items() if t.split()}
+    for ws in toks.values():
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            bgc[(a, b)] = bgc.get((a, b), 0) + 1
+            ctx[a] = ctx.get(a, 0) + 1
+    total = sum(uni.values())
+    out = {}
+    for i, ws in toks.items():
+        ll = math.log(uni[ws[0]] / total)
+        for a, b in zip(ws, ws[1:]):
+            ll += math.log(
+                lam * (bgc[(a, b)] / ctx[a]) + (1.0 - lam) * (uni[b] / total)
+            )
+        mean = ll / len(ws)
+        out[i] = (len(ws), round(mean, 4), round(math.exp(-mean), 4))
+    return out
+
+
+def test_bigram_lm_matches_python_twin(spark):
+    """Interpolated bigram LM scores equal a transparent Python twin at 4dp;
+    1-token docs score under the unigram model alone; repeated-context docs
+    score higher than shuffled ones (the property a bigram model adds)."""
+    import pytest
+
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import (
+        BIGRAM_LAM,
+        bigram_lm_scores,
+    )
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the dog",
+        3: "rare unique tokens here",
+        4: "the the the",
+        5: "dog",
+        6: "the cat sat on the mat the cat sat on the mat",
+        7: "mat the on sat cat the mat the on sat cat the",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in bigram_lm_scores(docs).collect()}
+    want = _py_bigram_lm(texts, BIGRAM_LAM)
+    assert set(got) == set(want)
+    for i, (n, mean, ppl) in want.items():
+        assert got[i]["n_tokens"] == n
+        assert got[i]["mean_logprob"] == pytest.approx(mean, abs=1e-9)
+        assert got[i]["ppl"] == pytest.approx(ppl, abs=1e-9)
+    # doc 6 repeats its bigrams verbatim; doc 7 has the same unigram bag but
+    # scrambled contexts — the bigram model must prefer 6
+    assert got[6]["mean_logprob"] > got[7]["mean_logprob"]
+
+    # partition-invariance: values identical under a different partitioning
+    got7 = {
+        r["doc_id"]: r for r in bigram_lm_scores(docs.repartition(7)).collect()
+    }
+    assert all(
+        got7[i]["mean_logprob"] == got[i]["mean_logprob"]
+        and got7[i]["ppl"] == got[i]["ppl"]
+        for i in got
+    )
+
+    # split-invariance: hot_k=0 (plain equi-joins) yields identical rows
+    plain = {r["doc_id"]: r for r in bigram_lm_scores(docs, hot_k=0).collect()}
+    assert all(
+        plain[i]["mean_logprob"] == got[i]["mean_logprob"]
+        and plain[i]["ppl"] == got[i]["ppl"]
+        for i in got
+    )
+
+
+def test_bigram_lm_hot_cold_plan_shape(spark):
+    """The three model joins route their Zipf-hot heads through broadcast
+    joins: with auto-broadcast off, the plan must still contain
+    BroadcastHashJoins (the explicit top-K hints) and no cartesian join
+    beyond the documented 1-row corpus-total broadcast."""
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import bigram_lm_scores
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        rows = []
+        for i in range(2000):
+            toks = ["the", "of"] * 5 + [f"u{i:05d}"] * 10
+            rows.append((i, " ".join(toks)))
+        docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+        scored = bigram_lm_scores(docs, hot_k=16)
+        n = scored.count()
+        assert n == 2000
+        plan = scored._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "CartesianProduct" not in final
+        # 1-row corpus-total broadcasts only (fll + bll branches)
+        assert final.count("BroadcastNestedLoopJoin") <= 2
+        assert "BroadcastHashJoin" in final, final[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def _py_dsir(texts: dict[int, str], target_ids: set, n_buckets: int, s: float):
+    """Transparent Python twin of dsir_log_weights + the Gumbel top-k key."""
+    import math
+
+    from mcp_crawl4ai_rag_spark.functions.hashing import py_md5int64
+
+    def feats(t):
+        ws = t.lower().split()
+        fs = list(ws) + [a + "\x1f" + b for a, b in zip(ws, ws[1:])]
+        return [py_md5int64("dsir:" + f) % n_buckets for f in fs]
+
+    ct: dict[int, int] = {}
+    cq: dict[int, int] = {}
+    per_doc: dict[int, dict[int, int]] = {}
+    for i, t in texts.items():
+        d: dict[int, int] = {}
+        for b in feats(t):
+            d[b] = d.get(b, 0) + 1
+            cq[b] = cq.get(b, 0) + 1
+            if i in target_ids:
+                ct[b] = ct.get(b, 0) + 1
+        per_doc[i] = d
+    ct_tot, cq_tot = sum(ct.values()), sum(cq.values())
+    ks = s * n_buckets
+    out = {}
+    for i, d in per_doc.items():
+        lw = 0.0
+        for b, tf in d.items():
+            lr = math.log((ct.get(b, 0) + s) / (ct_tot + ks)) - math.log(
+                (cq.get(b, 0) + s) / (cq_tot + ks)
+            )
+            lw += tf * lr
+        key = lw + -math.log(-math.log(_py_frac("dsir-g", i)))
+        out[i] = (lw, key)
+    return out
+
+
+def test_dsir_matches_python_twin_and_selects_target_like(spark):
+    """DSIR log-weights match the transparent twin; target-like docs score
+    higher than off-distribution ones; Gumbel top-k selects exactly k rows
+    and the selection is partition-invariant."""
+    import pytest
+
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import (
+        dsir_log_weights,
+        dsir_select,
+    )
+
+    # target style: 'alpha beta' docs; raw adds off-distribution noise docs
+    texts = {}
+    for i in range(40):
+        texts[i] = f"alpha beta gamma delta token{i % 4}"
+    for i in range(40, 80):
+        texts[i] = f"zog{i} blarg{i} wump{i % 7} xyzzy plugh"
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    target = docs.where(F.col("doc_id") < 20)  # a slice of the alpha style
+    want = _py_dsir(texts, set(range(20)), 4096, 1.0)
+
+    got = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_log_weights(docs, target).collect()
+    }
+    assert set(got) == set(want)
+    for i in got:
+        assert got[i] == pytest.approx(want[i][0], rel=1e-9, abs=1e-9)
+    # every alpha-style doc outweighs every noise doc
+    assert min(got[i] for i in range(40)) > max(got[i] for i in range(40, 80))
+
+    sel = dsir_select(docs, target, k=30)
+    rows = {r["doc_id"]: r for r in sel.collect()}
+    assert sum(1 for r in rows.values() if r["selected"]) == 30
+    for i, r in rows.items():
+        assert r["key"] == pytest.approx(want[i][1], rel=1e-9, abs=1e-9)
+    # selection strongly favors the target-like half
+    alpha_sel = sum(1 for i in range(40) if rows[i]["selected"])
+    assert alpha_sel >= 25
+
+    sel7 = {
+        r["doc_id"]: r["selected"]
+        for r in dsir_select(docs.repartition(7), target, k=30).collect()
+    }
+    assert sel7 == {i: r["selected"] for i, r in rows.items()}
+
+
+def test_dsir_empty_doc_and_plan_shape(spark):
+    """Featureless docs weigh 0.0; the scoring join against the K-bounded
+    ratio table is a broadcast hash join even with auto-broadcast off, and
+    no cartesian product appears beyond the 1-row totals broadcast."""
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import dsir_log_weights
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        rows = [(i, f"tok{i % 5} alpha beta") for i in range(50)] + [(99, "")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        target = docs.where(F.col("doc_id") % 5 == 0)
+        lw = dsir_log_weights(docs, target)
+        got = {r["doc_id"]: r["log_weight"] for r in lw.collect()}
+        assert got[99] == 0.0
+        assert len(got) == 51
+        plan = lw._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "CartesianProduct" not in final
+        assert "BroadcastHashJoin" in final, final[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

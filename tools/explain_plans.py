@@ -365,6 +365,79 @@ def main():
     ]
     sections.append(("Unigram-LM scoring (tf ⋈ vocab, hot/cold stop-word split)", lm_plan, checks))
 
+    # 17b. interpolated bigram LM: three hot/cold model joins; tf and model
+    # counts combine map-side; the only nested-loop joins are the 1-row
+    # corpus-total broadcasts.
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import bigram_lm_scores
+
+    blm_plan = formatted(bigram_lm_scores(docs))
+    checks = [
+        ("partial_count", "per-(doc,prev,cur) tf combines map-side"),
+        ("partial_sum", "bigram/context counts + per-doc log-likelihood combine map-side"),
+        ("BroadcastHashJoin", "top-K hot heads of the three model joins broadcast"),
+        ("BroadcastExchange", "the one-row corpus total is broadcast"),
+    ]
+    if "CartesianProduct" in blm_plan:
+        checks.append(("never", "CARTESIAN FOUND — bigram LM must not cross-join"))
+    sections.append((
+        "Bigram-LM scoring (interpolated λ·bigram + (1−λ)·unigram, hot/cold joins)",
+        blm_plan,
+        checks,
+    ))
+
+    # 17c. DSIR importance resampling: the scoring join against the
+    # K-bounded log-ratio table must be an explicit broadcast (never a
+    # shuffle — K is bounded by construction), and the Gumbel top-k rank
+    # must ride the distributed prefix sum's range exchange, not a global
+    # single-partition window.
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import (
+        dsir_log_weights,
+        dsir_select,
+    )
+
+    # scoring stage (pre-rank): the log-ratio dim join must be an explicit
+    # broadcast and the feature tf must combine map-side
+    dsir_lw_plan = formatted(
+        dsir_log_weights(
+            docs.select("doc_id", "text"),
+            docs.where(F.col("lang") == "de").select("doc_id", "text"),
+        )
+    )
+    checks = [
+        ("BroadcastHashJoin", "≤K-row log-ratio table broadcast into the scoring join"),
+        ("partial_count", "hashed-feature tf combines map-side"),
+        ("partial_sum", "per-doc weight sum combines map-side"),
+    ]
+    if "CartesianProduct" in dsir_lw_plan:
+        checks.append(("never", "CARTESIAN FOUND — DSIR scoring must not cross-join"))
+    sections.append((
+        "DSIR scoring stage (hashed n-grams, broadcast ratio table)",
+        dsir_lw_plan,
+        checks,
+    ))
+
+    # selection tail (post-rank; distributed_rank localCheckpoints
+    # mid-plan — its range exchange is audited by the sequence-packing
+    # section, same machinery): the top-k membership must be a stateless
+    # compare over the Arrow cumsum output, never a global Window.
+    dsir_sel_plan = formatted(
+        dsir_select(
+            docs.select("doc_id", "text"),
+            docs.where(F.col("lang") == "de").select("doc_id", "text"),
+            k=100,
+        )
+    )
+    checks = [
+        ("MapInPandas", "rank comes from the distributed prefix-sum pass"),
+    ]
+    if "Window" in dsir_sel_plan:
+        checks.append(("never", "WINDOW FOUND — top-k membership must not use a global window"))
+    sections.append((
+        "DSIR Gumbel top-k selection tail (prefix-sum rank, no Window)",
+        dsir_sel_plan,
+        checks,
+    ))
+
     # 18. alignment filter: pure projection over the pair scan — zero
     # Exchange, whole plan in codegen.
     pairs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
