@@ -865,11 +865,23 @@ FROM documents
 
 
 def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Host-level boilerplate removal: a nav header and footer planted on
-    every page of each source must be line-frequency-detected (appear on
+    """Boilerplate removal, two tagged legs behind one gate:
+    'hostfreq' — host-level line-frequency stripping
+    (operators/corpus_ops.strip_boilerplate): a nav header and footer
+    planted on every page of each source must be detected (appear on
     100% ≥ 50% of the host's pages) and stripped, leaving exactly the
-    original body — so the cleaned text is closed-form for the oracle."""
-    from mcp_crawl4ai_rag_spark.operators.corpus_ops import strip_boilerplate
+    original body — closed-form for the oracle; 'paragraph' — CCNet-style
+    corpus-GLOBAL paragraph dedup (operators/corpus_ops.paragraph_dedup,
+    Wenzek et al. 2020 §3.1): over a deterministic multi-paragraph corpus
+    (a shared announcement on even docs, a per-source promo line, the doc
+    body split around a blank line), only the first (doc_id, idx)
+    occurrence of each paragraph survives corpus-wide, empty lines exempt
+    — the oracle re-derives the whole pipeline in SQL. Schema
+    (mode, doc_id, source, clean_md5, n_removed)."""
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import (
+        paragraph_dedup,
+        strip_boilerplate,
+    )
 
     docs = _docs(spark, sf_dir).select(
         "doc_id",
@@ -880,16 +892,97 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     out = strip_boilerplate(docs, min_host_pages=3, frac_threshold=0.5)
-    return out.select(
-        "doc_id", "source", F.md5("clean").alias("clean_md5"), "n_removed"
+    host = out.select(
+        F.lit("hostfreq").alias("mode"),
+        "doc_id",
+        "source",
+        F.md5("clean").alias("clean_md5"),
+        "n_removed",
+    )
+
+    pdocs = _para_corpus(spark, sf_dir)
+    para = q_paragraph_dedup(spark, sf_dir).join(
+        pdocs.select("doc_id", "source"), "doc_id"
+    ).select(
+        F.lit("paragraph").alias("mode"),
+        "doc_id",
+        "source",
+        F.md5("clean").alias("clean_md5"),
+        "n_removed",
+    )
+    return host.unionByName(para)
+
+
+def _para_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-paragraph corpus for the paragraph-dedup leg: a
+    shared announcement paragraph on even docs, the doc body split around
+    a blank line, a per-source promo line — all restated verbatim in the
+    oracle's `d` CTE."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.expr(
+            "concat("
+            "CASE WHEN doc_id % 2 = 0"
+            " THEN concat('ANNOUNCE WIDGET SALE', char(10)) ELSE '' END, "
+            "substring(text, 1, 60), char(10), char(10), "
+            "'PROMO ', source, char(10), substring(text, 61))"
+        ).alias("text"),
+    )
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone paragraph-dedup leg (bench cell + the gate's second
+    leg): corpus-global first-occurrence paragraph dedup."""
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import paragraph_dedup
+
+    return paragraph_dedup(
+        _spread(_para_corpus(spark, sf_dir).select("doc_id", "text"))
     )
 
 
 def _oracle_boilerplate_strip() -> str:
-    return """
+    sel = "doc_id, source, clean_md5, n_removed"
+    host = """
 SELECT doc_id, source, md5(text) AS clean_md5, CAST(2 AS BIGINT) AS n_removed
 FROM documents
 """
+    # winner key doc_id*10^6+idx ≡ lexicographic (doc_id, idx): idx < 10^6
+    para = """
+WITH d AS (
+  SELECT doc_id, source,
+         (CASE WHEN doc_id % 2 = 0
+               THEN 'ANNOUNCE WIDGET SALE' || chr(10) ELSE '' END)
+         || substr(text, 1, 60) || chr(10) || chr(10)
+         || 'PROMO ' || source || chr(10) || substr(text, 61) AS t
+  FROM documents
+),
+sp AS (SELECT doc_id, source, string_split(t, chr(10)) AS ps FROM d),
+paras AS (
+  SELECT doc_id, source, i - 1 AS idx, ps[i] AS para
+  FROM sp, unnest(generate_series(1, len(ps))) t2(i)
+),
+win AS (
+  SELECT md5(para) AS h, min(doc_id * 1000000 + idx) AS wkey
+  FROM paras GROUP BY md5(para)
+),
+k AS (
+  SELECT p.doc_id, p.source, p.idx, p.para,
+         (p.para = '' OR p.doc_id * 1000000 + p.idx = w.wkey) AS kept
+  FROM paras p JOIN win w ON md5(p.para) = w.h
+)
+SELECT doc_id, source,
+       md5(COALESCE(
+         string_agg(para, chr(10) ORDER BY idx) FILTER (WHERE kept), ''
+       )) AS clean_md5,
+       CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+FROM k GROUP BY doc_id, source
+"""
+    return (
+        _tagged(host, f"'hostfreq' AS mode, {sel}")
+        + "\nUNION ALL\n"
+        + _tagged(para, f"'paragraph' AS mode, {sel}")
+    )
 
 
 _MIX_RATES = {"src0": 0.0, "src1": 0.25, "src2": 0.5, "src3": 1.0}

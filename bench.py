@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "link_pagerank",
     "corpus_mix",
     "boilerplate_strip",
+    "paragraph_dedup",
     "embedding_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

@@ -637,18 +637,18 @@ def hot_cold_count_join(
     counts side carries its final HashAggregate directly under the join)."""
     if not hot_k:
         return tf.join(counts, keys)
+    payload = [c for c in counts.columns if c not in keys]
     hot = counts.orderBy(F.desc(cnt_col), *keys).limit(hot_k)
     tagged = tf.join(
-        F.broadcast(hot.withColumnRenamed(cnt_col, "__c_hot")), keys, "left"
+        F.broadcast(hot.withColumn("__hot", F.lit(True))), keys, "left"
     )
-    hot_rows = (
-        tagged.where(F.col("__c_hot").isNotNull())
-        .withColumn(cnt_col, F.col("__c_hot"))
-        .drop("__c_hot")
-    )
+    # the __hot marker (not cnt_col nullness) detects hot membership, so
+    # counts may carry extra payload columns (e.g. a winner struct) — cold
+    # rows drop the all-NULL payload before re-joining the full table
+    hot_rows = tagged.where(F.col("__hot")).drop("__hot")
     cold_rows = (
-        tagged.where(F.col("__c_hot").isNull())
-        .drop("__c_hot")
+        tagged.where(F.col("__hot").isNull())
+        .drop("__hot", *payload)
         .join(counts, keys)
     )
     return hot_rows.unionByName(cold_rows)
@@ -787,6 +787,81 @@ def bigram_lm_scores(
         F.col("dl").cast("long").alias("n_tokens"),
         F.round(mean_lp, 4).alias("mean_logprob"),
         F.round(F.exp(-mean_lp), 4).alias("ppl"),
+    )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    hot_k: int = 256,
+) -> DataFrame:
+    """CCNet-style corpus-level paragraph deduplication (Wenzek et al.
+    2020 §3.1 — the step that removes most boilerplate before any
+    LM filtering): split every document on ``sep``, fingerprint each
+    paragraph (md5), keep only the FIRST occurrence corpus-wide (the
+    lexicographically least ``(id, idx)`` — deterministic under any
+    partitioning), and rebuild documents from their surviving paragraphs
+    in order. Empty paragraphs are exempt (kept everywhere): deduping
+    blank separator lines corpus-wide would splice unrelated text.
+
+    Returns ``(id, clean, n_removed)`` — the rebuilt text and how many
+    paragraphs the document lost.
+
+    Differs from :func:`strip_boilerplate` (host-scoped line-FREQUENCY
+    threshold) in scope and rule: this is corpus-global and positional —
+    one copy survives; the host-freq pass removes ALL copies of
+    over-frequent furniture.
+
+    Scale shape: the paragraph table is pinned once (serialized
+    localCheckpoint — the winner aggregate and the membership join both
+    consume it); winners are one map-side-combined groupBy over the
+    fingerprint; the membership join goes through
+    :func:`hot_cold_count_join` — a blank-template storm (one paragraph
+    repeated 10⁸ times) is BY DEFINITION a top-K count row, so its rows
+    take the broadcast branch instead of landing on one shuffle
+    partition. The rebuild is a per-doc groupBy whose state is bounded by
+    document size (collect_list of that doc's paragraphs), never a global
+    sort or window."""
+    from .. import local_ckpt
+
+    paras = local_ckpt(
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "para"),
+        ).withColumn("h", F.md5("para"))
+    )
+    winners = paras.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col), F.col("idx"))).alias("__w"),
+        F.count("*").alias("c"),
+    )
+    flagged = hot_cold_count_join(paras, winners, ["h"], "c", hot_k).select(
+        F.col(id_col),
+        "idx",
+        "para",
+        (
+            (F.col("para") == "")
+            | (
+                (F.col(id_col) == F.col(f"__w.{id_col}"))
+                & (F.col("idx") == F.col("__w.idx"))
+            )
+        ).alias("kept"),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("idx", "para", "kept"))
+                    ),
+                    lambda s: s["kept"],
+                ),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("clean"),
+        F.sum((~F.col("kept")).cast("long")).alias("n_removed"),
     )
 
 

@@ -994,3 +994,66 @@ def test_dsir_empty_doc_and_plan_shape(spark):
         assert "BroadcastHashJoin" in final, final[:2000]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_paragraph_dedup_first_occurrence_rule(spark):
+    """Corpus-global paragraph dedup keeps exactly the first (doc_id, idx)
+    occurrence of each paragraph, exempts empty lines, rebuilds documents
+    in order, and is partition-invariant."""
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import paragraph_dedup
+
+    texts = {
+        1: "SHARED HEAD\nbody one\n\ntail one",
+        2: "SHARED HEAD\nbody two\n\ntail two",
+        3: "body three\nSHARED HEAD\n\nbody three",  # dup within+across docs
+        4: "",                                        # single empty para
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+
+    # doc 1 is first everywhere — untouched
+    assert got[1]["clean"] == texts[1] and got[1]["n_removed"] == 0
+    # doc 2 loses SHARED HEAD (doc 1 owns it) but keeps its empty line
+    assert got[2]["clean"] == "body two\n\ntail two"
+    assert got[2]["n_removed"] == 1
+    # doc 3 loses SHARED HEAD and its own repeated paragraph, keeps first copy
+    assert got[3]["clean"] == "body three\n"
+    assert got[3]["n_removed"] == 2
+    # the all-empty doc survives as-is (empty paragraphs exempt)
+    assert got[4]["clean"] == "" and got[4]["n_removed"] == 0
+
+    got7 = {
+        r["doc_id"]: (r["clean"], r["n_removed"])
+        for r in paragraph_dedup(docs.repartition(7)).collect()
+    }
+    assert got7 == {i: (r["clean"], r["n_removed"]) for i, r in got.items()}
+
+
+def test_paragraph_dedup_storm_plan_shape(spark):
+    """A blank-template storm (one paragraph on every doc) must route its
+    membership rows through the broadcast hot branch — no cartesian, and a
+    BroadcastHashJoin present even with auto-broadcast disabled."""
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import paragraph_dedup
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = spark.createDataFrame(
+            [(i, f"STORM PARA\nuniq {i}") for i in range(3000)],
+            "doc_id long, text string",
+        ).repartition(8)
+        out = paragraph_dedup(docs, hot_k=8)
+        rows = out.collect()
+        assert len(rows) == 3000
+        # exactly one STORM PARA survives corpus-wide
+        n_with_storm = sum(1 for r in rows if "STORM PARA" in r["clean"])
+        assert n_with_storm == 1
+        assert sum(r["n_removed"] for r in rows) == 2999
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "CartesianProduct" not in final
+        assert "BroadcastHashJoin" in final, final[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

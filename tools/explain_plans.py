@@ -438,6 +438,36 @@ def main():
         checks,
     ))
 
+    # 17d. paragraph dedup: winner aggregate combines map-side; the
+    # membership join routes hot (storm) fingerprints through the
+    # broadcast branch; the rebuild is a per-doc aggregate, not a window.
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import paragraph_dedup
+
+    pd_plan = formatted(
+        paragraph_dedup(
+            docs.select(
+                "doc_id",
+                F.concat_ws(
+                    "\n", F.lit("SHARED"), F.col("text"), F.lit("TAIL")
+                ).alias("text"),
+            )
+        )
+    )
+    checks = [
+        ("partial_min", "paragraph winners combine map-side"),
+        ("BroadcastHashJoin", "hot fingerprint rows take the broadcast branch"),
+        ("partial_collect_list", "rebuild state is per-doc, combines map-side"),
+    ]
+    if "Window" in pd_plan:
+        checks.append(("never", "WINDOW FOUND — rebuild must not window"))
+    if "CartesianProduct" in pd_plan:
+        checks.append(("never", "CARTESIAN FOUND — membership join must be equi"))
+    sections.append((
+        "Paragraph dedup (first-occurrence winners, hot/cold membership join)",
+        pd_plan,
+        checks,
+    ))
+
     # 18. alignment filter: pure projection over the pair scan — zero
     # Exchange, whole plan in codegen.
     pairs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
