@@ -1560,9 +1560,19 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train/eval 13-gram contamination check: eval docs are planted
-    suffix-copies of every 7th train doc, so each must surface its source
-    with overlap_frac ≈ 1."""
+    """Train/eval decontamination, two tagged legs behind one gate:
+    'ngram' — the 13-gram shingle membership check (GPT-3 appendix-C
+    shape; operators/corpus_ops.contamination_pairs): eval docs are
+    planted suffix-copies of every 7th train doc, so each must surface
+    its source with overlap_frac ≈ 1; 'semantic' — embedding-level
+    decontamination (operators/corpus_ops.semantic_contamination): eval
+    embeddings are paraphrase-shaped perturbations (0.95·v + 0.02) of
+    every 13th train embedding — zero shared n-grams by construction, yet
+    each must surface its source at cosine ≥ 0.9 (planted ≈ 0.986 vs
+    cross-pair max ≈ 0.37 on this corpus). Schema (mode, eval_id,
+    train_id, n_common, eval_shingles, overlap_frac) — the semantic leg
+    carries its 4dp cosine in overlap_frac and zeros in the shingle
+    counters."""
     from mcp_crawl4ai_rag_spark.operators.corpus_ops import contamination_pairs
 
     train = _spread(_docs(spark, sf_dir).select("doc_id", "text"))
@@ -1570,7 +1580,41 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 5000000).alias("doc_id"),
         F.expr("substring(text, 101)").alias("text"),
     )
-    return contamination_pairs(train, ev, shingle_k=13, min_overlap=2)
+    ngram = contamination_pairs(train, ev, shingle_k=13, min_overlap=2).select(
+        F.lit("ngram").alias("mode"),
+        "eval_id",
+        "train_id",
+        "n_common",
+        "eval_shingles",
+        "overlap_frac",
+    )
+    sem = q_semantic_contamination(spark, sf_dir).select(
+        F.lit("semantic").alias("mode"),
+        "eval_id",
+        "train_id",
+        F.lit(0).cast("long").alias("n_common"),
+        F.lit(0).cast("long").alias("eval_shingles"),
+        F.col("sim").alias("overlap_frac"),
+    )
+    return ngram.unionByName(sem)
+
+
+def q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone semantic-decontamination leg (bench cell + the gate's
+    second leg): paraphrase-shaped planted eval embeddings vs the corpus."""
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import (
+        semantic_contamination,
+    )
+
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+    eembs = embs.where(F.col("vec_id") % 13 == 0).select(
+        (F.col("vec_id") + 7000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: x.cast("double") * F.lit(0.95) + F.lit(0.02),
+        ).alias("embedding"),
+    )
+    return semantic_contamination(embs, eembs, 0.9)
 
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3036,6 +3080,34 @@ LIMIT 100
 
 
 def _oracle_contamination() -> str:
+    sel = "eval_id, train_id, n_common, eval_shingles, overlap_frac"
+    return (
+        _tagged(_oracle_contamination_ngram(), f"'ngram' AS mode, {sel}")
+        + "\nUNION ALL\n"
+        + _tagged(_oracle_contamination_semantic(), f"'semantic' AS mode, {sel}")
+    )
+
+
+def _oracle_contamination_semantic() -> str:
+    cos = _sql_cosine("t.embedding", "e.ev")
+    return f"""
+WITH ev AS (
+  SELECT vec_id + 7000000 AS eval_id,
+         list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * 0.95 + 0.02) AS ev
+  FROM embeddings WHERE vec_id % 13 = 0
+),
+tr AS (SELECT vec_id AS train_id, embedding FROM embeddings)
+SELECT e.eval_id, t.train_id,
+       CAST(0 AS BIGINT) AS n_common,
+       CAST(0 AS BIGINT) AS eval_shingles,
+       round({cos}, 4) AS overlap_frac
+FROM tr t CROSS JOIN ev e
+WHERE round({cos}, 4) >= 0.9
+"""
+
+
+def _oracle_contamination_ngram() -> str:
     sh13 = _sql_shingles("text", 13)
     h = _sql_md5int64("'ct:' || sh")
     return f"""

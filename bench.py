@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "corpus_split",
     "vocab_topk",
     "contamination",
+    "semantic_contamination",
     "bm25_search",
     "bm25_indexed",
     "hybrid_rrf",

@@ -865,6 +865,45 @@ def paragraph_dedup(
     )
 
 
+def semantic_contamination(
+    train_embs: DataFrame,
+    eval_embs: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-level train/eval decontamination: ``(eval_id, train_id,
+    sim)`` for every train document whose embedding cosine against an eval
+    document reaches ``threshold`` — the semantic complement of
+    :func:`contamination_pairs` (13-gram shingles catch verbatim leakage;
+    this catches paraphrased/translated eval copies whose surface n-grams
+    all differ, the decontamination layer modern model cards report).
+
+    Scale shape: the eval side is a benchmark suite — bounded — so it
+    broadcasts into a BroadcastNestedLoopJoin over ONE train scan:
+    |eval| codegen'd cosines per train row, zero shuffle, no per-row
+    Python. For an unbounded eval side use the LSH-blocked
+    ``cosine_pairs`` instead; this operator is deliberately the
+    exact-scan shape (no recall loss on the gate that decides whether
+    eval data leaked). The keep decision compares the 4dp-ROUNDED cosine
+    (the alignment_filter precedent), so any engine reproducing the
+    left-to-right float64 fold makes the identical call."""
+    from ..functions.vectors import cosine_expr
+
+    ev = eval_embs.select(
+        F.col(id_col).alias("eval_id"), F.col(vec_col).alias("__ev")
+    )
+    tr = train_embs.select(
+        F.col(id_col).alias("train_id"), F.col(vec_col).alias("__tv")
+    )
+    sim = F.round(cosine_expr(F.col("__tv"), F.col("__ev")), 4)
+    return (
+        tr.crossJoin(F.broadcast(ev))
+        .select("eval_id", "train_id", sim.alias("sim"))
+        .where(F.col("sim") >= F.lit(float(threshold)))
+    )
+
+
 # ---------------------------------------------------------------------------
 # DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
 # arXiv:2302.03169): score every raw document by its importance weight

@@ -1057,3 +1057,39 @@ def test_paragraph_dedup_storm_plan_shape(spark):
         assert "BroadcastHashJoin" in final, final[:2000]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_semantic_contamination_matches_numpy_twin(spark):
+    """Planted paraphrase-shaped eval copies (scaled+shifted embeddings)
+    surface exactly their source train doc at threshold 0.9; sims match a
+    numpy float64 twin at 4dp; the scan broadcasts eval (no shuffle
+    exchange feeding the join)."""
+    import numpy as np
+    import pytest
+
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import (
+        semantic_contamination,
+    )
+
+    rng = np.random.default_rng(7)
+    M = rng.normal(size=(60, 16)).astype(np.float32)
+    train = spark.createDataFrame(
+        [(i, [float(x) for x in M[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    ev_rows = [
+        (1000 + i, [float(x) for x in (0.95 * M[i].astype(np.float64) + 0.02)])
+        for i in range(0, 60, 10)
+    ]
+    ev = spark.createDataFrame(ev_rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["eval_id"], r["train_id"]): r["sim"]
+        for r in semantic_contamination(train, ev, 0.9).collect()
+    }
+    # exactly the planted sources pair up
+    assert set(got) == {(1000 + i, i) for i in range(0, 60, 10)}
+    for (eid, tid), sim in got.items():
+        a = M[tid].astype(np.float64)
+        b = 0.95 * M[tid].astype(np.float64) + 0.02
+        want = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert sim == pytest.approx(round(want, 4), abs=2e-4)
