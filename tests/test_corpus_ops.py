@@ -1093,3 +1093,38 @@ def test_semantic_contamination_matches_numpy_twin(spark):
         b = 0.95 * M[tid].astype(np.float64) + 0.02
         want = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
         assert sim == pytest.approx(round(want, 4), abs=2e-4)
+
+
+def test_dsir_degenerate_target_equals_raw(spark):
+    """When target == raw, every bucket's log-ratio is exactly 0 (identical
+    counts and totals fold to identical doubles), so all weights are 0.0
+    and the selection reduces to pure Gumbel order — k rows still selected."""
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import (
+        dsir_log_weights,
+        dsir_select,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta tok{i % 7}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    lw = {r["doc_id"]: r["log_weight"] for r in dsir_log_weights(docs, docs).collect()}
+    assert set(lw.values()) == {0.0}
+    sel = dsir_select(docs, docs, k=10)
+    assert sel.where("selected").count() == 10
+
+
+def test_paragraph_dedup_single_paragraph_docs(spark):
+    """Documents without the separator degenerate to exact text dedup:
+    the lowest-id holder of each distinct text survives intact, later
+    holders lose their only (non-empty) paragraph."""
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "same body"), (2, "same body"), (3, "other body")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+    assert got[1]["clean"] == "same body" and got[1]["n_removed"] == 0
+    assert got[2]["clean"] == "" and got[2]["n_removed"] == 1
+    assert got[3]["clean"] == "other body" and got[3]["n_removed"] == 0
