@@ -29,6 +29,21 @@ FRONTIER_N = int(os.environ.get("SPARK_GRAFT_FRONTIER_N", "16000000"))
 # One shuffle-partition count for BOTH parallelism levels: on a real cluster
 # the partitioning is fixed by the data, only the executor count varies.
 SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "128"))
+# Ladder rung sizes (comma-separated URL counts). The default three rungs
+# (N/4, N, 4N) give the 16× linearity witness; a one-off deeper rung (e.g.
+# 256M = 16N) extends the curve another 4× step toward the 10^10 north
+# scale — at that size ALSO raise SPARK_GRAFT_DRIVER_MEM: local mode holds
+# the whole serialized frontier in the single driver JVM, so the default
+# 32g that fits 64M rows would OOM-thrash at 256M (≈25 GB frontier +
+# shuffle + bloom shards).
+LADDER_NS = [
+    int(s)
+    for s in os.environ.get(
+        "SPARK_GRAFT_LADDER_NS",
+        f"{FRONTIER_N // 4},{FRONTIER_N},{FRONTIER_N * 4}",
+    ).split(",")
+]
+DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
 
 BENCH_QUERIES = [
     "crawl_bfs_visited",
@@ -121,7 +136,7 @@ def _mk_spark(cores: int):
         extra_conf={
             # single-node substitutes for cluster-local NVMe shuffle dirs
             "spark.local.dir": "/dev/shm/spark-tmp",
-            "spark.driver.memory": "32g",
+            "spark.driver.memory": DRIVER_MEM,
             # keep post-shuffle parallelism at cluster-like granularity: AQE's
             # 64MB default advisory coalesces this workload below core count
             "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
@@ -494,7 +509,7 @@ def _mk_spark_ui(cores: int):
         shuffle_partitions=SHUFFLE_PARTITIONS,
         extra_conf={
             "spark.local.dir": "/dev/shm/spark-tmp",
-            "spark.driver.memory": "32g",
+            "spark.driver.memory": DRIVER_MEM,
             "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
             "spark.ui.enabled": "true",  # REST task metrics for the skew witness
         },
@@ -700,7 +715,7 @@ def main() -> None:
             }
 
         rungs = []
-        for n in (FRONTIER_N // 4, FRONTIER_N, FRONTIER_N * 4):
+        for n in LADDER_NS:
             _lwit(f"ladder_{n}")
             rungs.append(ladder_rung(n))
         _lwit("end")
@@ -712,10 +727,16 @@ def main() -> None:
                 "input_ladder": {
                     "cores": CPUS,
                     "rungs": rungs,
-                    "throughput_linearity_16x": round(
-                        rungs[-1]["urls_per_sec"] / rungs[0]["urls_per_sec"],
-                        3,
-                    ),
+                    # throughput ratio last/first rung, keyed by the actual
+                    # input-size span so a custom SPARK_GRAFT_LADDER_NS run
+                    # labels itself (default 3-rung ladder keeps the
+                    # historical _16x key)
+                    f"throughput_linearity_{LADDER_NS[-1] // LADDER_NS[0]}x":
+                        round(
+                            rungs[-1]["urls_per_sec"]
+                            / rungs[0]["urls_per_sec"],
+                            3,
+                        ),
                 },
                 "loadavg_at_phase_start": lloads,
             },
