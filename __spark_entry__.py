@@ -865,7 +865,7 @@ FROM documents
 
 
 def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Boilerplate removal, two tagged legs behind one gate:
+    """Boilerplate removal, three tagged legs behind one gate:
     'hostfreq' — host-level line-frequency stripping
     (operators/corpus_ops.strip_boilerplate): a nav header and footer
     planted on every page of each source must be detected (appear on
@@ -876,7 +876,13 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a shared announcement on even docs, a per-source promo line, the doc
     body split around a blank line), only the first (doc_id, idx)
     occurrence of each paragraph survives corpus-wide, empty lines exempt
-    — the oracle re-derives the whole pipeline in SQL. Schema
+    — the oracle re-derives the whole pipeline in SQL; 'c4' — the C4
+    heuristic line/page cleaner (operators/corpus_ops.c4_clean, Raffel et
+    al. 2020 §2.2): over a corpus with one planted line per rule (short
+    line, no-terminal-punct line, javascript line, lorem-ipsum page every
+    11th doc, brace/code page every 13th doc), dropped lines are excised
+    and dropped PAGES are absent from the output entirely — both visible
+    to the row-count+hash compare. Schema
     (mode, doc_id, source, clean_md5, n_removed)."""
     from mcp_crawl4ai_rag_spark.operators.corpus_ops import (
         paragraph_dedup,
@@ -910,7 +916,50 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("clean").alias("clean_md5"),
         "n_removed",
     )
-    return host.unionByName(para)
+
+    c4 = q_c4_clean(spark, sf_dir).select(
+        F.lit("c4").alias("mode"),
+        "doc_id",
+        "source",
+        F.md5("text").alias("clean_md5"),
+        "n_removed",
+    )
+    return host.unionByName(para).unionByName(c4)
+
+
+def _c4_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus for the C4 leg — one planted line per C4 rule
+    (all restated verbatim in the oracle's `d` CTE): two good sentences
+    framing the body, a < 5-word line, a no-terminal-punctuation line, a
+    javascript line, a lorem-ipsum page marker on every 11th doc, and a
+    brace/code page marker on every 13th doc."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.expr(
+            "concat_ws(char(10), "
+            "'This is a good first sentence with plenty of words.', "
+            "concat('Body says ', substring(text, 1, 80), ' and then some.'), "
+            "'Short line.', "
+            "'no terminal punctuation on this line at all', "
+            "'Please enable javascript to view this page today.', "
+            "CASE WHEN doc_id % 11 = 0"
+            " THEN 'Lorem ipsum dolor sit amet sits here quietly.'"
+            " ELSE 'A normal filler sentence sits here quietly instead.' END, "
+            "CASE WHEN doc_id % 13 = 0"
+            " THEN 'function f() { return 1; }'"
+            " ELSE 'Closing remarks end the document right here.' END"
+            ")"
+        ).alias("text"),
+    )
+
+
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone C4-cleaner leg (bench cell + the gate's third leg):
+    line filtering + page removal over the planted-rule corpus."""
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import c4_clean
+
+    return c4_clean(_spread(_c4_corpus(spark, sf_dir)))
 
 
 def _para_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -982,7 +1031,59 @@ FROM k GROUP BY doc_id, source
         _tagged(host, f"'hostfreq' AS mode, {sel}")
         + "\nUNION ALL\n"
         + _tagged(para, f"'paragraph' AS mode, {sel}")
+        + "\nUNION ALL\n"
+        + _tagged(_oracle_c4_leg(), f"'c4' AS mode, {sel}")
     )
+
+
+def _oracle_c4_leg() -> str:
+    """DuckDB twin of the C4 cleaner over the planted-rule corpus: the
+    line predicate restates functions/text.c4_line_keep_expr's exact
+    regexes/thresholds, and the page predicates (≥ 3 kept lines, no
+    'lorem ipsum', no brace) drop whole rows just like the engine."""
+    from mcp_crawl4ai_rag_spark.functions.text import (
+        C4_LINE_BADWORD,
+        C4_MIN_KEPT_LINES,
+        C4_MIN_LINE_WORDS,
+        C4_PAGE_DROP_LOREM,
+        C4_TERMINAL_RE,
+    )
+
+    return f"""
+WITH d AS (
+  SELECT doc_id, source,
+         concat_ws(chr(10),
+           'This is a good first sentence with plenty of words.',
+           'Body says ' || substr(text, 1, 80) || ' and then some.',
+           'Short line.',
+           'no terminal punctuation on this line at all',
+           'Please enable javascript to view this page today.',
+           CASE WHEN doc_id % 11 = 0
+                THEN 'Lorem ipsum dolor sit amet sits here quietly.'
+                ELSE 'A normal filler sentence sits here quietly instead.' END,
+           CASE WHEN doc_id % 13 = 0
+                THEN 'function f() {{ return 1; }}'
+                ELSE 'Closing remarks end the document right here.' END
+         ) AS text
+  FROM documents
+),
+flt AS (
+  SELECT doc_id, source, text,
+         list_filter(string_split(text, chr(10)), x ->
+             regexp_matches(x, '{C4_TERMINAL_RE}')
+             AND len(regexp_extract_all(x, '{_WS_RE}')) >= {C4_MIN_LINE_WORDS}
+             AND NOT contains(lower(x), '{C4_LINE_BADWORD}')) AS kept,
+         len(string_split(text, chr(10))) AS n_lines
+  FROM d
+)
+SELECT doc_id, source,
+       md5(array_to_string(kept, chr(10))) AS clean_md5,
+       CAST(n_lines - len(kept) AS BIGINT) AS n_removed
+FROM flt
+WHERE len(kept) >= {C4_MIN_KEPT_LINES}
+  AND NOT contains(lower(text), '{C4_PAGE_DROP_LOREM}')
+  AND NOT contains(text, '{{')
+"""
 
 
 _MIX_RATES = {"src0": 0.0, "src1": 0.25, "src2": 0.5, "src3": 1.0}

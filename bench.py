@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "corpus_mix",
     "boilerplate_strip",
     "paragraph_dedup",
+    "c4_clean",
     "embedding_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

@@ -262,3 +262,59 @@ def word_shingles_expr(text: Column | str, k: int = 3) -> Column:
     return F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(w, i + 1, k), " "))
     )
+
+
+# C4 heuristic cleaning rules (Raffel et al. 2020, "Exploring the Limits of
+# Transfer Learning with a Unified Text-to-Text Transformer", §2.2 — public
+# paper values). The reference has no cleaning stage at all (it stores
+# crawl4ai's markdown verbatim, src/utils.py:478-500); this is the
+# line-level half of a web-corpus cleaning pipeline, complementing the
+# document-level Gopher filter above.
+C4_MIN_LINE_WORDS = 5
+C4_MIN_KEPT_LINES = 3
+# A line must end in a terminal punctuation mark (., !, ?, or a closing
+# double quote), optionally followed by trailing whitespace.
+C4_TERMINAL_RE = r'[.!?"]\s*$'
+C4_LINE_BADWORD = "javascript"  # lowercase substring, line-level drop
+C4_PAGE_DROP_LOREM = "lorem ipsum"  # lowercase substring, page-level drop
+C4_PAGE_DROP_BRACE = "{"  # raw substring (code page), page-level drop
+
+
+def c4_line_keep_expr(line: Column) -> Column:
+    """C4's per-line keep predicate: terminal punctuation, ≥ 5 words, and
+    no 'javascript'. Pure codegen (rlike + regexp_count + contains); the
+    DuckDB oracle restates the identical regexes."""
+    return (
+        line.rlike(C4_TERMINAL_RE)
+        & (F.regexp_count(line, F.lit(WS_TOKEN_RE)) >= C4_MIN_LINE_WORDS)
+        & ~F.lower(line).contains(F.lit(C4_LINE_BADWORD))
+    )
+
+
+def c4_clean_expr(text: Column | str) -> Column:
+    """Struct (clean, n_removed, page_keep) implementing the C4 cleaning
+    pass in ONE codegen projection — no explode, no shuffle, trivially
+    data-parallel at 100 TB:
+
+    - ``clean``: the document rebuilt from lines passing
+      :func:`c4_line_keep_expr`, joined by newline;
+    - ``n_removed``: dropped line count;
+    - ``page_keep``: page-level verdict — ≥ ``C4_MIN_KEPT_LINES`` surviving
+      lines (C4's "at least 3 sentences" proxy), no 'lorem ipsum', no '{'.
+
+    Dropped pages are FILTERED by the DataFrame wrapper
+    (operators/corpus_ops.c4_clean), mirroring C4's page removal.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    lines = F.split(c, F.lit("\n"))
+    kept = F.filter(lines, c4_line_keep_expr)
+    page_keep = (
+        (F.size(kept) >= C4_MIN_KEPT_LINES)
+        & ~F.lower(c).contains(F.lit(C4_PAGE_DROP_LOREM))
+        & ~c.contains(F.lit(C4_PAGE_DROP_BRACE))
+    )
+    return F.struct(
+        F.array_join(kept, "\n").alias("clean"),
+        (F.size(lines) - F.size(kept)).cast("long").alias("n_removed"),
+        page_keep.alias("page_keep"),
+    )

@@ -1260,3 +1260,37 @@ def split_by_component(
     )
     out = hash_split(keyed, weights, salt=salt, id_col="__split_key", out_col=out_col)
     return out.drop("__comp", "__split_key")
+
+
+def c4_clean(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4 heuristic cleaning (Raffel et al. 2020 §2.2) over a documents
+    table: per-line filtering (terminal punctuation, ≥ 5 words, no
+    'javascript') and page-level removal (< 3 surviving lines, 'lorem
+    ipsum', '{'); see functions/text.c4_clean_expr for the rule split.
+
+    Returns the input rows that SURVIVE page-level filtering, with
+    ``text_col`` replaced by the cleaned text and an added ``n_removed``
+    dropped-line count; all other columns pass through.
+
+    Scale shape: one codegen projection + a stateless filter — no explode,
+    no shuffle, no Python; the cheapest stage of the cleaning pipeline and
+    exactly as parallel as the scan. The reference stores crawl4ai markdown
+    verbatim (src/utils.py:478-500); this stage has no counterpart there.
+    """
+    from ..functions.text import c4_clean_expr
+
+    st = c4_clean_expr(F.col(text_col))
+    others = [c for c in docs.columns if c != text_col]
+    return (
+        docs.withColumn("__c4", st)
+        .where(F.col("__c4.page_keep"))
+        .select(
+            *others,
+            F.col("__c4.clean").alias(text_col),
+            F.col("__c4.n_removed").alias("n_removed"),
+        )
+    )

@@ -1128,3 +1128,107 @@ def test_paragraph_dedup_single_paragraph_docs(spark):
     assert got[1]["clean"] == "same body" and got[1]["n_removed"] == 0
     assert got[2]["clean"] == "" and got[2]["n_removed"] == 1
     assert got[3]["clean"] == "other body" and got[3]["n_removed"] == 0
+
+
+def _py_c4_line_keep(line: str) -> bool:
+    import re
+
+    return (
+        re.search(r'[.!?"]\s*$', line) is not None
+        and len(re.findall(r"\S+", line)) >= 5
+        and "javascript" not in line.lower()
+    )
+
+
+def _py_c4(text: str):
+    lines = text.split("\n")
+    kept = [ln for ln in lines if _py_c4_line_keep(ln)]
+    page_keep = (
+        len(kept) >= 3
+        and "lorem ipsum" not in text.lower()
+        and "{" not in text
+    )
+    return "\n".join(kept), len(lines) - len(kept), page_keep
+
+
+def test_c4_clean_matches_python_twin(spark):
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import c4_clean
+
+    texts = [
+        # all-good page: three proper sentences
+        "One good sentence sits right here today.\n"
+        "Another good sentence sits right here too.\n"
+        "A third good sentence closes the page nicely.",
+        # boundary: exactly 5 words, ends in quote / ! / ?
+        'He said it was "done."\nExactly five words sit here.\n'
+        "Is five words enough here?\nFive words make it work!",
+        # line drops: short, no terminal punct, javascript (any case)
+        "A perfectly good first sentence ends here.\n"
+        "Too short.\n"
+        "this line never terminates with punctuation at all\n"
+        "Please enable JavaScript to continue reading now.\n"
+        "A perfectly good second sentence ends here.\n"
+        "A perfectly good third sentence ends here.",
+        # trailing whitespace after the terminal mark still keeps the line
+        "Trailing space after the period stays in.   \n"
+        "Another fine sentence appears right after that.\n"
+        "And one more fine sentence for good measure.",
+        # page drop: lorem ipsum (case-insensitive)
+        "LoReM IpSuM dolor sit amet body filler.\n"
+        "A good sentence sits right here today.\n"
+        "Another good sentence sits right here too.\n"
+        "A third good sentence closes the page nicely.",
+        # page drop: brace (code page)
+        "A good sentence mentions code = { } inline.\n"
+        "Another good sentence sits right here too.\n"
+        "A third good sentence closes the page nicely.",
+        # page drop: only two lines survive
+        "One surviving sentence sits right here today.\n"
+        "Second surviving sentence sits right here too.\n"
+        "short\nno punct",
+        # empty lines are dropped as lines (0 words) but page survives
+        "First of three good sentences sits here.\n\n"
+        "Second of three good sentences sits here.\n\n"
+        "Third of three good sentences sits here.",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_removed"])
+        for r in c4_clean(docs).collect()
+    }
+    expect = {}
+    for i, t in enumerate(texts):
+        clean, n_removed, keep = _py_c4(t)
+        if keep:
+            expect[i] = (clean, n_removed)
+    assert got == expect
+    # the planted drops actually dropped: pages 4, 5, 6 are gone
+    assert set(got) == {0, 1, 2, 3, 7}
+    # line-level excision visible: page 2 lost exactly 3 of its 6 lines
+    assert got[2][1] == 3
+
+
+def test_c4_clean_passthrough_columns_and_plan(spark):
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import c4_clean
+
+    docs = spark.createDataFrame(
+        [
+            (
+                1,
+                "srcA",
+                "Keep this full sentence right here please.\n"
+                "Keep this other full sentence here too.\n"
+                "Keep one final full sentence here as well.",
+            )
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = c4_clean(docs)
+    assert out.columns == ["doc_id", "source", "text", "n_removed"]
+    row = out.collect()[0]
+    assert row["source"] == "srcA" and row["n_removed"] == 0
+    # one codegen projection + filter over the scan: no shuffle anywhere
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
