@@ -2150,16 +2150,28 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_caption_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CLIP-score-style image↔caption alignment filter
-    (operators/similarity.alignment_filter — the LAION-shape cleaning gate
-    for an image+caption corpus). Deterministic pairs over the embeddings
-    table: pair i carries text embedding vec_id=i and an image embedding
-    that is a lossy-encoder perturbation of it (0.9·v + 0.01); every 10th
-    pair's image embedding is swapped with its neighbor's — a planted
-    caption mismatch. keep = alignment ≥ 0.8 drops exactly the swaps."""
-    from mcp_crawl4ai_rag_spark.operators.similarity import alignment_filter
+    """Image-quality filters for an image+caption corpus, two tagged legs:
+    'clip' — CLIP-score-style image↔caption alignment filter
+    (operators/similarity.alignment_filter — the LAION-shape cleaning
+    gate). Deterministic pairs over the embeddings table: pair i carries
+    text embedding vec_id=i and an image embedding that is a lossy-encoder
+    perturbation of it (0.9·v + 0.01); every 10th pair's image embedding is
+    swapped with its neighbor's — a planted caption mismatch. keep =
+    alignment ≥ 0.8 drops exactly the swaps.
+    'aesthetic' — the LAION-aesthetic shape (operators/similarity.
+    aesthetic_probe): a linear head over the leading embedding dims,
+    trained on the corpus by exact least squares (one map-side-combined
+    Gram scan + exact rational solve, so the weights are a pure function of
+    the data and the oracle retrains bit-identically via the Python twin),
+    then every image scored in one codegen projection; keep = score ≥ 0.5.
+    Schema (mode, pair_id, alignment, keep) — alignment carries the 4dp
+    aesthetic score on the second leg."""
+    from mcp_crawl4ai_rag_spark.operators.similarity import (
+        alignment_filter,
+        aesthetic_probe,
+    )
 
-    embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding", "label")
     nxt = embs.select(
         (F.col("vec_id") - 1).alias("vec_id"),
         F.col("embedding").cast("array<double>").alias("mis"),
@@ -2173,10 +2185,39 @@ def q_caption_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         img.alias("img_vec"),
         F.col("embedding").alias("txt_vec"),
     )
-    return alignment_filter(pairs, "img_vec", "txt_vec", threshold=0.8)
+    clip = alignment_filter(pairs, "img_vec", "txt_vec", threshold=0.8).select(
+        F.lit("clip").alias("mode"), "pair_id", "alignment", "keep"
+    )
+    aes = aesthetic_probe(
+        embs, (F.col("label") >= 5).cast("long"), threshold=0.5
+    ).select(
+        F.lit("aesthetic").alias("mode"),
+        F.col("vec_id").alias("pair_id"),
+        F.col("score").alias("alignment"),
+        "keep",
+    )
+    return clip.unionByName(aes)
+
+
+def q_aesthetic_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone aesthetic leg (bench cell): train the linear head on the
+    weak label, score every image, keep ≥ 0.5."""
+    from mcp_crawl4ai_rag_spark.operators.similarity import aesthetic_probe
+
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding", "label")
+    return aesthetic_probe(embs, (F.col("label") >= 5).cast("long"))
 
 
 def _oracle_caption_alignment() -> str:
+    sel = "pair_id, alignment, keep"
+    return (
+        _tagged(_oracle_caption_clip_leg(), f"'clip' AS mode, {sel}")
+        + "\nUNION ALL\n"
+        + _tagged(_oracle_aesthetic_leg(), f"'aesthetic' AS mode, {sel}")
+    )
+
+
+def _oracle_caption_clip_leg() -> str:
     cos = _sql_cosine("p.img_vec", "p.txt_vec")
     return f"""
 WITH nxt AS (
@@ -2196,6 +2237,52 @@ SELECT p.pair_id,
        round({cos}, 4) AS alignment,
        round({cos}, 4) >= 0.8 AS keep
 FROM p
+"""
+
+
+def _oracle_aesthetic_leg() -> str:
+    """Aesthetic-head oracle via trained-weight literal injection (the
+    quality_probe precedent): the weights are a pure function of the data
+    (exact Gram + exact rational solve), so the builder retrains via the
+    bit-exact Python twin over the same parquet and the SQL restates the
+    fixed-point features and the left-to-right score fold with the weights
+    as literals."""
+    import os
+
+    import duckdb
+
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import (
+        py_train_linear_probe,
+        sql_linear_probe_score,
+    )
+    from mcp_crawl4ai_rag_spark.operators.similarity import (
+        AESTHETIC_DIMS,
+        AESTHETIC_SCALE,
+        py_aesthetic_features,
+    )
+
+    sf_dir = os.environ.get(_ORACLE_SF_DIR_ENV, _ORACLE_SF_DIR_DEFAULT)
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT embedding, label FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchall()
+    con.close()
+    train = [
+        tuple(py_aesthetic_features(emb)) + (1 if label >= 5 else 0,)
+        for emb, label in rows
+    ]
+    w = py_train_linear_probe(train, AESTHETIC_DIMS)
+    feat_exprs = [
+        f"CAST(floor(CAST(embedding[{i + 1}] AS DOUBLE) * "
+        f"{float(AESTHETIC_SCALE)!r} + 0.5) AS BIGINT)"
+        for i in range(AESTHETIC_DIMS)
+    ]
+    score = sql_linear_probe_score(w, feat_exprs)
+    return f"""
+SELECT vec_id AS pair_id,
+       round({score}, 4) AS alignment,
+       round({score}, 4) >= 0.5 AS keep
+FROM embeddings
 """
 
 

@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "embed_cache",
     "embedding_neardup",
     "caption_alignment",
+    "aesthetic_probe",
     "events_hourly",
     "events_sessionize",
     "image_verify",

@@ -998,3 +998,118 @@ def ivfpq_query_index(
     )
     fetched = store.join(F.broadcast(short), id_col, "left_semi")
     return brute_topk(fetched, query_vec, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# Aesthetic scoring: a linear head over image embeddings — the
+# LAION-aesthetic shape (a tiny frozen linear/MLP head applied to CLIP
+# image embeddings scores every image; the corpus keeps rows above a
+# threshold). The reference stores raw embeddings and filters by cosine
+# only (crawled_pages.sql:49-61); a web-scale image+caption pipeline also
+# needs the learned per-image quality scalar this head produces.
+# ---------------------------------------------------------------------------
+
+AESTHETIC_DIMS = 16  # leading embedding dims used as head features
+AESTHETIC_SCALE = 1000  # fixed-point grid: floor(x*1000 + 0.5)
+
+
+def aesthetic_feature_expr(vec_col, i: int, scale: int = AESTHETIC_SCALE):
+    """Fixed-point feature i: ``floor(vec[i]·scale + 0.5)`` as a long.
+
+    float32 → float64 widening is exact, the scale/round arithmetic is a
+    single double expression, and floor ties to -inf — every engine (Spark,
+    DuckDB, Python) lands on the identical integer, which is what lets the
+    trained weights be bit-identical across the gate's two sides. With
+    unit-norm embeddings |feat| ≤ scale, so the probe's long Gram sums stay
+    exact to ~9·10¹² rows at scale=1000 (see train_linear_probe's bound).
+    """
+    v = F.element_at(F.col(vec_col), i + 1).cast("double")
+    return F.floor(v * F.lit(float(scale)) + F.lit(0.5)).cast("long")
+
+
+def py_aesthetic_features(
+    vec, n_dims: int = AESTHETIC_DIMS, scale: int = AESTHETIC_SCALE
+) -> list[int]:
+    """Pure-Python twin of :func:`aesthetic_feature_expr` (oracle/tests)."""
+    import math
+
+    return [
+        int(math.floor(float(vec[i]) * float(scale) + 0.5))
+        for i in range(n_dims)
+    ]
+
+
+def train_aesthetic_head(
+    embs: DataFrame,
+    label_expr,
+    n_dims: int = AESTHETIC_DIMS,
+    scale: int = AESTHETIC_SCALE,
+    vec_col: str = "embedding",
+) -> list[float]:
+    """Fit the linear head ``quality ≈ w0 + Σ wi·feat_i`` over the corpus
+    by exact least squares (operators/corpus_ops.train_linear_probe): one
+    map-side-combined Gram aggregation — (k+1)(k+2)/2 + (k+1) longs per
+    partition regardless of row count, a single corpus scan at 10^10
+    images — then an exact rational solve on the driver, so the weights
+    are a pure function of the data (partitioning- and order-invariant)
+    and a SQL oracle can receive them as literals."""
+    from .corpus_ops import train_linear_probe
+
+    names = [f"__af{i}" for i in range(n_dims)]
+    feats = embs.select(
+        *[
+            aesthetic_feature_expr(vec_col, i, scale).alias(names[i])
+            for i in range(n_dims)
+        ],
+        label_expr.cast("long").alias("__y"),
+    )
+    return train_linear_probe(feats, names, "__y")
+
+
+def aesthetic_scores(
+    embs: DataFrame,
+    weights: list[float],
+    threshold: float = 0.5,
+    n_dims: int = AESTHETIC_DIMS,
+    scale: int = AESTHETIC_SCALE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Score every image with the trained head and keep rows at or above
+    ``threshold``: ``(id, score, keep)``. One codegen projection per row —
+    zero shuffle, no UDF — so at 10^10 images the cost is the embedding
+    scan itself. ``score`` is rounded to 4dp at the output boundary and the
+    keep decision is made on the rounded value (the alignment_filter
+    contract), so any engine reproducing the left-to-right float64 weight
+    fold makes the identical keep/drop call."""
+    from .corpus_ops import linear_probe_score_expr
+
+    names = [f"__af{i}" for i in range(n_dims)]
+    feats = embs.select(
+        F.col(id_col),
+        *[
+            aesthetic_feature_expr(vec_col, i, scale).alias(names[i])
+            for i in range(n_dims)
+        ],
+    )
+    score = F.round(linear_probe_score_expr(weights, names), 4)
+    return feats.select(
+        F.col(id_col),
+        score.alias("score"),
+        (score >= F.lit(float(threshold))).alias("keep"),
+    )
+
+
+def aesthetic_probe(
+    embs: DataFrame,
+    label_expr,
+    threshold: float = 0.5,
+    n_dims: int = AESTHETIC_DIMS,
+    scale: int = AESTHETIC_SCALE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train the aesthetic head on a weak label and score the same corpus
+    (two scans total: one Gram aggregation, one scoring projection)."""
+    w = train_aesthetic_head(embs, label_expr, n_dims, scale, vec_col)
+    return aesthetic_scores(embs, w, threshold, n_dims, scale, id_col, vec_col)
