@@ -1944,7 +1944,35 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
-    return out
+    # minhash_lsh leg: the TEXT near-dup recall harness — measured recall of
+    # the 16-perm/4-band MinHash index vs exact-Jaccard truth over the
+    # planted-twin sample (operators/dedup.neardup_recall); the banding
+    # S-curve as evidence, not assertion
+    from mcp_crawl4ai_rag_spark.operators.dedup import neardup_recall
+
+    docs2 = _docs2(spark, sf_dir)
+    samp = docs2.where(F.col("doc_id") >= 1000000).select("doc_id")
+    mh = neardup_recall(docs2, samp, min_jaccard=_NDR_MIN_J).select(
+        F.lit("minhash_lsh").alias("method"),
+        F.col("qid").cast("long").alias("qid"),
+        "recall",
+    )
+    return out.unionByName(mh)
+
+
+_NDR_MIN_J = 0.5
+
+
+def q_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone text near-dup recall harness (bench cell + the
+    ann_recall gate's minhash_lsh leg): measured recall of the
+    16-perm/4-band MinHash index vs exact-Jaccard truth over the
+    planted-twin sample."""
+    from mcp_crawl4ai_rag_spark.operators.dedup import neardup_recall
+
+    docs2 = _docs2(spark, sf_dir)
+    samp = docs2.where(F.col("doc_id") >= 1000000).select("doc_id")
+    return neardup_recall(docs2, samp, min_jaccard=_NDR_MIN_J)
 
 
 def _pq_recall_ctes() -> str:
@@ -2134,6 +2162,48 @@ UNION ALL
 SELECT 'ivfpq_2of8_adc20' AS method, CAST(q2.qid AS BIGINT) AS qid,
        round(COALESCE(h.h, 0) / 5.0, 4) AS recall
 FROM qids q2 LEFT JOIN hitsipq h ON h.qid = q2.qid
+UNION ALL
+{_tagged(_oracle_neardup_recall_leg(),
+         "'minhash_lsh' AS method, CAST(qid AS BIGINT) AS qid, recall")}
+"""
+
+
+def _oracle_neardup_recall_leg() -> str:
+    """Text near-dup recall: exact-Jaccard truth for the twin sample is a
+    (bounded) cross join at oracle scale; found = the full minhash CTE
+    chain's verified candidates at the same threshold — recall re-derived
+    end-to-end, nothing injected."""
+    t = _NDR_MIN_J
+    return f"""
+WITH {_DOCS2_SQL.strip()},
+{_minhash_pairs_ctes('docs2')},
+pairs AS ({_PAIRS_SELECT_SQL.strip()}),
+samp AS (SELECT doc_id FROM docs2 WHERE doc_id >= 1000000),
+truth AS (
+    SELECT s.doc_id AS qid, b.doc_id AS did
+    FROM samp s
+    JOIN shl a ON a.doc_id = s.doc_id
+    JOIN shl b ON b.doc_id <> s.doc_id
+    WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 4)
+          >= {t!r}
+),
+fnd AS (
+    SELECT f.qid, f.did FROM (
+        SELECT id_a AS qid, id_b AS did FROM pairs WHERE jaccard >= {t!r}
+        UNION ALL
+        SELECT id_b AS qid, id_a AS did FROM pairs WHERE jaccard >= {t!r}
+    ) f JOIN samp s ON s.doc_id = f.qid
+),
+nt AS (SELECT qid, count(*) AS n_true FROM truth GROUP BY qid),
+nf AS (
+    SELECT t2.qid, count(*) AS n_found
+    FROM truth t2 JOIN fnd f ON f.qid = t2.qid AND f.did = t2.did
+    GROUP BY t2.qid
+)
+SELECT nt.qid,
+       round(COALESCE(nf.n_found, 0) / CAST(nt.n_true AS DOUBLE), 4) AS recall
+FROM nt LEFT JOIN nf ON nf.qid = nt.qid
 """
 
 

@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "ann_quantized",
     "ann_recall",
+    "neardup_recall",
     "ann_multiprobe",
     "embed_cache",
     "embedding_neardup",

@@ -756,3 +756,125 @@ def phash_pairs_incremental(
     if star is not None:
         out = out.unionByName(star)
     return out
+
+
+def exact_jaccard_neighbors(
+    docs: DataFrame,
+    sample_ids: DataFrame,
+    min_jaccard: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(qid, did, jaccard): EXACT shingle-set Jaccard neighbors of a bounded
+    query sample against the whole corpus — the ground truth a banding index
+    is measured against.
+
+    Scale shape: the contamination equi-join — the sample's distinct
+    shingles join the corpus's shingle postings (never an all-pairs scan),
+    so cost is Σ document-frequency over the sample's shingles. Like the
+    contamination gate, a stop-shingle can fan out; this is an EVALUATION
+    harness over a bounded sample, not a production pass, and the sample
+    ids broadcast-prune the left side. Jaccard is exact over distinct
+    shingle sets, rounded to 4dp before thresholding — bit-identical to
+    :func:`minhash_lsh_pairs`'s verify arithmetic (same integers, same
+    double division), so verified candidates are a subset of this truth.
+    """
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_shingles_expr(F.col(text_col), shingle_k))
+        ).alias("__sh"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("__n"))
+    qsh = sh.join(
+        F.broadcast(sample_ids.select(F.col(id_col))), id_col, "left_semi"
+    ).select(F.col(id_col).alias("qid"), "__sh")
+    common = (
+        qsh.join(
+            sh.select(F.col(id_col).alias("did"), "__sh"), "__sh"
+        )
+        .where(F.col("qid") != F.col("did"))
+        .groupBy("qid", "did")
+        .agg(F.count("*").alias("__c"))
+    )
+    j = (
+        common.join(sizes.select(F.col(id_col).alias("qid"), F.col("__n").alias("__na")), "qid")
+        .join(sizes.select(F.col(id_col).alias("did"), F.col("__n").alias("__nb")), "did")
+        .select(
+            "qid",
+            "did",
+            F.round(
+                F.col("__c").cast("double")
+                / (F.col("__na") + F.col("__nb") - F.col("__c")).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    return j.where(F.col("jaccard") >= float(min_jaccard))
+
+
+def neardup_recall(
+    docs: DataFrame,
+    sample_ids: DataFrame,
+    min_jaccard: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perms: int = MINHASH_PERMS,
+    bands: int = LSH_BANDS,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(qid, n_true, n_found, recall): measured recall of the MinHash+LSH
+    near-dup path against exact-Jaccard truth, per sample document — the
+    evaluation loop that keeps the banding index honest (the text twin of
+    the ANN recall harness). A banding scheme has a known S-curve
+    P(candidate | jaccard); this harness turns that theory into a measured
+    number on the operator's own corpus, so band/perm choices are evidence,
+    not assertion.
+
+    Truth = :func:`exact_jaccard_neighbors` (exact, equi-join shape).
+    Found = :func:`minhash_lsh_pairs` verified at the same threshold,
+    restricted to pairs touching the sample. Verified candidates are a
+    subset of truth by construction (identical Jaccard arithmetic), so
+    recall = n_found / n_true; sample docs with zero true neighbors are
+    excluded (no defined recall).
+    """
+    truth = exact_jaccard_neighbors(
+        docs, sample_ids, min_jaccard, text_col, id_col, shingle_k
+    )
+    pairs = minhash_lsh_pairs(
+        docs,
+        text_col,
+        id_col,
+        num_perms,
+        bands,
+        shingle_k,
+        min_jaccard=float(min_jaccard),
+    )
+    found = (
+        pairs.select(F.col("id_a").alias("qid"), F.col("id_b").alias("did"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("qid"), F.col("id_a").alias("did"))
+        )
+        .join(
+            F.broadcast(sample_ids.select(F.col(id_col).alias("qid"))),
+            "qid",
+            "left_semi",
+        )
+    )
+    n_true = truth.groupBy("qid").agg(F.count("*").alias("n_true"))
+    n_found = (
+        truth.join(found, ["qid", "did"], "left_semi")
+        .groupBy("qid")
+        .agg(F.count("*").alias("n_found"))
+    )
+    return n_true.join(n_found, "qid", "left").select(
+        "qid",
+        F.col("n_true").cast("long").alias("n_true"),
+        F.coalesce(F.col("n_found"), F.lit(0)).cast("long").alias("n_found"),
+        F.round(
+            F.coalesce(F.col("n_found"), F.lit(0)).cast("double")
+            / F.col("n_true").cast("double"),
+            4,
+        ).alias("recall"),
+    )

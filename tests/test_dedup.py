@@ -538,3 +538,88 @@ def test_phash_incremental_dedupe_identical_is_linear_and_equivalent(spark, tmp_
     # component equivalence: hot cluster old+new all connected through reps
     ids = {x for k in got for x in k}
     assert "old_far" not in ids
+
+
+# ---------------------------------------------------------------------------
+# neardup_recall: the text near-dup recall harness (measured banding recall
+# vs exact-Jaccard truth — the evidence loop for the MinHash index)
+# ---------------------------------------------------------------------------
+
+
+def _jac(a: str, b: str, k: int = 3) -> float:
+    def sh(t):
+        w = t.lower().split()
+        return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+    sa, sb = sh(a), sh(b)
+    if not sa | sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def _ndr_corpus():
+    # 30 base docs of distinct content + exact twins of every 3rd doc
+    # (jaccard 1.0 — banding MUST catch these) + one unrelated doc
+    base = [
+        (i, " ".join(f"tok{i}w{j}" for j in range(25))) for i in range(30)
+    ]
+    twins = [(i + 1000, t) for i, t in base if i % 3 == 0]
+    return base + twins
+
+
+def test_neardup_recall_truth_and_recall_match_python(spark):
+    from mcp_crawl4ai_rag_spark.operators.dedup import (
+        exact_jaccard_neighbors,
+        neardup_recall,
+    )
+
+    rows = _ndr_corpus()
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    samp = docs.where(F.col("doc_id") >= 1000).select("doc_id")
+
+    truth = {
+        (r["qid"], r["did"]): r["jaccard"]
+        for r in exact_jaccard_neighbors(docs, samp, 0.5).collect()
+    }
+    # python truth: exact jaccard >= 0.5 from each twin to every other doc
+    want = {}
+    txt = dict(rows)
+    for q in txt:
+        if q < 1000:
+            continue
+        for d in txt:
+            if d != q:
+                j = round(_jac(txt[q], txt[d]), 4)
+                if j >= 0.5:
+                    want[(q, d)] = j
+    assert truth == want and want  # non-vacuous: each twin sees its base
+
+    out = {r["qid"]: r for r in neardup_recall(docs, samp, 0.5).collect()}
+    assert set(out) == {q for q, _ in want}
+    for q, r in out.items():
+        n_true = sum(1 for (qq, _) in want if qq == q)
+        assert r["n_true"] == n_true
+        assert 0 <= r["n_found"] <= n_true
+        assert r["recall"] == round(r["n_found"] / n_true, 4)
+    # exact twins share every band key — recall must be 1.0 on this corpus
+    assert all(r["recall"] == 1.0 for r in out.values()), out
+
+
+def test_neardup_recall_found_is_subset_of_truth(spark):
+    from mcp_crawl4ai_rag_spark.operators.dedup import neardup_recall
+
+    # perturbed twins: drop the last 10 tokens — jaccard ~0.65, banding may
+    # or may not catch each one, but n_found can never exceed n_true
+    base = [
+        (i, " ".join(f"w{i}x{j}" for j in range(40))) for i in range(20)
+    ]
+    twins = [
+        (i + 1000, " ".join(t.split()[:-10])) for i, t in base if i % 2 == 0
+    ]
+    docs = spark.createDataFrame(base + twins, "doc_id long, text string")
+    samp = docs.where(F.col("doc_id") >= 1000).select("doc_id")
+    out = neardup_recall(docs, samp, 0.5).collect()
+    assert out
+    for r in out:
+        assert r["n_found"] <= r["n_true"]
+        assert 0.0 <= r["recall"] <= 1.0
