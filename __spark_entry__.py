@@ -4942,7 +4942,78 @@ def q_media_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("out_h").alias("m2"),
         F.col("n_nonempty").alias("m3"),
     )
-    return img.unionByName(aud).unionByName(rsz)
+    meta = q_image_meta(spark, sf_dir).select(
+        F.lit("image_meta").alias("kind"), "fmt", "n",
+        F.col("n_keep").alias("m1"),
+        F.col("n_bad_geom").alias("m2"),
+        F.col("n_short_caption").alias("m3"),
+    )
+    return img.unionByName(aud).unionByName(rsz).unionByName(meta)
+
+
+def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'image_meta' leg (also a standalone bench cell): the LAION-style
+    metadata prefilter (functions/images.image_meta_quality — min-side,
+    integer cross-multiplied aspect bound, caption word count) over the
+    image corpus, aggregated per fmt. Runs before any decode; the w/h legs
+    of the oracle are closed-form, the caption-word counts are regenerated
+    by the Python twin and injected as literals (the rag_pipeline
+    precedent), so keep/geom/caption counts are all hash-checked."""
+    from mcp_crawl4ai_rag_spark.functions.images import image_meta_quality
+
+    m = image_meta_quality(gen_images(spark, 1000))
+    return m.groupBy("fmt").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("keep").cast("int")).cast("long").alias("n_keep"),
+        F.sum((F.col("small") | F.col("stretched")).cast("int"))
+        .cast("long")
+        .alias("n_bad_geom"),
+        F.sum(F.col("short_caption").cast("int"))
+        .cast("long")
+        .alias("n_short_caption"),
+    )
+
+
+def _oracle_image_meta() -> str:
+    """w/h flags are closed-form over the generator formulas (w = 32 +
+    (i%5)·8, h = 32 + (i%3)·16, fmt = i%2); the caption word count is not
+    SQL-derivable (PCG64), so the builder regenerates each caption via the
+    SAME gen_caption the corpus uses and injects per-image word counts as
+    a literal table — the oracle then re-derives small/stretched/short/keep
+    and the per-fmt aggregation independently."""
+    from mcp_crawl4ai_rag_spark.functions.images import gen_caption
+
+    vals = ",\n        ".join(
+        f"({i}, {len(gen_caption('img_%012d' % i).split(' '))})"
+        for i in range(1000)
+    )
+    return f"""
+WITH caps(i, nw) AS (VALUES {vals}),
+m AS (
+    SELECT i,
+           CASE WHEN i % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+           32 + (i % 5) * 8 AS w,
+           32 + (i % 3) * 16 AS h,
+           nw
+    FROM caps
+),
+f AS (
+    SELECT fmt,
+           (least(w, h) < 40) AS small,
+           (greatest(w, h) * 1000 > 1500 * least(w, h)) AS stretched,
+           (nw < 8) AS short_caption
+    FROM m
+)
+SELECT fmt,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN NOT (small OR stretched OR short_caption)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       CAST(sum(CASE WHEN small OR stretched THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bad_geom,
+       CAST(sum(CASE WHEN short_caption THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_short_caption
+FROM f GROUP BY fmt
+"""
 
 
 def _oracle_media_verify() -> str:
@@ -4954,6 +5025,9 @@ def _oracle_media_verify() -> str:
             _oracle_audio_verify(), "n_sample_ok", "sum_duration_ms", "sum_samples"
         ),
         "image_resize": (_oracle_image_resize(), "out_w", "out_h", "n_nonempty"),
+        "image_meta": (
+            _oracle_image_meta(), "n_keep", "n_bad_geom", "n_short_caption"
+        ),
     }
     return "\nUNION ALL\n".join(
         _tagged(

@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "events_hourly",
     "events_sessionize",
     "image_verify",
+    "image_meta",
     "image_features",
     "image_phash_pairs",
     "audio_verify",

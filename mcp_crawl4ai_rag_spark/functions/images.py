@@ -290,3 +290,41 @@ def verify_images(images: DataFrame, min_psnr_db: float = 40.0) -> DataFrame:
     # 64-bit hash past 2^53 — the string round-trip is exact
     prepared = images.withColumn("__ph_str", F.col("phash").cast("string"))
     return prepared.mapInPandas(gen, schema=VERIFY_SCHEMA)
+
+
+def image_meta_quality(
+    images: DataFrame,
+    min_side: int = 40,
+    max_aspect_milli: int = 1500,
+    min_caption_words: int = 8,
+) -> DataFrame:
+    """LAION-style metadata prefilter: ``(image_id, fmt, small, stretched,
+    short_caption, keep)`` from the typed metadata columns ALONE — the
+    cleaning pass a web-scale image+caption corpus runs FIRST, before any
+    byte is decoded (LAION-5B drops min-side/aspect/caption failures at the
+    metadata stage; decode-level checks like :func:`verify_images` run only
+    on survivors).
+
+    Scale shape: pure codegen integer comparisons — the aspect test is the
+    cross-multiplication ``max(w,h)·1000 > max_aspect_milli·min(w,h)`` so
+    no float enters the plan, and the projection never touches ``bytes``,
+    so on a parquet corpus Catalyst prunes the payload column out of the
+    scan entirely (ReadSchema carries only metadata; plan-pinned in tests).
+    At 10^10 images this filter costs a metadata-column scan, not an image
+    read. Caption words = single-space split, matching the corpus
+    generator's join; NULL captions count 0 words (short).
+    """
+    small = (F.least("w", "h") < F.lit(int(min_side))).alias("small")
+    stretched = (
+        F.greatest("w", "h") * F.lit(1000)
+        > F.lit(int(max_aspect_milli)) * F.least("w", "h")
+    ).alias("stretched")
+    n_words = F.when(
+        F.col("caption").isNull() | (F.col("caption") == ""), F.lit(0)
+    ).otherwise(F.size(F.split(F.col("caption"), " ")))
+    short = (n_words < F.lit(int(min_caption_words))).alias("short_caption")
+    out = images.select("image_id", "fmt", small, stretched, short)
+    return out.withColumn(
+        "keep",
+        ~(F.col("small") | F.col("stretched") | F.col("short_caption")),
+    )

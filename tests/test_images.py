@@ -141,3 +141,59 @@ def test_verify_images_flags_corrupt_payloads_instead_of_raising(spark):
     nullp = got["img_000000000001"]
     assert nullp["pixel_ok"] and not nullp["phash_ok"]  # decodes, phash unverifiable
     assert got["img_000000000002"]["phash_ok"] and got["img_000000000003"]["phash_ok"]
+
+
+def test_image_meta_quality_flags_and_keep(spark):
+    from mcp_crawl4ai_rag_spark.functions.images import image_meta_quality
+
+    rows = [
+        # (id, w, h, fmt, caption): keep / small / stretched / short cases
+        ("ok", 48, 48, "png", "a b c d e f g h"),
+        ("small_w", 32, 48, "png", "a b c d e f g h"),
+        ("stretch", 48, 96, "jpeg", "a b c d e f g h"),
+        ("short", 48, 48, "jpeg", "a b c"),
+        ("null_cap", 48, 48, "png", None),
+        ("empty_cap", 48, 48, "png", ""),
+        ("boundary", 40, 60, "png", "a b c d e f g h"),  # aspect == 1.5 OK
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, w int, h int, fmt string, caption string"
+    )
+    got = {
+        r["image_id"]: (r["small"], r["stretched"], r["short_caption"], r["keep"])
+        for r in image_meta_quality(df).collect()
+    }
+    assert got["ok"] == (False, False, False, True)
+    assert got["small_w"] == (True, False, False, False)
+    assert got["stretch"] == (False, True, False, False)
+    assert got["short"] == (False, False, True, False)
+    assert got["null_cap"][2] is True and got["null_cap"][3] is False
+    assert got["empty_cap"][2] is True
+    # 60*1000 == 1500*40 exactly: NOT stretched (strict >)
+    assert got["boundary"] == (False, False, False, True)
+
+
+def test_image_meta_quality_prunes_bytes_from_parquet_scan(spark, tmp_path):
+    from mcp_crawl4ai_rag_spark.functions.images import image_meta_quality
+    from mcp_crawl4ai_rag_spark.sources.corpus import gen_images
+
+    p = str(tmp_path / "imgs")
+    gen_images(spark, 40, partitions=2).write.parquet(p)
+    out = image_meta_quality(spark.read.parquet(p))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the metadata prefilter must never materialize the payload column
+    assert "Exchange" not in plan
+    import re
+
+    rs = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert rs and "bytes" not in rs.group(1), plan
+    # and the per-fmt counts agree with a driver-side recount
+    rows = spark.read.parquet(p).select("image_id", "w", "h", "caption").collect()
+    want_keep = sum(
+        1
+        for r in rows
+        if min(r["w"], r["h"]) >= 40
+        and max(r["w"], r["h"]) * 1000 <= 1500 * min(r["w"], r["h"])
+        and len(r["caption"].split(" ")) >= 8
+    )
+    assert out.where("keep").count() == want_keep
