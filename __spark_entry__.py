@@ -1138,7 +1138,37 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     temp = temperature_mix(tdocs, _TMIX_ALPHA).select(
         F.lit("temperature").alias("mode"), "doc_id", "source"
     )
-    return fixed.unionByName(temp)
+    # 'budget' leg: token-granularity sampling — keep whole docs in
+    # hash-shuffled order until each source's token budget is exhausted
+    # (src0 budget 0 = dropped, src1 effectively unlimited, 2000 default)
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import token_budget_sample
+
+    tb = (
+        token_budget_sample(
+            _docs(spark, sf_dir).select("doc_id", "source", "text"),
+            _TB_BUDGETS,
+            default_budget=_TB_DEFAULT,
+        )
+        .where("keep")
+        .select(F.lit("budget").alias("mode"), "doc_id", "source")
+    )
+    return fixed.unionByName(temp).unionByName(tb)
+
+
+_TB_BUDGETS = {"src0": 0, "src1": 1_000_000_000}
+_TB_DEFAULT = 2000
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone token-budget leg (bench cell): full output incl. the
+    cum_before accounting and drop decisions."""
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import token_budget_sample
+
+    return token_budget_sample(
+        _docs(spark, sf_dir).select("doc_id", "source", "text"),
+        _TB_BUDGETS,
+        default_budget=_TB_DEFAULT,
+    )
 
 
 def _oracle_corpus_mix() -> str:
@@ -1202,7 +1232,45 @@ SELECT 'temperature' AS mode, doc_id, source
 FROM cop JOIN nums ON nums.k <= cop.n_copies
 """
     # a WITH cannot follow UNION ALL at top level — wrap the CTE leg
-    return fixed + "\nUNION ALL\n" + _tagged(temp, "mode, doc_id, source")
+    return (
+        fixed
+        + "\nUNION ALL\n"
+        + _tagged(temp, "mode, doc_id, source")
+        + "\nUNION ALL\n"
+        + _tagged(_oracle_token_budget_leg(), "mode, doc_id, source")
+    )
+
+
+def _oracle_token_budget_leg() -> str:
+    """Token-budget leg: the per-source running total is a window here
+    (oracle scale) vs the engine's distributed_cumsum; order, token counts
+    and the keep comparison are restated exactly (md5 order key, \\S+
+    token regex, integer budget CASE)."""
+    from mcp_crawl4ai_rag_spark.functions.hashing import sql_md5int64
+
+    ordk = sql_md5int64("'tbudget:' || CAST(doc_id AS VARCHAR)")
+    whens = " ".join(
+        f"WHEN source = '{s}' THEN {int(b)}" for s, b in _TB_BUDGETS.items()
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(lower(text), '{_WS_RE}')) AS sz,
+         {ordk} AS ordk,
+         (CASE {whens} ELSE {_TB_DEFAULT} END) AS budget
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, sz, budget,
+         COALESCE(sum(sz) OVER (
+             PARTITION BY source ORDER BY ordk, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cumb
+  FROM s
+)
+SELECT 'budget' AS mode, doc_id, source
+FROM c WHERE cumb + sz <= budget
+"""
 
 
 _PR_ITERS = 5

@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "pack_schedule",
     "link_pagerank",
     "corpus_mix",
+    "token_budget",
     "boilerplate_strip",
     "paragraph_dedup",
     "c4_clean",

@@ -1294,3 +1294,90 @@ def c4_clean(
             F.col("__c4.n_removed").alias("n_removed"),
         )
     )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    default_budget: int | None = None,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+    size_col: str | None = None,
+    salt: str = "tbudget",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Token-budget corpus sampling: ``(id, source, n_tokens, cum_before,
+    keep)`` — keep whole documents, in a deterministic hash-shuffled order,
+    until each source's cumulative token count would exceed its budget (the
+    Pile/Dolma-style recipe step "take N tokens of source s", at token
+    granularity rather than :func:`mix_corpus`'s doc-rate granularity;
+    documents are never split).
+
+    Order within a source is the md5 of (salt, id) with id tie-break — an
+    unbiased reproducible shuffle, stable under appends of NEW ids (every
+    previously-kept doc keeps its prefix position unless the budget line
+    moves). ``keep ⇔ cum_before + n_tokens ≤ budget(source)``; sources
+    missing from ``budgets`` get ``default_budget`` (None = unlimited).
+
+    Scale shape: the per-source running total is the
+    :func:`aspect_bucket_batches` pattern — NOT ``sum() OVER (PARTITION BY
+    source)`` (whose parallelism is capped at the source count and dies on
+    a head-heavy corpus): one :func:`~..ordering.distributed_cumsum` over
+    the total order (source, ord, id) — a range exchange balanced by data
+    volume — then a source-count-sized MIN aggregate rebases the global
+    prefix to per-source, broadcast back. Token counts stay in codegen
+    (regexp_count; no token array materialized). All integer arithmetic —
+    any engine makes the identical keep call.
+    """
+    from .. import local_ckpt
+    from ..functions.hashing import md5int64
+    from ..functions.text import token_count_ws
+    from .ordering import distributed_cumsum
+
+    sz = (
+        F.col(size_col).cast("long")
+        if size_col
+        else token_count_ws(F.col(text_col)).cast("long")
+    )
+    sized = docs.select(
+        F.col(id_col),
+        F.col(source_col),
+        sz.alias("__sz"),
+        md5int64(
+            F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+        ).alias("__ord"),
+    )
+    cum = local_ckpt(
+        distributed_cumsum(
+            sized,
+            [source_col, "__ord", id_col],
+            "__sz",
+            out_col="__cum",
+            num_partitions=num_partitions,
+        )
+    )  # consumed twice (offsets agg + join) — pin the Arrow cumsum pass
+    offsets = cum.groupBy(source_col).agg(F.min("__cum").alias("__off"))
+    if budgets:
+        bmap = F.create_map(
+            *[F.lit(x) for kv in budgets.items() for x in (kv[0], int(kv[1]))]
+        )
+        budget = bmap[F.col(source_col)]
+    else:  # create_map() with no args is map<void,void> — unlookupable
+        budget = F.lit(None).cast("long")
+    if default_budget is not None:
+        budget = F.coalesce(budget, F.lit(int(default_budget)))
+    in_cum = F.col("__cum") - F.col("__off")
+    return (
+        cum.join(F.broadcast(offsets), source_col)
+        .select(
+            F.col(id_col),
+            F.col(source_col),
+            F.col("__sz").alias("n_tokens"),
+            in_cum.alias("cum_before"),
+            (
+                budget.isNull()
+                | (in_cum + F.col("__sz") <= budget)
+            ).alias("keep"),
+        )
+    )

@@ -1232,3 +1232,80 @@ def test_c4_clean_passthrough_columns_and_plan(spark):
     # one codegen projection + filter over the scan: no shuffle anywhere
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# token_budget_sample: per-source token budgets via distributed prefix sum
+# ---------------------------------------------------------------------------
+
+
+def _tb_twin(rows, budgets, default):
+    """Pure-python twin: maximal hash-order prefix per source ≤ budget."""
+    from mcp_crawl4ai_rag_spark.functions.hashing import py_md5int64
+
+    out = {}
+    by_src = {}
+    for i, s, t in rows:
+        by_src.setdefault(s, []).append((py_md5int64(f"tbudget:{i}"), i, t))
+    for s, docs in by_src.items():
+        b = budgets.get(s, default)
+        cum = 0
+        for _, i, t in sorted(docs):
+            sz = len(t.split())
+            out[i] = (cum, b is None or cum + sz <= b)
+            cum += sz
+    return out
+
+
+def test_token_budget_sample_matches_python_twin(spark):
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import token_budget_sample
+
+    rows = [
+        (i, f"src{i % 3}", " ".join(f"w{i}x{j}" for j in range(5 + i % 7)))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    budgets = {"src0": 30, "src1": 0}
+    got = {
+        r["doc_id"]: (r["cum_before"], r["keep"])
+        for r in token_budget_sample(docs, budgets, default_budget=45).collect()
+    }
+    want = _tb_twin(rows, budgets, 45)
+    assert got == want
+    # maximal-prefix semantics: kept docs of a source are a contiguous
+    # hash-order prefix — no doc after the first drop is kept
+    from mcp_crawl4ai_rag_spark.functions.hashing import py_md5int64
+
+    for s in ("src0", "src2"):
+        order = sorted(
+            (py_md5int64(f"tbudget:{i}"), i) for i, src, _ in rows if src == s
+        )
+        keeps = [got[i][1] for _, i in order]
+        assert keeps == sorted(keeps, reverse=True), (s, keeps)
+    # src1 budget 0: nothing kept (all docs have > 0 tokens)
+    assert not any(got[i][1] for i, s, _ in rows if s == "src1")
+
+
+def test_token_budget_sample_unlimited_and_partition_invariance(spark):
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import token_budget_sample
+
+    rows = [
+        (i, f"s{i % 2}", " ".join("t" for _ in range(10))) for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    # no budgets, no default: unlimited — everything kept
+    out = token_budget_sample(docs, {}).collect()
+    assert all(r["keep"] for r in out) and len(out) == 40
+    # result invariant to input partitioning and cumsum partition count
+    a = sorted(
+        map(tuple, token_budget_sample(docs, {"s0": 55}, 75).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            token_budget_sample(
+                docs.repartition(13), {"s0": 55}, 75, num_partitions=3
+            ).collect(),
+        )
+    )
+    assert a == b
