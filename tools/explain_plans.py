@@ -823,6 +823,95 @@ def main():
         checks,
     ))
 
+    # 23. aesthetic head: the Gram training aggregate must combine map-side
+    # (one corpus scan, (k+1)(k+2)/2 partials per partition); scoring must
+    # be a zero-Exchange codegen projection.
+    from mcp_crawl4ai_rag_spark.operators.similarity import (
+        AESTHETIC_DIMS,
+        aesthetic_feature_expr,
+        aesthetic_scores,
+    )
+
+    ae_embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ae_feats = ae_embs.select(
+        *[
+            aesthetic_feature_expr("embedding", i).alias(f"__af{i}")
+            for i in range(AESTHETIC_DIMS)
+        ],
+        (F.col("label") >= 5).cast("long").alias("__y"),
+    )
+    gram_plan = formatted(
+        ae_feats.agg(
+            *[F.sum(F.col(f"__af{a}") * F.col("__af0")).alias(f"g{a}") for a in range(4)]
+        )
+    )
+    checks = [
+        ("partial_sum", "Gram moments combine map-side — one corpus scan"),
+    ]
+    sections.append((
+        "Aesthetic head training (map-side-combined Gram aggregation)",
+        gram_plan,
+        checks,
+    ))
+    ae_plan = formatted(aesthetic_scores(ae_embs, [0.1] * (AESTHETIC_DIMS + 1)))
+    checks = [("codegen id", "feature+score+keep are one WholeStageCodegen projection")]
+    if "Exchange" in ae_plan:
+        checks.append(("never", "EXCHANGE FOUND — aesthetic scoring must not shuffle"))
+    sections.append((
+        "Aesthetic head scoring (zero-shuffle literal-weight projection)",
+        ae_plan,
+        checks,
+    ))
+
+    # 24. image-metadata prefilter: runs before any decode — the parquet
+    # scan must NOT read the payload column, and the flags are one
+    # zero-Exchange projection.
+    import tempfile as _tf
+
+    from mcp_crawl4ai_rag_spark.functions.images import image_meta_quality
+    from mcp_crawl4ai_rag_spark.sources.corpus import gen_images
+
+    with _tf.TemporaryDirectory() as td:
+        gen_images(spark, 64, partitions=2).write.parquet(f"{td}/imgs")
+        im_plan = formatted(image_meta_quality(spark.read.parquet(f"{td}/imgs")))
+    checks = [
+        ("ReadSchema: struct<image_id:string,w:int,h:int,fmt:string,caption:string>",
+         "payload bytes pruned out of the scan — metadata-only cost"),
+    ]
+    if "Exchange" in im_plan:
+        checks.append(("never", "EXCHANGE FOUND — the metadata prefilter must not shuffle"))
+    sections.append((
+        "Image-metadata prefilter (bytes-free scan, zero-shuffle flags)",
+        im_plan,
+        checks,
+    ))
+
+    # 25. token-budget sampling tail: the per-source running total comes
+    # from distributed_cumsum (its range exchange + MapInPandas pass are
+    # audited by the sequence-packing section — same machinery; it sits
+    # behind a localCheckpoint here because the cumsum output is consumed
+    # twice), rebased by a broadcast MIN-offset — never a per-source
+    # window (parallelism capped at source count).
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import token_budget_sample
+
+    tb_plan = formatted(
+        token_budget_sample(
+            docs.select("doc_id", "source", "text"), {"src0": 100}, 2000
+        )
+    )
+    checks = [
+        ("ExistingRDD", "keep tail reads the checkpointed prefix-sum output"),
+        ("BroadcastHashJoin", "source-count-sized offsets broadcast back"),
+        ("partial_min", "per-source offsets combine map-side"),
+    ]
+    if "Window" in tb_plan:
+        checks.append(("never", "WINDOW FOUND — budgets must not use a per-source window"))
+    sections.append((
+        "Token-budget sampling (checkpointed prefix-sum + broadcast offsets, no Window)",
+        tb_plan,
+        checks,
+    ))
+
     # crawl_e2e composition gate: PageRank priorities survive the
     # bloom+anti-join dedup into the budgeted pop, in ONE plan
     e2e = E.q_crawl_e2e(spark, sf_dir)
