@@ -368,7 +368,15 @@ def q_politeness_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_politeness_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D3: per-host epoch budgets under crawl-delay + exponential backoff."""
+    """Host-grain scheduling inputs, two tagged legs:
+    'budget' — D3: per-host epoch budgets under crawl-delay + exponential
+    backoff (operators/politeness.compute_budgets).
+    'quality_prior' — the loop closure from the training-data layer back
+    into the crawler (operators/politeness.host_quality_prior): per-host
+    mean heuristic quality of the stored documents (fixed-pointed to 4
+    digits BEFORE aggregation, exact integer sum DIV count), negated into
+    the frontier's ascending priority so historically-high-quality hosts
+    are crawled sooner. Schema (mode, host, value)."""
     hosts = spark.createDataFrame(
         [(f"h{h}.example.com",) for h in range(C.N_HOSTS)], "host string"
     )
@@ -376,7 +384,30 @@ def q_politeness_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(f"h{h}.example.com", h % 4) for h in range(C.N_HOSTS)],
         "host string, backoff_level int",
     )
-    return compute_budgets(hosts, gen_robots(spark), backoff)
+    b = compute_budgets(hosts, gen_robots(spark), backoff).select(
+        F.lit("budget").alias("mode"),
+        "host",
+        F.col("budget").cast("long").alias("value"),
+    )
+    qp = q_host_quality_prior(spark, sf_dir).select(
+        F.lit("quality_prior").alias("mode"),
+        "host",
+        F.col("prio").cast("long").alias("value"),
+    )
+    return b.unionByName(qp)
+
+
+def q_host_quality_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone quality-prior leg (bench cell): per-host mean document
+    quality → frontier priority prior, host = the doc's source domain."""
+    from mcp_crawl4ai_rag_spark.functions.text import quality_score_expr
+    from mcp_crawl4ai_rag_spark.operators.politeness import host_quality_prior
+
+    docs = _docs(spark, sf_dir).select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        quality_score_expr(F.col("text")).alias("quality"),
+    )
+    return host_quality_prior(docs)
 
 
 def q_urlseen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2952,12 +2983,30 @@ def _oracle_politeness_budgets() -> str:
     # effective delay = coalesce(crawl_delay, midpoint 2.0) * 2^backoff_level,
     # capped at 60; budget = max(floor(30/delay), 1). h1 has crawl_delay=2.0
     # (same as midpoint), backoff_level = h % 4.
-    return f"""
+    budget = f"""
 SELECT 'h' || h || '.example.com' AS host,
-       CAST(GREATEST(FLOOR(30.0 / LEAST(2.0 * POWER(2.0, h % 4), 60.0)), 1) AS INTEGER)
-           AS budget
+       CAST(GREATEST(FLOOR(30.0 / LEAST(2.0 * POWER(2.0, h % 4), 60.0)), 1) AS BIGINT)
+           AS value
 FROM (SELECT unnest(generate_series(0, {C.N_HOSTS - 1})) AS h)
 """
+    # quality-prior leg: the same 4dp quality restatement the text_signals
+    # oracle uses, fixed-pointed to q4 BEFORE the per-host mean (sum // n)
+    prior = f"""
+WITH q AS ({_oracle_quality_score().strip()}),
+j AS (
+  SELECT d.source,
+         CAST(floor(q.quality * 10000.0 + 0.5) AS BIGINT) AS q4
+  FROM documents d JOIN q ON q.doc_id = d.doc_id
+)
+SELECT source || '.example.com' AS host,
+       CAST(-(sum(q4) // count(*)) AS BIGINT) AS value
+FROM j GROUP BY source
+"""
+    return (
+        _tagged(budget, "'budget' AS mode, host, value")
+        + "\nUNION ALL\n"
+        + _tagged(prior, "'quality_prior' AS mode, host, value")
+    )
 
 
 def _oracle_urlseen_antijoin() -> str:

@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "urlseen_cuckoo",
     "url_kernels",
     "politeness_budgets",
+    "host_quality_prior",
     "sources_distinct",
     "doc_token_stats",
     "chunk_documents",

@@ -293,3 +293,64 @@ def robots_denied_expr():
     ).otherwise(
         F.exists("disallow_prefixes", lambda p: F.col("path").startswith(p))
     )
+
+
+def host_quality_prior(
+    docs: DataFrame,
+    host_col: str = "host",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """(host, n_docs, mean_q4, prio): per-host mean of a document quality
+    signal, as a frontier priority prior — the loop closure from the
+    training-data layer back into the crawler: hosts whose stored documents
+    historically score high (gopher pass rate, heuristic quality, probe
+    score, aesthetic keep rate — any [0,1] signal) should be crawled
+    SOONER, the quality-aware counterpart of freshness-aware
+    recrawl_schedule (plans/rag.py). Crawl4ai has no such policy (every
+    URL competes only on depth); at 10^10 URLs the frontier's priority
+    column is where corpus-level signal must land.
+
+    Arithmetic: the [0,1] quality is fixed-pointed to 4 digits
+    (``floor(q·10⁴ + 0.5)``) BEFORE aggregation, so the per-host mean is an
+    exact integer ``sum DIV count`` — bit-identical in any engine at any
+    partitioning (the recrawl_schedule prio_milli contract). ``prio`` =
+    ``-mean_q4``: the frontier orders ascending (lower = sooner, T4), so
+    better hosts sort first. Plan shape: one map-side-combinable
+    groupBy(host) — the minimal shuffle for a per-host aggregate; the
+    output is host-count-bounded and broadcasts onto the frontier
+    (:func:`apply_host_prior`).
+    """
+    q4 = F.floor(
+        F.col(quality_col).cast("double") * F.lit(10000.0) + F.lit(0.5)
+    ).cast("long")
+    agg = docs.groupBy(host_col).agg(
+        F.count("*").alias("n_docs"), F.sum(q4).alias("__qsum")
+    )
+    mean_q4 = F.expr("__qsum DIV n_docs")
+    return agg.select(
+        F.col(host_col),
+        F.col("n_docs"),
+        mean_q4.alias("mean_q4"),
+        (-mean_q4).alias("prio"),
+    )
+
+
+def apply_host_prior(
+    frontier: DataFrame,
+    prior: DataFrame,
+    host_col: str = "host",
+    priority_col: str = "priority",
+) -> DataFrame:
+    """Fold a host-grain priority prior into the frontier's priority column
+    (additive; hosts without a prior keep their base priority). The prior
+    table is host-count-bounded — a broadcast join, so the wide frontier
+    rows never shuffle to receive their priority."""
+    p = prior.select(F.col(host_col), F.col("prio").alias("__prio"))
+    return (
+        frontier.join(F.broadcast(p), host_col, "left")
+        .withColumn(
+            priority_col,
+            F.col(priority_col) + F.coalesce(F.col("__prio"), F.lit(0)),
+        )
+        .drop("__prio")
+    )
