@@ -839,17 +839,26 @@ def neardup_recall(
     recall = n_found / n_true; sample docs with zero true neighbors are
     excluded (no defined recall).
     """
-    truth = exact_jaccard_neighbors(
-        docs, sample_ids, min_jaccard, text_col, id_col, shingle_k
+    from .. import local_ckpt
+
+    # both sides are consumed twice below (n_true agg + the found∩truth
+    # semi-join; the two direction-normalized selects) — pin them or the
+    # shingle equi-join and the candidate verify join each run twice
+    truth = local_ckpt(
+        exact_jaccard_neighbors(
+            docs, sample_ids, min_jaccard, text_col, id_col, shingle_k
+        )
     )
-    pairs = minhash_lsh_pairs(
-        docs,
-        text_col,
-        id_col,
-        num_perms,
-        bands,
-        shingle_k,
-        min_jaccard=float(min_jaccard),
+    pairs = local_ckpt(
+        minhash_lsh_pairs(
+            docs,
+            text_col,
+            id_col,
+            num_perms,
+            bands,
+            shingle_k,
+            min_jaccard=float(min_jaccard),
+        )
     )
     found = (
         pairs.select(F.col("id_a").alias("qid"), F.col("id_b").alias("did"))
