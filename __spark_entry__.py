@@ -484,15 +484,37 @@ def q_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sitemap_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S3: recursive sitemap-index expansion (gzip + XML inside Arrow
-    batches) — flattened page-URL set of host 1's sitemap tree."""
+    """Sitemap surfaces, two tagged legs:
+    'expand' — S3: recursive sitemap-index expansion (gzip + XML inside
+    Arrow batches) — flattened page-URL set of host 1's sitemap tree.
+    'discovery' — sitemap AUTO-DISCOVERY from robots.txt ``Sitemap:``
+    directives (sources/robots.parse_robots_sitemaps over the
+    closed-form gen_robots_bodies corpus): how a 10^10-URL crawler finds
+    the sitemaps the reference requires the caller to already know.
+    Schema (mode, canonical_url)."""
     n = _lineitem_count(spark, sf_dir)
     # materialize: the per-level expansion joins would regenerate the
     # synthetic corpus (groupBy + gzip) once per depth level otherwise
     sitemaps = materialized_sitemaps(spark, n)
-    return expand_sitemaps(
+    ex = expand_sitemaps(
         spark, sitemaps, ["https://h1.example.com/sitemap_index.xml"]
-    ).select(F.col("url").alias("canonical_url"))
+    ).select(
+        F.lit("expand").alias("mode"), F.col("url").alias("canonical_url")
+    )
+    disc = q_robots_discovery(spark, sf_dir).select(
+        F.lit("discovery").alias("mode"),
+        F.col("sitemap_url").alias("canonical_url"),
+    )
+    return ex.unionByName(disc)
+
+
+def q_robots_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone discovery leg (bench cell): robots bodies → discovered
+    (host, sitemap_url) rows."""
+    from mcp_crawl4ai_rag_spark.sources.corpus import gen_robots_bodies
+    from mcp_crawl4ai_rag_spark.sources.robots import parse_robots_sitemaps
+
+    return parse_robots_sitemaps(gen_robots_bodies(spark))
 
 
 def q_smart_crawl_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3045,11 +3067,26 @@ FROM (SELECT unnest(generate_series(0, 1999)) AS id)
 def _oracle_sitemap_expand() -> str:
     # host(i)=1 ⇔ i%HOT_HOST_MOD≠0 AND i%N_HOSTS=1; the sitemap tree of host
     # h flattens to exactly that host's page set (corpus.gen_sitemaps).
-    return f"""
+    expand = f"""
 SELECT {C.oracle_url_sql('i')} AS canonical_url
 FROM (SELECT unnest(generate_series(0, {N_SQL} - 1)) AS i)
 WHERE i % {C.HOT_HOST_MOD} <> 0 AND i % {C.N_HOSTS} = 1
 """
+    # discovery leg: gen_robots_bodies is closed-form in h — every host
+    # advertises sitemap_index.xml, every 3rd also sitemap_news.xml
+    discovery = f"""
+SELECT 'https://h' || h || '.example.com/sitemap_index.xml' AS canonical_url
+FROM (SELECT unnest(generate_series(0, {C.N_HOSTS - 1})) AS h)
+UNION ALL
+SELECT 'https://h' || h || '.example.com/sitemap_news.xml' AS canonical_url
+FROM (SELECT unnest(generate_series(0, {C.N_HOSTS - 1})) AS h)
+WHERE h % 3 = 0
+"""
+    return (
+        _tagged(expand, "'expand' AS mode, canonical_url")
+        + "\nUNION ALL\n"
+        + _tagged(discovery, "'discovery' AS mode, canonical_url")
+    )
 
 
 def _oracle_smart_crawl_sitemap() -> str:

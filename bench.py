@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "smart_crawl_sitemap",
     "smart_crawl_webpage",
     "sitemap_expand",
+    "robots_discovery",
     "politeness_drain",
     "urlseen_antijoin",
     "urlseen_cuckoo",

@@ -469,6 +469,30 @@ def gen_robots(spark: SparkSession, n_hosts: int = N_HOSTS) -> DataFrame:
     )
 
 
+def gen_robots_bodies(spark: SparkSession, n_hosts: int = N_HOSTS) -> DataFrame:
+    """(host, body): deterministic raw robots.txt bodies whose PARSE equals
+    :func:`gen_robots` exactly (pinned in tests) and which carry the
+    sitemap-discovery surface: every host advertises its sitemap index via
+    a global ``Sitemap:`` directive, every 3rd host a second (news)
+    sitemap, and host 1 a crawl-delay — all closed-form in h so a SQL
+    oracle re-derives the discovery output from generate_series."""
+    rows = []
+    for h in range(n_hosts):
+        host = f"h{h}.example.com"
+        lines = [
+            "# synthetic robots corpus",
+            "User-agent: *",
+            "Disallow: /private",
+        ]
+        if h == 1:
+            lines.append("Crawl-delay: 2")
+        lines.append(f"Sitemap: https://{host}/sitemap_index.xml")
+        if h % 3 == 0:
+            lines.append(f"Sitemap: https://{host}/sitemap_news.xml")
+        rows.append((host, "\n".join(lines) + "\n"))
+    return spark.createDataFrame(rows, "host string, body string")
+
+
 def gen_politeness(spark: SparkSession, n_hosts: int = N_HOSTS) -> DataFrame:
     rows = [(f"h{h}.example.com", 1.0, 3.0, 60.0, 3) for h in range(n_hosts)]
     return spark.createDataFrame(

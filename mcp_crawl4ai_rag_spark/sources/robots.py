@@ -106,3 +106,50 @@ def parse_robots_bodies(fetched: DataFrame, agent: str = "*") -> DataFrame:
             )
 
     return fetched.select("host", "body").mapInPandas(gen, schema=ROBOTS_SCHEMA)
+
+
+def py_parse_robots_sitemaps(body: str) -> list[str]:
+    """Pure-Python twin: the ``Sitemap:`` directives of a robots.txt body,
+    in file order, deduped. Per the sitemaps.org protocol (and RFC 9309
+    §2.2.4's treatment of non-group lines) ``Sitemap`` is a GLOBAL
+    directive — it belongs to no user-agent group, so collection ignores
+    group selection entirely. Values must be absolute URLs; anything
+    without a scheme is dropped (the protocol requires full URLs)."""
+    out: list[str] = []
+    seen: set[str] = set()
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        if key.strip().lower() != "sitemap":
+            continue
+        val = val.strip()
+        if not val.lower().startswith(("http://", "https://")):
+            continue
+        if val not in seen:
+            seen.add(val)
+            out.append(val)
+    return out
+
+
+def parse_robots_sitemaps(fetched: DataFrame) -> DataFrame:
+    """(host, body) → (host, sitemap_url): sitemap AUTO-DISCOVERY — the
+    standard way a crawler finds sitemaps at web scale (the reference's
+    smart_crawl only takes sitemap URLs the caller already knows,
+    src/crawl4ai_mcp.py:439-462; a 10^10-URL frontier discovers them from
+    the robots fetch it already performs). One Arrow-batched stage, one
+    row per discovered sitemap; the output feeds
+    sources/sitemap.expand_sitemaps directly."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for host, body in zip(pdf["host"], pdf["body"]):
+                for u in py_parse_robots_sitemaps(body or ""):
+                    rows.append((host, u))
+            yield pd.DataFrame(rows, columns=["host", "sitemap_url"])
+
+    return fetched.select("host", "body").mapInPandas(
+        gen, schema="host string, sitemap_url string"
+    )

@@ -125,3 +125,81 @@ def test_crawl_delay_nonpositive_dropped_and_budget_never_starves(spark):
     got = {r["host"]: r["budget"] for r in compute_budgets(hosts, robots, None).collect()}
     assert all(v >= 1 for v in got.values()), got
     assert got["c"] == 15  # 30s epoch / 2s delay
+
+
+def test_py_parse_robots_sitemaps_is_global_and_validating():
+    from mcp_crawl4ai_rag_spark.sources.robots import py_parse_robots_sitemaps
+
+    body = """# c
+User-agent: specialbot
+Disallow: /x
+Sitemap: https://a.example.com/s1.xml
+User-agent: *
+Disallow: /private
+Sitemap: https://a.example.com/s2.xml  # trailing comment
+sitemap: HTTP://a.example.com/s3.xml
+Sitemap: /relative/not/allowed.xml
+Sitemap: https://a.example.com/s1.xml
+Sitemap:
+"""
+    # global directive: collected from EVERY group (and outside groups),
+    # case-insensitive key, scheme required, deduped in file order
+    assert py_parse_robots_sitemaps(body) == [
+        "https://a.example.com/s1.xml",
+        "https://a.example.com/s2.xml",
+        "HTTP://a.example.com/s3.xml",
+    ]
+    assert py_parse_robots_sitemaps("") == []
+
+
+def test_robots_bodies_parse_equals_gen_robots_and_discovery(spark):
+    """The raw-body corpus is self-consistent: parsing it reproduces the
+    pre-parsed gen_robots table exactly, and discovery finds the
+    closed-form sitemap set."""
+    from mcp_crawl4ai_rag_spark.sources.corpus import (
+        gen_robots,
+        gen_robots_bodies,
+    )
+    from mcp_crawl4ai_rag_spark.sources.robots import (
+        parse_robots_bodies,
+        parse_robots_sitemaps,
+    )
+
+    bodies = gen_robots_bodies(spark)
+    parsed = {
+        r["host"]: (list(r["disallow_prefixes"]), r["crawl_delay"])
+        for r in parse_robots_bodies(bodies).collect()
+    }
+    want = {
+        r["host"]: (list(r["disallow_prefixes"]), r["crawl_delay"])
+        for r in gen_robots(spark).collect()
+    }
+    assert parsed == want
+
+    disc = sorted(
+        (r["host"], r["sitemap_url"])
+        for r in parse_robots_sitemaps(bodies).collect()
+    )
+    want_disc = []
+    for h in range(10):
+        host = f"h{h}.example.com"
+        want_disc.append((host, f"https://{host}/sitemap_index.xml"))
+        if h % 3 == 0:
+            want_disc.append((host, f"https://{host}/sitemap_news.xml"))
+    assert disc == sorted(want_disc)
+
+
+def test_discovered_sitemap_feeds_expansion(spark):
+    """Composition: the root q_sitemap_expand expands is exactly what
+    discovery finds for host 1 — a crawler needs no caller-supplied
+    sitemap list."""
+    from mcp_crawl4ai_rag_spark.sources.corpus import gen_robots_bodies
+    from mcp_crawl4ai_rag_spark.sources.robots import parse_robots_sitemaps
+
+    got = [
+        r["sitemap_url"]
+        for r in parse_robots_sitemaps(gen_robots_bodies(spark))
+        .where("host = 'h1.example.com'")
+        .collect()
+    ]
+    assert got == ["https://h1.example.com/sitemap_index.xml"]
