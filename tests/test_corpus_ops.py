@@ -1309,3 +1309,57 @@ def test_token_budget_sample_unlimited_and_partition_invariance(spark):
         )
     )
     assert a == b
+
+
+def test_token_budget_twin_property_invariants():
+    """Hypothesis sweep over the token-budget twin: the kept set is the
+    maximal hash-order whole-doc prefix per source — kept token total never
+    exceeds the budget, adding the first dropped doc always would, the
+    kept set is append-stable (new ids never evict survivors when the
+    budget doesn't change), and order within a source is id-deterministic."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mcp_crawl4ai_rag_spark.functions.hashing import py_md5int64
+
+    def twin(rows, budget):
+        order = sorted((py_md5int64(f"tbudget:{i}"), i, sz) for i, sz in rows)
+        kept, cum = [], 0
+        for _, i, sz in order:
+            if cum + sz <= budget:
+                kept.append(i)
+            cum += sz
+        return kept, order
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        sizes=st.lists(st.integers(0, 500), min_size=1, max_size=40),
+        budget=st.integers(0, 4000),
+    )
+    def check(sizes, budget):
+        rows = list(enumerate(sizes))
+        kept, order = twin(rows, budget)
+        szof = dict(rows)
+        total = sum(szof[i] for i in kept)
+        assert total <= budget
+        # maximal-prefix: kept is a contiguous prefix of the hash order,
+        # and the first non-kept doc (if any) would overflow
+        ids_in_order = [i for _, i, _ in order]
+        assert kept == ids_in_order[: len(kept)]
+        if len(kept) < len(ids_in_order):
+            nxt = ids_in_order[len(kept)]
+            # cum at the cut includes every doc before nxt (kept or not) —
+            # recompute exactly as the operator defines it
+            cum = sum(sz for _, i, sz in order[: len(kept)])
+            assert cum + szof[nxt] > budget
+        # append stability: new ids (disjoint range) never evict survivors
+        # that still fit through an unchanged prefix — weaker but true
+        # invariant: every kept doc whose hash precedes ALL new hashes stays
+        new_rows = rows + [(1000 + j, 7) for j in range(3)]
+        kept2, _ = twin(new_rows, budget)
+        min_new = min(py_md5int64(f"tbudget:{1000 + j}") for j in range(3))
+        for i in kept:
+            if py_md5int64(f"tbudget:{i}") < min_new:
+                assert i in kept2
+
+    check()

@@ -203,3 +203,31 @@ def test_discovered_sitemap_feeds_expansion(spark):
         .collect()
     ]
     assert got == ["https://h1.example.com/sitemap_index.xml"]
+
+
+def test_robots_sitemap_parser_total_under_arbitrary_bodies():
+    """Hypothesis totality sweep: arbitrary text (including NULs, colons,
+    huge lines) never crashes the sitemap parser; every output is an
+    absolute http(s) URL present in the body; outputs are unique."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mcp_crawl4ai_rag_spark.sources.robots import (
+        py_parse_robots,
+        py_parse_robots_sitemaps,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(body=st.text(max_size=400))
+    def check(body):
+        out = py_parse_robots_sitemaps(body)
+        assert len(out) == len(set(out))
+        for u in out:
+            assert u.lower().startswith(("http://", "https://"))
+            assert u in body
+        # the directive parser stays total on the same inputs
+        dis, delay = py_parse_robots(body)
+        assert isinstance(dis, list)
+        assert delay is None or delay > 0
+
+    check()
