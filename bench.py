@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "ann_quantized",
     "ann_recall",
     "neardup_recall",
+    "xmodal_recall",
     "ann_multiprobe",
     "embed_cache",
     "embedding_neardup",

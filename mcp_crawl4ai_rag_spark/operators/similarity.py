@@ -1113,3 +1113,47 @@ def aesthetic_probe(
     (two scans total: one Gram aggregation, one scoring projection)."""
     w = train_aesthetic_head(embs, label_expr, n_dims, scale, vec_col)
     return aesthetic_scores(embs, w, threshold, n_dims, scale, id_col, vec_col)
+
+
+def pair_retrieval_recall(
+    queries: DataFrame,
+    images: DataFrame,
+    k: int,
+    q_id: str = "qid",
+    q_vec: str = "qvec",
+    img_id: str = "vec_id",
+    img_vec: str = "img_vec",
+) -> DataFrame:
+    """Cross-modal retrieval evaluation — the CLIP-style Recall@K every
+    image+caption corpus is qualified with: each text query's TRUE match is
+    the image carrying the same id; rank the image side by cosine and
+    report, per query, whether the match lands in the top ``k``
+    (``(qid, recall)``, recall ∈ {0.0, 1.0}; the corpus mean is the
+    headline Recall@K).
+
+    Scale shape: the query table broadcasts (an evaluation sample is
+    bounded); similarities are the zero-shuffle cosine projection over the
+    image scan; the only exchange is the per-query ranking window —
+    partitioned by query id, never global. Similarity is rounded to 4dp
+    BEFORE ranking with id tie-break (the engine/oracle order contract).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.vectors import cosine_expr
+
+    pairs = images.join(F.broadcast(queries)).select(
+        F.col(q_id),
+        F.col(img_id),
+        F.round(cosine_expr(F.col(img_vec), F.col(q_vec)), 4).alias("__sim"),
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("__sim"), F.asc(img_id))
+    top = pairs.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") <= int(k)
+    )
+    hits = top.groupBy(q_id).agg(
+        F.max((F.col(img_id) == F.col(q_id)).cast("int")).alias("__hit")
+    )
+    return queries.select(q_id).join(hits, q_id, "left").select(
+        F.col(q_id),
+        F.coalesce(F.col("__hit"), F.lit(0)).cast("double").alias("recall"),
+    )

@@ -765,3 +765,32 @@ def test_semdedup_duplicate_recall_vs_all_pairs(spark):
     assert all(out[a][1] == out[b][1] for a, b in same_cluster)
     # and the method looks almost everywhere on this corpus
     assert len(hit) / len(truth) >= 0.9, (len(hit), len(truth))
+
+
+def test_pair_retrieval_recall_identity_and_misses(spark):
+    from mcp_crawl4ai_rag_spark.operators.similarity import (
+        pair_retrieval_recall,
+    )
+
+    # images identical to queries -> every pair found at k=1
+    v = _vecs()
+    qs = spark.createDataFrame(
+        [(i, [float(x) for x in v[i]]) for i in range(12)],
+        "qid long, qvec array<float>",
+    )
+    imgs = spark.createDataFrame(
+        [(i, [float(x) for x in v[i]]) for i in range(12)],
+        "vec_id long, img_vec array<double>",
+    )
+    out = {r["qid"]: r["recall"] for r in pair_retrieval_recall(qs, imgs, 1).collect()}
+    assert out == {i: 1.0 for i in range(12)}
+    # swap two images -> those two queries miss at k=1 but hit at k<=N
+    rows = [(i, [float(x) for x in v[i]]) for i in range(12)]
+    rows[0], rows[1] = (0, rows[1][1]), (1, rows[0][1])
+    swapped = spark.createDataFrame(rows, "vec_id long, img_vec array<double>")
+    out1 = {r["qid"]: r["recall"] for r in pair_retrieval_recall(qs, swapped, 1).collect()}
+    assert out1[0] == 0.0 and out1[1] == 0.0
+    assert all(out1[i] == 1.0 for i in range(2, 12))
+    # at k = corpus size every query recovers its pair by exhaustion
+    outN = {r["qid"]: r["recall"] for r in pair_retrieval_recall(qs, swapped, 12).collect()}
+    assert outN == {i: 1.0 for i in range(12)}
