@@ -376,7 +376,12 @@ def q_politeness_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean heuristic quality of the stored documents (fixed-pointed to 4
     digits BEFORE aggregation, exact integer sum DIV count), negated into
     the frontier's ascending priority so historically-high-quality hosts
-    are crawled sooner. Schema (mode, host, value)."""
+    are crawled sooner.
+    'keyword_prior' — best-first URL scoring (crawl4ai
+    KeywordRelevanceScorer shape, functions/urls.best_first_priority):
+    per-URL keyword-relevance milli-score negated into the ascending
+    priority; host column carries the canonical URL (URL-grain leg).
+    Schema (mode, host, value)."""
     hosts = spark.createDataFrame(
         [(f"h{h}.example.com",) for h in range(C.N_HOSTS)], "host string"
     )
@@ -394,7 +399,12 @@ def q_politeness_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "host",
         F.col("prio").cast("long").alias("value"),
     )
-    return b.unionByName(qp)
+    kw = q_keyword_prior(spark, sf_dir).select(
+        F.lit("keyword_prior").alias("mode"),
+        F.col("canonical_url").alias("host"),
+        F.col("priority").cast("long").alias("value"),
+    )
+    return b.unionByName(qp).unionByName(kw)
 
 
 def q_host_quality_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -408,6 +418,34 @@ def q_host_quality_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score_expr(F.col("text")).alias("quality"),
     )
     return host_quality_prior(docs)
+
+
+_BEST_FIRST_KEYWORDS = ["private", "readme", "sitemap"]
+
+
+def q_keyword_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-first frontier scoring (crawl4ai KeywordRelevanceScorer /
+    BestFirstCrawlingStrategy — the north star's "best-first" half):
+    per-URL keyword-relevance milli-score negated into the frontier's
+    ascending priority (functions/urls.best_first_priority). One codegen
+    projection over the url_kernels 5-variant URL set; zero shuffle."""
+    from mcp_crawl4ai_rag_spark.functions.urls import best_first_priority
+
+    n = _lineitem_count(spark, sf_dir)
+    suffix = (
+        F.when(F.col("id") % 5 == 1, F.lit("#frag"))
+        .when(F.col("id") % 5 == 2, F.lit("/file.pdf"))
+        .when(F.col("id") % 5 == 3, F.lit("/sitemap.xml"))
+        .when(F.col("id") % 5 == 4, F.lit("/readme.txt"))
+        .otherwise(F.lit(""))
+    )
+    df = spark.range(0, n, 1, 16).select(
+        F.concat(C._url_expr(F.col("id")), suffix).alias("url")
+    )
+    return df.select(
+        canonical_url(F.col("url")).alias("canonical_url"),
+        best_first_priority(F.col("url"), _BEST_FIRST_KEYWORDS).alias("priority"),
+    )
 
 
 def q_urlseen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3111,10 +3149,35 @@ SELECT source || '.example.com' AS host,
        CAST(-(sum(q4) // count(*)) AS BIGINT) AS value
 FROM j GROUP BY source
 """
+    # keyword_prior leg: restate the 5-variant URL build + the fixed-point
+    # keyword score. Keywords are matched on the WITH-suffix url (the '#frag'
+    # variant scores like the base — no keyword in the fragment); the output
+    # key is the fragment-stripped canonical url, mirroring the Spark leg.
+    kw = f"""
+WITH u AS (
+  SELECT id,
+         {C.oracle_url_sql('id')} ||
+         CASE WHEN id % 5 = 1 THEN '#frag'
+              WHEN id % 5 = 2 THEN '/file.pdf'
+              WHEN id % 5 = 3 THEN '/sitemap.xml'
+              WHEN id % 5 = 4 THEN '/readme.txt'
+              ELSE '' END AS url
+  FROM (SELECT unnest(generate_series(0, {N_SQL} - 1)) AS id)
+)
+SELECT CASE WHEN strpos(url, '#') > 0
+            THEN substr(url, 1, strpos(url, '#') - 1) ELSE url END AS host,
+       CAST(-((1000 * ((CASE WHEN contains(lower(url), 'private') THEN 1 ELSE 0 END)
+                     + (CASE WHEN contains(lower(url), 'readme') THEN 1 ELSE 0 END)
+                     + (CASE WHEN contains(lower(url), 'sitemap') THEN 1 ELSE 0 END)))
+              // 3) AS BIGINT) AS value
+FROM u
+"""
     return (
         _tagged(budget, "'budget' AS mode, host, value")
         + "\nUNION ALL\n"
         + _tagged(prior, "'quality_prior' AS mode, host, value")
+        + "\nUNION ALL\n"
+        + _tagged(kw, "'keyword_prior' AS mode, host, value")
     )
 
 

@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "url_kernels",
     "politeness_budgets",
     "host_quality_prior",
+    "keyword_prior",
     "sources_distinct",
     "doc_token_stats",
     "chunk_documents",

@@ -264,6 +264,49 @@ def is_internal_href(href: Column, page_host: Column) -> Column:
     )
 
 
+def keyword_relevance_milli(url: Column | str, keywords: list[str]) -> Column:
+    """Best-first URL relevance score, fixed-pointed to milli-units.
+
+    crawl4ai's BestFirstCrawlingStrategy orders its frontier by a
+    ``KeywordRelevanceScorer``: score = (keywords present in the URL) /
+    (total keywords), case-insensitive (crawl4ai 0.6.2
+    deep_crawling/scorers.py — the library the reference delegates deep
+    crawling to; the north star names "BFS/best-first strategies"
+    explicitly). Re-expressed as one codegen projection: sum of
+    case-insensitive ``contains`` flags, then integer
+    ``(1000 * hits) DIV len(keywords)`` so engine and oracle agree
+    bit-for-bit with no float division at the boundary.
+    """
+    c = F.col(url) if isinstance(url, str) else url
+    if not keywords:
+        return F.lit(0)
+    low = F.lower(c)
+    hits = None
+    for kw in keywords:
+        flag = low.contains(kw.lower()).cast("int")
+        hits = flag if hits is None else hits + flag
+    # exact: numerator ≤ 1000·len(keywords), so the double division is
+    # representable and the cast truncates == integer DIV
+    return ((F.lit(1000) * hits).cast("long") / F.lit(len(keywords))).cast("long")
+
+
+def best_first_priority(url: Column | str, keywords: list[str]) -> Column:
+    """Keyword relevance negated into the frontier's ASCENDING ``priority``
+    column (plans/crawl.py orders pops by depth, priority, seq) — a
+    higher-relevance URL gets a smaller priority and is crawled sooner,
+    which is exactly crawl4ai's best-first pop order within a depth level."""
+    return (-keyword_relevance_milli(url, keywords)).cast("int")
+
+
+def py_keyword_relevance_milli(url: str, keywords: list[str]) -> int:
+    """Python twin of keyword_relevance_milli (differential tests)."""
+    if not keywords:
+        return 0
+    low = url.lower()
+    hits = sum(1 for kw in keywords if kw.lower() in low)
+    return (1000 * hits) // len(keywords)
+
+
 def with_link_counts(
     df: Column | "DataFrame",  # DataFrame; Column in sig for symmetry only
     url_col: str = "url",

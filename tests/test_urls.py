@@ -167,3 +167,50 @@ def test_is_internal_href_protocol_relative_and_opaque_schemes(spark):
     df = spark.createDataFrame(rows, "url string, out_links array<string>")
     got = with_link_counts(df).select("n_internal", "n_external").head()
     assert (got["n_internal"], got["n_external"]) == (3, 4)
+
+
+def test_keyword_relevance_twin_and_best_first_order(spark):
+    """Spark keyword_relevance_milli == the Python twin on mixed URLs, and
+    best-first priority sorts keyword-relevant URLs ahead of the rest
+    (crawl4ai BestFirstCrawlingStrategy pop order within a depth level)."""
+    from mcp_crawl4ai_rag_spark.functions.urls import (
+        best_first_priority,
+        keyword_relevance_milli,
+        py_keyword_relevance_milli,
+    )
+
+    kws = ["private", "readme", "sitemap"]
+    urls = [
+        "https://h1.example.com/p/1",                 # 0 hits
+        "https://h1.example.com/PRIVATE/p/2",         # case-insensitive hit
+        "https://h1.example.com/p/3/readme.txt",      # 1 hit
+        "https://h1.example.com/private/sitemap.xml", # 2 hits
+        "https://h1.example.com/p/4#readme",          # fragment still scores
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r["url"]: (r["milli"], r["prio"])
+        for r in df.select(
+            "url",
+            keyword_relevance_milli("url", kws).alias("milli"),
+            best_first_priority("url", kws).alias("prio"),
+        ).collect()
+    }
+    for u in urls:
+        want = py_keyword_relevance_milli(u, kws)
+        assert got[u] == (want, -want), u
+    # best-first: ascending priority pops the 2-hit URL first, 0-hit last
+    ordered = sorted(urls, key=lambda u: (got[u][1], u))
+    assert ordered[0] == "https://h1.example.com/private/sitemap.xml"
+    assert ordered[-1] == "https://h1.example.com/p/1"
+
+
+def test_keyword_relevance_empty_keywords(spark):
+    from mcp_crawl4ai_rag_spark.functions.urls import (
+        keyword_relevance_milli,
+        py_keyword_relevance_milli,
+    )
+
+    df = spark.createDataFrame([("https://h1.example.com/p/1",)], "url string")
+    assert df.select(keyword_relevance_milli("url", []).alias("m")).head()["m"] == 0
+    assert py_keyword_relevance_milli("x", []) == 0
