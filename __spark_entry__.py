@@ -344,12 +344,21 @@ _DRAIN_M = 6000  # hot host gets 1800 URLs > the 1500 budget → spills to epoch
 _DRAIN_EPOCH_SECONDS = 3000.0  # budget 1500/host at the 2.0s delay midpoint
 
 
+_DRAIN_CAP = 2000  # max_pages knob for the capped leg — bites mid-epoch-0
+
+
 def q_politeness_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D3+J4 under the gate: politeness-budgeted multi-epoch drain of a flat
-    5000-URL frontier. Per host, URLs pop in seq order at ≤ budget/epoch;
-    any 429 in an epoch doubles the host's delay for the next (backoff).
-    Only the hot host overflows epoch 0 under these knobs, so the schedule
-    is closed-form: epoch_seen = 1 iff host 0 rank ≥ 1500."""
+    """D3+J4 under the gate, two tagged legs:
+    'drain' — politeness-budgeted multi-epoch drain of a flat 6000-URL
+    frontier. Per host, URLs pop in seq order at ≤ budget/epoch; any 429
+    in an epoch doubles the host's delay for the next (backoff). Only the
+    hot host overflows epoch 0 under these knobs, so the schedule is
+    closed-form: epoch_seen = 1 iff host 0 rank ≥ 1500.
+    'capped' — the same drain under a ``max_pages=2000`` page budget
+    (crawl4ai's deep-crawl max_pages): epoch 0's 5700-row popped batch is
+    truncated to the first 2000 in (depth, priority, seq) order and the
+    run stops — closed-form: the 2000 smallest seq among non-deferred
+    rows, all epoch_seen=0. Schema (mode, canonical_url, epoch_seen)."""
     seeds = spark.range(0, _DRAIN_M, 1, 16).select(
         C._url_expr(F.col("id")).alias("url"),
         F.lit(0).alias("priority"),
@@ -362,6 +371,35 @@ def q_politeness_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         use_bloom=True, epoch_seconds=_DRAIN_EPOCH_SECONDS,
     )
     res = engine.run(seeds, max_depth=1, politeness=True, max_epochs=4)
+    drain = res.url_seen.select(
+        F.lit("drain").alias("mode"),
+        "canonical_url",
+        F.col("epoch_seen").cast("long").alias("epoch_seen"),
+    )
+    capped = q_drain_capped(spark, sf_dir).select(
+        F.lit("capped").alias("mode"), "canonical_url", "epoch_seen"
+    )
+    return drain.unionByName(capped)
+
+
+def q_drain_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone bench cell for politeness_drain's 'capped' leg: the
+    max_pages-budgeted drain alone (one engine run, stops after the
+    truncated epoch 0)."""
+    seeds = spark.range(0, _DRAIN_M, 1, 16).select(
+        C._url_expr(F.col("id")).alias("url"),
+        F.lit(0).alias("priority"),
+        F.lit(0).alias("depth"),
+        F.col("id").alias("seq"),
+    )
+    pages = materialized_pages(spark, _DRAIN_M)
+    engine = CrawlEngine(
+        spark, pages, robots=None, allowed_host_suffix=".example.com",
+        use_bloom=True, epoch_seconds=_DRAIN_EPOCH_SECONDS,
+    )
+    res = engine.run(
+        seeds, max_depth=1, politeness=True, max_epochs=4, max_pages=_DRAIN_CAP
+    )
     return res.url_seen.select(
         "canonical_url", F.col("epoch_seen").cast("long").alias("epoch_seen")
     )
@@ -3112,7 +3150,7 @@ def _oracle_politeness_drain() -> str:
     # exceeds the epoch-0 budget (1800 > 1500); its overflow pops at epoch 1
     # (backoff-halved budget 750 ≥ 300 overflow rows).
     host = f"(CASE WHEN i % {C.HOT_HOST_MOD} = 0 THEN 0 ELSE i % {C.N_HOSTS} END)"
-    return f"""
+    ranks = f"""
 WITH u AS (
     SELECT i, {host} AS h
     FROM (SELECT unnest(generate_series(0, {_DRAIN_M - 1})) AS i)
@@ -3120,10 +3158,30 @@ WITH u AS (
 r AS (
     SELECT i, h, row_number() OVER (PARTITION BY h ORDER BY i) - 1 AS rk FROM u
 )
+"""
+    drain = f"""
+{ranks}
 SELECT {C.oracle_url_sql('i')} AS canonical_url,
        CAST(CASE WHEN h = 0 AND rk >= 1500 THEN 1 ELSE 0 END AS BIGINT) AS epoch_seen
 FROM r
 """
+    # capped leg: epoch 0 pops everything except the hot host's 300 overflow
+    # rows; the max_pages cap then keeps the first _DRAIN_CAP of that popped
+    # set in seq (=i) order, and the run stops — every kept row epoch 0.
+    capped = f"""
+{ranks}
+SELECT {C.oracle_url_sql('i')} AS canonical_url,
+       CAST(0 AS BIGINT) AS epoch_seen
+FROM r
+WHERE NOT (h = 0 AND rk >= 1500)
+ORDER BY i
+LIMIT {_DRAIN_CAP}
+"""
+    return (
+        _tagged(drain, "'drain' AS mode, canonical_url, epoch_seen")
+        + "\nUNION ALL\n"
+        + _tagged(capped, "'capped' AS mode, canonical_url, epoch_seen")
+    )
 
 
 def _oracle_politeness_budgets() -> str:

@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "sitemap_expand",
     "robots_discovery",
     "politeness_drain",
+    "drain_capped",
     "urlseen_antijoin",
     "urlseen_cuckoo",
     "url_kernels",

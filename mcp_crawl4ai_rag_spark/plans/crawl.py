@@ -322,6 +322,7 @@ class CrawlEngine:
         politeness: bool = False,
         prefix: str | None = None,
         max_epochs: int | None = None,
+        max_pages: int | None = None,
         start_epoch: int = 0,
         _resume_state: tuple | None = None,
     ) -> CrawlRunResult:
@@ -331,6 +332,15 @@ class CrawlEngine:
         politeness an epoch pops at most budget(host) URLs per host, so
         draining a level can take several epochs; ``max_epochs`` (default
         4*max_depth) caps the loop.
+
+        ``max_pages`` bounds the TOTAL pages scheduled across the run
+        (crawl4ai's deep-crawl ``max_pages`` budget — every strategy stops
+        once the page count hits it). The final epoch's popped batch is
+        truncated to the remaining budget in crawl order (depth, priority,
+        seq) — a TakeOrderedAndProject over one bounded batch, never a
+        global sort. URLs squeezed out by the cap are returned to the
+        frontier (counted as deferrals in lineage) so ``frontier_remaining``
+        and checkpoint resume stay exact.
         """
         spark = self.spark
         limit = max_epochs if max_epochs is not None else (max_depth if not politeness else 4 * max_depth)
@@ -364,6 +374,8 @@ class CrawlEngine:
         for epoch in range(start_epoch, limit):
             if frontier_count == 0:
                 break  # reference early exit :1006-1008
+            if max_pages is not None and seen_count >= max_pages:
+                break  # page budget exhausted (crawl4ai max_pages)
 
             # J1: visited membership — bloom prefilter + exact anti-join.
             # The bloom only pays once the seen side is large (BLOOM_MIN_SEEN);
@@ -407,6 +419,25 @@ class CrawlEngine:
                 obs_pop, F.count(F.lit(1)).alias("n")
             ).localCheckpoint(eager=True, storageLevel=_SER_LEVEL)
             n_popped = int(obs_pop.get["n"])
+
+            # max_pages cap: truncate the final batch to the remaining
+            # budget in crawl order; squeezed-out rows go back to the
+            # frontier as deferrals. The limit is ≤ max_pages rows, so the
+            # ordered take never global-sorts the frontier.
+            cap_leftover = None
+            n_cap_deferred = 0
+            if max_pages is not None and seen_count + n_popped > max_pages:
+                remaining = max_pages - seen_count
+                taken = (
+                    popped.orderBy("depth", "priority", "seq")
+                    .limit(remaining)
+                    .localCheckpoint(eager=True, storageLevel=_SER_LEVEL)
+                )
+                cap_leftover = popped.join(
+                    taken.select("canonical_url"), "canonical_url", "left_anti"
+                ).select(*_FRONTIER_COLS)
+                n_cap_deferred = n_popped - remaining
+                popped, n_popped = taken, remaining
             seen_count += n_popped
 
             # mark visited at SCHEDULE time (reference :1000-1004)
@@ -489,18 +520,29 @@ class CrawlEngine:
                 deferred_obs = deferred.select(*_FRONTIER_COLS).observe(
                     obs_def, F.count(F.lit(1)).alias("n")
                 )
+                next_union = deferred_obs.unionByName(discovered)
+                if cap_leftover is not None:
+                    next_union = next_union.unionByName(cap_leftover)
                 frontier = (
-                    self._dedup_frontier(deferred_obs.unionByName(discovered))
+                    self._dedup_frontier(next_union)
                     .observe(obs_fr, F.count(F.lit(1)).alias("n"))
                     .localCheckpoint(eager=True, storageLevel=_SER_LEVEL)
                 )
                 frontier_ckpted = True
-                n_deferred = int(obs_def.get["n"])
+                n_deferred = int(obs_def.get["n"]) + n_cap_deferred
                 frontier_count = int(obs_fr.get["n"])
             else:
-                n_deferred = 0
+                n_deferred = n_cap_deferred
                 frontier = discovered
                 frontier_count = n_disc
+                if cap_leftover is not None:
+                    # cap-deferred rows re-enter; dedup in case a leftover
+                    # URL was also just re-discovered as a link
+                    frontier = self._dedup_frontier(
+                        discovered.unionByName(cap_leftover)
+                    ).localCheckpoint(eager=True, storageLevel=_SER_LEVEL)
+                    frontier_ckpted = True
+                    frontier_count = frontier.count()
 
             # S7: lineage metrics — all counts already known, no extra jobs
             n_dedup_hits = cand_count - (n_popped + n_deferred)
@@ -525,7 +567,8 @@ class CrawlEngine:
             # S7: snapshot — truncates plan lineage; enables resume
             if self.ckpt is not None:
                 state = {"seq_offset": seq_offset, "max_depth": max_depth,
-                         "politeness": politeness, "max_epochs": limit}
+                         "politeness": politeness, "max_epochs": limit,
+                         "max_pages": max_pages}
                 if politeness and backoff is not None:
                     state["backoff"] = [
                         [r["host"], r["backoff_level"]] for r in backoff.collect()
@@ -575,6 +618,7 @@ class CrawlEngine:
             max_depth=max_depth if max_depth is not None else state["max_depth"],
             politeness=state.get("politeness", False),
             max_epochs=max_epochs if max_epochs is not None else state.get("max_epochs"),
+            max_pages=state.get("max_pages"),
             start_epoch=last + 1,
             _resume_state=(frontier, url_seen, state["seq_offset"], backoff),
         )

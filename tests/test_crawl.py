@@ -617,3 +617,76 @@ def test_host_quality_prior_exact_integer_mean_and_pop_order(spark):
     assert all(
         r["priority"] == best for r in rows if r["host"] == "good.example.com"
     )
+
+
+def test_max_pages_truncates_in_crawl_order(spark, corpus):
+    """max_pages (crawl4ai's deep-crawl page budget) caps the visited set at
+    exactly the first M rows of the UNCAPPED run's schedule order
+    (epoch_seen asc, then depth/priority/seq within the truncated epoch),
+    and earlier epochs are bit-identical."""
+    seeds = gen_seeds(spark, N)
+    robots = gen_robots(spark)
+
+    def eng():
+        return CrawlEngine(
+            spark, corpus, robots=robots, allowed_host_suffix=".example.com"
+        )
+
+    full = eng().run(seeds, max_depth=DEPTH)
+    rows = full.url_seen.select(
+        "canonical_url", "depth", "seq", "epoch_seen"
+    ).collect()
+    order = sorted(rows, key=lambda r: (r["epoch_seen"], r["depth"], r["seq"]))
+    total = len(order)
+    # pick an M that cuts mid-epoch: strictly inside the last epoch's batch
+    last_epoch = order[-1]["epoch_seen"]
+    first_of_last = next(
+        i for i, r in enumerate(order) if r["epoch_seen"] == last_epoch
+    )
+    m = first_of_last + max(1, (total - first_of_last) // 2)
+    assert first_of_last < m < total, "cap must bite mid-epoch"
+
+    capped = eng().run(seeds, max_depth=DEPTH, max_pages=m)
+    got = {
+        (r["canonical_url"], r["depth"], r["seq"], r["epoch_seen"])
+        for r in capped.url_seen.collect()
+    }
+    want = {
+        (r["canonical_url"], r["depth"], r["seq"], r["epoch_seen"])
+        for r in order[:m]
+    }
+    assert got == want
+    # budget accounting: scheduled totals M, leftovers become deferrals
+    lin = capped.lineage.orderBy("epoch").collect()
+    assert sum(r["urls_scheduled"] for r in lin) == m
+    # truncated-epoch deferrals = the whole uncapped batch minus the budget
+    # remainder (no politeness in this run, so cap deferrals are all of them)
+    assert lin[-1]["politeness_deferrals"] == total - m
+    # the squeezed-out URLs stay poppable: frontier_remaining ⊇ leftovers
+    leftover_urls = {r["canonical_url"] for r in order[m:]}
+    frontier_urls = {
+        r["canonical_url"] for r in capped.frontier_remaining.collect()
+    }
+    assert leftover_urls <= frontier_urls
+
+
+def test_max_pages_level_boundary_and_zero_remaining(spark, corpus):
+    """A cap at an exact level boundary equals truncating whole levels, and
+    a later run epoch never starts once the budget is exhausted."""
+    seeds = gen_seeds(spark, N)
+    full = CrawlEngine(
+        spark, corpus, robots=gen_robots(spark),
+        allowed_host_suffix=".example.com",
+    ).run(seeds, max_depth=DEPTH)
+    by_epoch = sorted(
+        full.url_seen.groupBy("epoch_seen").count().collect(),
+        key=lambda r: r["epoch_seen"],
+    )
+    m = by_epoch[0]["count"] + by_epoch[1]["count"]  # exactly 2 levels
+    capped = CrawlEngine(
+        spark, corpus, robots=gen_robots(spark),
+        allowed_host_suffix=".example.com",
+    ).run(seeds, max_depth=DEPTH, max_pages=m)
+    assert capped.url_seen.count() == m
+    assert capped.url_seen.agg(F.max("epoch_seen")).head()[0] == 1
+    assert capped.epochs_run == 2
