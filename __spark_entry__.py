@@ -419,6 +419,8 @@ def q_politeness_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
     KeywordRelevanceScorer shape, functions/urls.best_first_priority):
     per-URL keyword-relevance milli-score negated into the ascending
     priority; host column carries the canonical URL (URL-grain leg).
+    'rfc_allow' — RFC 9309 longest-match Allow/Disallow precedence
+    (q_robots_rfc): host column carries the path, value the denied flag.
     Schema (mode, host, value)."""
     hosts = spark.createDataFrame(
         [(f"h{h}.example.com",) for h in range(C.N_HOSTS)], "host string"
@@ -442,7 +444,12 @@ def q_politeness_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("canonical_url").alias("host"),
         F.col("priority").cast("long").alias("value"),
     )
-    return b.unionByName(qp).unionByName(kw)
+    rfc = q_robots_rfc(spark, sf_dir).select(
+        F.lit("rfc_allow").alias("mode"),
+        F.col("path").alias("host"),
+        F.col("denied").alias("value"),
+    )
+    return b.unionByName(qp).unionByName(kw).unionByName(rfc)
 
 
 def q_host_quality_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -456,6 +463,45 @@ def q_host_quality_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score_expr(F.col("text")).alias("quality"),
     )
     return host_quality_prior(docs)
+
+
+_RFC_ROBOTS_BODY = (
+    "User-agent: *\n"
+    "Disallow: /private\n"
+    "Disallow: /p/1\n"
+    "Allow: /private/p/1\n"
+    "Allow: /p/12\n"
+    "Crawl-delay: 2\n"
+)
+
+
+def q_robots_rfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 longest-match precedence (Allow vs Disallow) end-to-end:
+    a literal robots.txt body parsed through the full-rules Arrow stage
+    (sources/robots.parse_robots_rules), broadcast onto n synthetic paths,
+    gated by operators/politeness.robots_denied_rfc_expr — among matching
+    rule prefixes the longest governs, Allow wins ties, no match = allowed.
+    The crossJoin is the 1-row broadcast-rules shape (rule tables are tiny;
+    paths never shuffle)."""
+    from mcp_crawl4ai_rag_spark.operators.politeness import robots_denied_rfc_expr
+    from mcp_crawl4ai_rag_spark.sources.robots import parse_robots_rules
+
+    bodies = spark.createDataFrame(
+        [("h0.example.com", _RFC_ROBOTS_BODY)], "host string, body string"
+    )
+    rules = parse_robots_rules(bodies).drop("host")
+    n = _lineitem_count(spark, sf_dir)
+    paths = spark.range(0, n, 1, 16).select(
+        F.when(
+            F.col("id") % 3 == 0,
+            F.concat(F.lit("/private/p/"), F.col("id").cast("string")),
+        )
+        .otherwise(F.concat(F.lit("/p/"), F.col("id").cast("string")))
+        .alias("path")
+    )
+    return paths.crossJoin(F.broadcast(rules)).select(
+        "path", robots_denied_rfc_expr().cast("long").alias("denied")
+    )
 
 
 _BEST_FIRST_KEYWORDS = ["private", "readme", "sitemap"]
@@ -3230,12 +3276,34 @@ SELECT CASE WHEN strpos(url, '#') > 0
               // 3) AS BIGINT) AS value
 FROM u
 """
+    # rfc_allow leg: restate the longest-match precedence over the literal
+    # rule set of _RFC_ROBOTS_BODY — matched-prefix lengths are constants
+    # (Disallow '/private'=8, '/p/1'=4; Allow '/private/p/1'=12, '/p/12'=5),
+    # denied iff the longest matching Disallow outweighs the longest Allow.
+    rfc = f"""
+WITH p AS (
+  SELECT CASE WHEN id % 3 = 0 THEN '/private/p/' || id
+              ELSE '/p/' || id END AS path
+  FROM (SELECT unnest(generate_series(0, {N_SQL} - 1)) AS id)
+)
+SELECT path AS host,
+       CAST(CASE WHEN
+         GREATEST(CASE WHEN starts_with(path, '/private') THEN 8 ELSE -1 END,
+                  CASE WHEN starts_with(path, '/p/1') THEN 4 ELSE -1 END)
+         >
+         GREATEST(CASE WHEN starts_with(path, '/private/p/1') THEN 12 ELSE -1 END,
+                  CASE WHEN starts_with(path, '/p/12') THEN 5 ELSE -1 END)
+       THEN 1 ELSE 0 END AS BIGINT) AS value
+FROM p
+"""
     return (
         _tagged(budget, "'budget' AS mode, host, value")
         + "\nUNION ALL\n"
         + _tagged(prior, "'quality_prior' AS mode, host, value")
         + "\nUNION ALL\n"
         + _tagged(kw, "'keyword_prior' AS mode, host, value")
+        + "\nUNION ALL\n"
+        + _tagged(rfc, "'rfc_allow' AS mode, host, value")
     )
 
 

@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "politeness_budgets",
     "host_quality_prior",
     "keyword_prior",
+    "robots_rfc",
     "sources_distinct",
     "doc_token_stats",
     "chunk_documents",

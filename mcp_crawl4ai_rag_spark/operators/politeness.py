@@ -295,6 +295,41 @@ def robots_denied_expr():
     )
 
 
+def _longest_match_len(prefixes_col: str) -> "F.Column":
+    """Length of the longest prefix in ``prefixes_col`` matching ``path``;
+    -1 when none match (or the column is NULL). Pure codegen: filter the
+    rule array to matches, take the max length."""
+    matched = F.filter(
+        F.coalesce(F.col(prefixes_col), F.array()),
+        lambda p: F.col("path").startswith(p),
+    )
+    return F.coalesce(
+        F.array_max(F.transform(matched, lambda p: F.length(p))), F.lit(-1)
+    )
+
+
+def robots_denied_rfc_expr():
+    """RFC 9309 §2.2.2 longest-match precedence over (disallow_prefixes,
+    allow_prefixes): among all rules whose prefix matches the path, the
+    LONGEST one governs; an Allow/Disallow tie resolves to Allow; no
+    matching rule means allowed. The deny-only ``robots_denied_expr``
+    stays the engine default (strictly more conservative); this variant is
+    selected automatically when the robots table carries an
+    ``allow_prefixes`` column — e.g. from sources/robots.parse_robots_rules."""
+    return _longest_match_len("disallow_prefixes") > _longest_match_len(
+        "allow_prefixes"
+    )
+
+
+def py_robots_denied_rfc(
+    path: str, disallow: list[str] | None, allow: list[str] | None
+) -> bool:
+    """Python twin of robots_denied_rfc_expr (differential tests)."""
+    dis = max((len(p) for p in (disallow or []) if path.startswith(p)), default=-1)
+    alw = max((len(p) for p in (allow or []) if path.startswith(p)), default=-1)
+    return dis > alw
+
+
 def host_quality_prior(
     docs: DataFrame,
     host_col: str = "host",

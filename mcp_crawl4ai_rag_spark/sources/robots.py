@@ -16,9 +16,12 @@ Parsing semantics (the subset the politeness model consumes, per RFC 9309):
   one group; a blank-line or a new ``User-agent`` after rules starts a new
   group.
 - ``Disallow:`` values of the selected groups become ``disallow_prefixes``
-  (empty value = allow-all, contributes nothing). ``Allow`` precedence is
-  NOT modeled — the engine's gate is prefix-deny-only
-  (robots_denied_expr), a strictly more conservative crawler.
+  (empty value = allow-all, contributes nothing). The DEFAULT engine gate
+  is prefix-deny-only (robots_denied_expr), a strictly more conservative
+  crawler; ``parse_robots_rules`` additionally collects ``Allow:`` into
+  ``allow_prefixes`` for the RFC 9309 longest-match-precedence gate
+  (operators/politeness.robots_denied_rfc_expr), which the crawl engine
+  selects automatically when its robots table carries that column.
 - ``Crawl-delay:`` the first valid value among selected groups (an
   extension directive, but the politeness model is built around it).
 - unknown directives and comments (``#``) are ignored; matching is
@@ -47,7 +50,20 @@ def py_parse_robots(body: str, agent: str = "*") -> tuple[list[str], float | Non
     'Crawl-delay: 1' would be ignored and the host crawled 60× too fast.
     Non-positive delays are dropped (a 'Crawl-delay: 0' means unthrottled;
     propagating 0 into budget = floor(epoch/delay) would divide by zero)."""
+    disallow, _allow, delay = py_parse_robots_rules(body, agent)
+    return disallow, delay
+
+
+def py_parse_robots_rules(
+    body: str, agent: str = "*"
+) -> tuple[list[str], list[str], float | None]:
+    """Full-rules robots.txt parse → (disallow, allow, crawl_delay) —
+    the RFC 9309 §2.2.2 rule set including ``Allow:``, for the
+    longest-match-precedence gate (operators/politeness.
+    robots_denied_rfc_expr). Group selection / crawl-delay semantics are
+    identical to :func:`py_parse_robots` (which delegates here)."""
     disallow: list[str] = []
+    allow: list[str] = []
     delay_specific: float | None = None
     delay_generic: float | None = None
     selected = False  # inside a group whose user-agents include `agent`/*
@@ -77,6 +93,9 @@ def py_parse_robots(body: str, agent: str = "*") -> tuple[list[str], float | Non
         if key == "disallow":
             if val:
                 disallow.append(val)
+        elif key == "allow":
+            if val:
+                allow.append(val)
         elif key == "crawl-delay":
             try:
                 d = float(val)
@@ -88,7 +107,11 @@ def py_parse_robots(body: str, agent: str = "*") -> tuple[list[str], float | Non
                 delay_specific = d
             elif not specific and delay_generic is None:
                 delay_generic = d
-    return disallow, delay_specific if delay_specific is not None else delay_generic
+    return (
+        disallow,
+        allow,
+        delay_specific if delay_specific is not None else delay_generic,
+    )
 
 
 def parse_robots_bodies(fetched: DataFrame, agent: str = "*") -> DataFrame:
@@ -106,6 +129,34 @@ def parse_robots_bodies(fetched: DataFrame, agent: str = "*") -> DataFrame:
             )
 
     return fetched.select("host", "body").mapInPandas(gen, schema=ROBOTS_SCHEMA)
+
+
+RULES_SCHEMA = (
+    "host string, disallow_prefixes array<string>, "
+    "allow_prefixes array<string>, crawl_delay double"
+)
+
+
+def parse_robots_rules(fetched: DataFrame, agent: str = "*") -> DataFrame:
+    """(host, body) → the FULL-rules robots table including
+    ``allow_prefixes`` — feed to ``robots_denied_rfc_expr`` for RFC 9309
+    longest-match precedence (the deny-only ``parse_robots_bodies`` table
+    stays the conservative default). One Arrow-batched stage."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for host, body in zip(pdf["host"], pdf["body"]):
+                dis, alw, delay = py_parse_robots_rules(body or "", agent)
+                rows.append((host, dis, alw, delay))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "host", "disallow_prefixes", "allow_prefixes", "crawl_delay",
+                ],
+            )
+
+    return fetched.select("host", "body").mapInPandas(gen, schema=RULES_SCHEMA)
 
 
 def py_parse_robots_sitemaps(body: str) -> list[str]:

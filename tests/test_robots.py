@@ -231,3 +231,105 @@ def test_robots_sitemap_parser_total_under_arbitrary_bodies():
         assert delay is None or delay > 0
 
     check()
+
+
+BODY_ALLOW = """
+User-agent: *
+Disallow: /private
+Disallow: /p/1
+Allow: /private/p/1
+Allow: /p/12
+Crawl-delay: 2
+"""
+
+
+def test_py_parse_robots_rules_collects_allow_and_stays_compatible():
+    from mcp_crawl4ai_rag_spark.sources.robots import py_parse_robots_rules
+
+    dis, alw, delay = py_parse_robots_rules(BODY_ALLOW)
+    assert dis == ["/private", "/p/1"]
+    assert alw == ["/private/p/1", "/p/12"]
+    assert delay == 2.0
+    # the deny-only entrypoint is unchanged by the Allow lines
+    assert py_parse_robots(BODY_ALLOW) == (["/private", "/p/1"], 2.0)
+    # Allow only collected from selected groups
+    other = "User-agent: otherbot\nAllow: /x\n\nUser-agent: *\nAllow: /y\n"
+    assert py_parse_robots_rules(other)[1] == ["/y"]
+
+
+def test_rfc_precedence_expr_matches_twin(spark):
+    """robots_denied_rfc_expr == the Python twin on the RFC 9309 §2.2.2
+    precedence matrix: longest match governs, Allow wins ties, no match
+    = allowed, NULL rule arrays = allowed."""
+    from mcp_crawl4ai_rag_spark.operators.politeness import (
+        py_robots_denied_rfc,
+        robots_denied_rfc_expr,
+    )
+
+    dis = ["/private", "/p/1"]
+    alw = ["/private/p/1", "/p/12"]
+    paths = [
+        "/p/2",            # no match -> allowed
+        "/private/p/2",    # disallow 8 only -> denied
+        "/private/p/10",   # allow 12 > disallow 8 -> allowed
+        "/p/10",           # disallow 4 only -> denied
+        "/p/120",          # allow 5 > disallow 4 -> allowed
+        "/p",              # prefix shorter than any rule -> allowed
+    ]
+    rows = [(p, dis, alw) for p in paths] + [("/private/x", None, None)]
+    df = spark.createDataFrame(
+        rows,
+        "path string, disallow_prefixes array<string>, allow_prefixes array<string>",
+    )
+    got = {
+        r["path"]: r["denied"]
+        for r in df.select(
+            "path", robots_denied_rfc_expr().alias("denied")
+        ).collect()
+    }
+    for p, d, a in rows:
+        assert got[p] == py_robots_denied_rfc(p, d, a), p
+    # tie length -> Allow wins
+    assert py_robots_denied_rfc("/a/b", ["/a/b"], ["/a/b"]) is False
+    assert got["/private/p/10"] is False and got["/private/p/2"] is True
+
+
+def test_engine_selects_rfc_gate_when_rules_have_allow(spark):
+    """A crawl whose robots table carries allow_prefixes uses RFC
+    precedence: an Allow rule re-opens a disallowed subtree, so strictly
+    more pages fetch than under the deny-only table with the same
+    Disallow lines."""
+    from mcp_crawl4ai_rag_spark.plans.crawl import CrawlEngine
+    from mcp_crawl4ai_rag_spark.sources.corpus import gen_pages, gen_seeds
+    from mcp_crawl4ai_rag_spark.sources.robots import (
+        parse_robots_bodies,
+        parse_robots_rules,
+    )
+
+    n = 300
+    pages = gen_pages(spark, n, partitions=8)
+    # every host: deny /private outright, but Allow re-opens /private/p/1*
+    body = "User-agent: *\nDisallow: /private\nAllow: /private/p/1\n"
+    bodies = spark.createDataFrame(
+        [(f"h{h}.example.com", body) for h in range(10)],
+        "host string, body string",
+    )
+    seeds = gen_seeds(spark, n)
+    deny_only = CrawlEngine(
+        spark, pages, robots=parse_robots_bodies(bodies),
+        allowed_host_suffix=".example.com",
+    ).run(seeds, max_depth=4)
+    rfc = CrawlEngine(
+        spark, pages, robots=parse_robots_rules(bodies),
+        allowed_host_suffix=".example.com",
+    ).run(seeds, max_depth=4)
+    deny_fetched = {r["canonical_url"] for r in deny_only.fetched.collect()}
+    rfc_fetched = {r["canonical_url"] for r in rfc.fetched.collect()}
+    reopened = rfc_fetched - deny_fetched
+    # non-vacuous at n=300/depth=4: /private/p/123 is reachable and re-opened
+    assert reopened and all("/private/p/1" in u for u in reopened)
+    denied_still = {
+        u for u in rfc.url_seen.toPandas()["canonical_url"]
+        if "/private/" in u and "/private/p/1" not in u
+    }
+    assert denied_still.isdisjoint(rfc_fetched)
