@@ -421,6 +421,8 @@ def q_politeness_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority; host column carries the canonical URL (URL-grain leg).
     'rfc_allow' — RFC 9309 longest-match Allow/Disallow precedence
     (q_robots_rfc): host column carries the path, value the denied flag.
+    'composite_prior' — the weighted scorer family (q_composite_prior:
+    keyword + path-depth + freshness + domain-authority → one priority).
     Schema (mode, host, value)."""
     hosts = spark.createDataFrame(
         [(f"h{h}.example.com",) for h in range(C.N_HOSTS)], "host string"
@@ -449,7 +451,12 @@ def q_politeness_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("path").alias("host"),
         F.col("denied").alias("value"),
     )
-    return b.unionByName(qp).unionByName(kw).unionByName(rfc)
+    comp = q_composite_prior(spark, sf_dir).select(
+        F.lit("composite_prior").alias("mode"),
+        F.col("canonical_url").alias("host"),
+        F.col("priority").cast("long").alias("value"),
+    )
+    return b.unionByName(qp).unionByName(kw).unionByName(rfc).unionByName(comp)
 
 
 def q_host_quality_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -530,6 +537,47 @@ def q_keyword_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
         canonical_url(F.col("url")).alias("canonical_url"),
         best_first_priority(F.col("url"), _BEST_FIRST_KEYWORDS).alias("priority"),
     )
+
+
+_COMPOSITE_NOW_YEAR = 2026
+_COMPOSITE_DA = {"h0.example.com": 900, "h1.example.com": 700}
+
+
+def q_composite_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full best-first scorer family composed (crawl4ai CompositeScorer
+    over KeywordRelevance + PathDepth + Freshness + DomainAuthority,
+    functions/urls.composite_priority): weighted integer mean of four
+    milli-scores, negated into the frontier priority. One codegen
+    projection over URLs with varied path depth, embedded years, and the
+    corpus host mix; zero shuffle."""
+    from mcp_crawl4ai_rag_spark.functions.urls import (
+        composite_priority,
+        domain_authority_milli,
+        freshness_score_milli,
+        keyword_relevance_milli,
+        path_depth_score_milli,
+    )
+
+    n = _lineitem_count(spark, sf_dir)
+    suffix = (
+        F.when(F.col("id") % 4 == 1, F.lit("/docs/guide/deep"))
+        .when(F.col("id") % 4 == 2, F.lit("/2019/post"))
+        .when(F.col("id") % 4 == 3, F.lit("/2026/readme.txt"))
+        .otherwise(F.lit(""))
+    )
+    df = spark.range(0, n, 1, 16).select(
+        F.concat(C._url_expr(F.col("id")), suffix).alias("url")
+    )
+    u = F.col("url")
+    prio = composite_priority(
+        [
+            (keyword_relevance_milli(u, _BEST_FIRST_KEYWORDS), 500),
+            (path_depth_score_milli(u, 3), 250),
+            (freshness_score_milli(u, _COMPOSITE_NOW_YEAR), 125),
+            (domain_authority_milli(u, _COMPOSITE_DA, 500), 125),
+        ]
+    )
+    return df.select(u.alias("canonical_url"), prio.alias("priority"))
 
 
 def q_urlseen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3296,6 +3344,43 @@ SELECT path AS host,
        THEN 1 ELSE 0 END AS BIGINT) AS value
 FROM p
 """
+    # composite_prior leg: the four milli-scores restated — keyword contains
+    # flags, path-segment count closed-form from the corpus/suffix formulas,
+    # freshness via the same year regex on the same built string, domain
+    # authority as a host CASE — then the weighted integer mean, negated.
+    comp = f"""
+WITH u AS (
+  SELECT id,
+         (CASE WHEN (id) % {C.HOT_HOST_MOD} = 0 THEN 0 ELSE (id) % {C.N_HOSTS} END) AS h,
+         {C.oracle_url_sql('id')} ||
+         CASE WHEN id % 4 = 1 THEN '/docs/guide/deep'
+              WHEN id % 4 = 2 THEN '/2019/post'
+              WHEN id % 4 = 3 THEN '/2026/readme.txt'
+              ELSE '' END AS url
+  FROM (SELECT unnest(generate_series(0, {N_SQL} - 1)) AS id)
+),
+s AS (
+  SELECT url,
+         (1000 * ((CASE WHEN contains(lower(url), 'private') THEN 1 ELSE 0 END)
+                + (CASE WHEN contains(lower(url), 'readme') THEN 1 ELSE 0 END)
+                + (CASE WHEN contains(lower(url), 'sitemap') THEN 1 ELSE 0 END))) // 3
+             AS kw,
+         1000 // (1 + ABS(((CASE WHEN id % {C.PRIVATE_MOD} = 0 THEN 3 ELSE 2 END)
+                         + (CASE WHEN id % 4 = 1 THEN 3
+                                 WHEN id % 4 IN (2, 3) THEN 2
+                                 ELSE 0 END)) - 3)) AS pd,
+         (CASE WHEN NULLIF(regexp_extract(url, '(19|20)[0-9]{{2}}', 0), '') IS NULL
+               THEN 500
+               ELSE GREATEST(0, LEAST(1000, 1000 - 100 * ({_COMPOSITE_NOW_YEAR}
+                 - CAST(regexp_extract(url, '(19|20)[0-9]{{2}}', 0) AS INT))))
+          END) AS fr,
+         (CASE WHEN h = 0 THEN 900 WHEN h = 1 THEN 700 ELSE 500 END) AS da
+  FROM u
+)
+SELECT url AS host,
+       CAST(-((500 * kw + 250 * pd + 125 * fr + 125 * da) // 1000) AS BIGINT) AS value
+FROM s
+"""
     return (
         _tagged(budget, "'budget' AS mode, host, value")
         + "\nUNION ALL\n"
@@ -3304,6 +3389,8 @@ FROM p
         + _tagged(kw, "'keyword_prior' AS mode, host, value")
         + "\nUNION ALL\n"
         + _tagged(rfc, "'rfc_allow' AS mode, host, value")
+        + "\nUNION ALL\n"
+        + _tagged(comp, "'composite_prior' AS mode, host, value")
     )
 
 

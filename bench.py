@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "host_quality_prior",
     "keyword_prior",
     "robots_rfc",
+    "composite_prior",
     "sources_distinct",
     "doc_token_stats",
     "chunk_documents",

@@ -307,6 +307,104 @@ def py_keyword_relevance_milli(url: str, keywords: list[str]) -> int:
     return (1000 * hits) // len(keywords)
 
 
+# -- best-first scorer family (crawl4ai deep_crawling/scorers.py shapes) -----
+#
+# Each scorer is one codegen projection producing an integer milli-score in
+# [0, 1000]; composite_priority folds a weighted family into the frontier's
+# ascending priority. Fixed-point throughout: the oracle restates the exact
+# integer arithmetic, so engine and SQL twin agree bit-for-bit.
+
+_YEAR_RE = r"(19|20)[0-9]{2}"
+
+
+def path_depth_score_milli(url: Column | str, optimal_depth: int = 3) -> Column:
+    """crawl4ai PathDepthScorer shape: score = 1/(1+|depth−optimal|) where
+    depth = number of non-empty path segments; milli = 1000 DIV (1+|Δ|)."""
+    c = F.col(url) if isinstance(url, str) else url
+    path = url_path(c)
+    segs = F.size(F.filter(F.split(path, "/"), lambda s: s != F.lit("")))
+    delta = F.abs(segs - F.lit(optimal_depth))
+    return (F.lit(1000) / (F.lit(1) + delta)).cast("long")
+
+
+def freshness_score_milli(url: Column | str, now_year: int) -> Column:
+    """crawl4ai FreshnessScorer shape: first 19xx/20xx year in the URL;
+    milli = 1000 − 100·(now−year) clamped to [0,1000]; no year → 500.
+    ``now_year`` is an explicit parameter (deterministic plans — never a
+    clock read inside the expression)."""
+    c = F.col(url) if isinstance(url, str) else url
+    year = F.regexp_extract(c, _YEAR_RE, 0)
+    y = F.when(year == "", F.lit(None)).otherwise(year.cast("int"))
+    raw = F.lit(1000) - F.lit(100) * (F.lit(now_year) - y)
+    # explicit no-year branch: Spark's greatest/least IGNORE nulls, so a
+    # clamp over a null raw would silently return the clamp bound instead
+    # of falling through to the default
+    return F.when(
+        y.isNull(), F.lit(500)
+    ).otherwise(F.greatest(F.lit(0), F.least(F.lit(1000), raw))).cast("long")
+
+
+def domain_authority_milli(
+    url: Column | str, weights: dict[str, int], default_milli: int = 500
+) -> Column:
+    """crawl4ai DomainAuthorityScorer shape: per-host milli-weight lookup
+    with a default. The weights map is broadcast as a literal MapType
+    (empty dict short-circuits — F.create_map() with zero args is
+    map<void,void> and breaks lookups)."""
+    c = F.col(url) if isinstance(url, str) else url
+    if not weights:
+        return F.lit(int(default_milli)).cast("long")
+    pairs: list[Column] = []
+    for host, w in weights.items():
+        pairs.extend([F.lit(host.lower()), F.lit(int(w))])
+    m = F.create_map(*pairs)
+    # hosts are case-insensitive (RFC 3986 §3.2.2): lowercase both sides
+    return F.coalesce(m[F.lower(url_host(c))], F.lit(int(default_milli))).cast("long")
+
+
+def composite_priority(components: list[tuple[Column, int]]) -> Column:
+    """crawl4ai CompositeScorer shape: weighted integer mean of milli-score
+    columns → negated into the frontier's ascending priority.
+    ``components`` = [(milli_score_col, weight)]; priority =
+    −(Σ wᵢ·sᵢ DIV Σ wᵢ)."""
+    if not components:
+        return F.lit(0).cast("int")
+    total_w = sum(w for _, w in components)
+    acc = None
+    for col, w in components:
+        term = col * F.lit(int(w))
+        acc = term if acc is None else acc + term
+    return (-(acc / F.lit(int(total_w))).cast("long")).cast("int")
+
+
+def py_path_depth_score_milli(url: str, optimal_depth: int = 3) -> int:
+    p = urlparse(url).path if "://" in url else url
+    segs = len([s for s in p.split("/") if s])
+    return 1000 // (1 + abs(segs - optimal_depth))
+
+
+def py_freshness_score_milli(url: str, now_year: int) -> int:
+    import re
+
+    m = re.search(_YEAR_RE, url)
+    if not m:
+        return 500
+    return max(0, min(1000, 1000 - 100 * (now_year - int(m.group(0)))))
+
+
+def py_domain_authority_milli(
+    url: str, weights: dict[str, int], default_milli: int = 500
+) -> int:
+    host = urlparse(url).netloc.lower()
+    return int({k.lower(): v for k, v in weights.items()}.get(host, default_milli))
+
+
+def py_composite_priority(scores: list[tuple[int, int]]) -> int:
+    if not scores:
+        return 0
+    return -(sum(s * w for s, w in scores) // sum(w for _, w in scores))
+
+
 def with_link_counts(
     df: Column | "DataFrame",  # DataFrame; Column in sig for symmetry only
     url_col: str = "url",

@@ -214,3 +214,74 @@ def test_keyword_relevance_empty_keywords(spark):
     df = spark.createDataFrame([("https://h1.example.com/p/1",)], "url string")
     assert df.select(keyword_relevance_milli("url", []).alias("m")).head()["m"] == 0
     assert py_keyword_relevance_milli("x", []) == 0
+
+
+def test_scorer_family_matches_twins(spark):
+    """PathDepth / Freshness / DomainAuthority / Composite scorers equal
+    their Python twins across depth, year, host, and no-match cases."""
+    from mcp_crawl4ai_rag_spark.functions.urls import (
+        composite_priority,
+        domain_authority_milli,
+        freshness_score_milli,
+        keyword_relevance_milli,
+        path_depth_score_milli,
+        py_composite_priority,
+        py_domain_authority_milli,
+        py_freshness_score_milli,
+        py_keyword_relevance_milli,
+        py_path_depth_score_milli,
+    )
+
+    kws = ["private", "readme"]
+    da = {"H0.example.com": 900, "h1.example.com": 700}
+    now = 2026
+    urls = [
+        "https://h0.example.com/",                       # depth 0
+        "https://h1.example.com/a/b/c",                  # optimal depth
+        "https://h2.example.com/a/b/c/d/e/f",            # deep
+        "https://h0.example.com/2019/post",              # stale year
+        "https://h1.example.com/2026/readme.txt",        # fresh year
+        "https://h2.example.com/1989/old",               # pre-window year? (1989 matches 19xx)
+        "https://h3.example.com/p/12019",                # year inside an id
+        "https://H0.EXAMPLE.COM/private/x",              # host case-insensitive
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    u = F.col("url")
+    got = {
+        r["url"]: r
+        for r in df.select(
+            "url",
+            path_depth_score_milli(u, 3).alias("pd"),
+            freshness_score_milli(u, now).alias("fr"),
+            domain_authority_milli(u, da, 500).alias("da"),
+            composite_priority(
+                [
+                    (keyword_relevance_milli(u, kws), 500),
+                    (path_depth_score_milli(u, 3), 250),
+                    (freshness_score_milli(u, now), 125),
+                    (domain_authority_milli(u, da, 500), 125),
+                ]
+            ).alias("prio"),
+        ).collect()
+    }
+    for url in urls:
+        r = got[url]
+        assert r["pd"] == py_path_depth_score_milli(url, 3), url
+        assert r["fr"] == py_freshness_score_milli(url, now), url
+        assert r["da"] == py_domain_authority_milli(url, da, 500), url
+        want = py_composite_priority(
+            [
+                (py_keyword_relevance_milli(url, kws), 500),
+                (py_path_depth_score_milli(url, 3), 250),
+                (py_freshness_score_milli(url, now), 125),
+                (py_domain_authority_milli(url, da, 500), 125),
+            ]
+        )
+        assert r["prio"] == want, url
+    # empty family / empty weights degenerate paths
+    assert py_composite_priority([]) == 0
+    row = df.limit(1).select(
+        composite_priority([]).alias("z"),
+        domain_authority_milli(u, {}, 650).alias("d"),
+    ).head()
+    assert (row["z"], row["d"]) == (0, 650)
