@@ -631,8 +631,15 @@ WHERE i % 3 <> 0
 """
 
 
+_GLOB_PATTERNS = ["*.txt", "*sitemap*", "*/private/*"]
+
+
 def q_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1/F2/F6 + C11: canonicalize / classify / host / path kernels."""
+    """F1/F2/F6 + C11: canonicalize / classify / host / path kernels, plus
+    the URLPatternFilter glob kernel (functions/urls.url_pattern_match —
+    any-of fnmatch-style patterns compiled to one rlike)."""
+    from mcp_crawl4ai_rag_spark.functions.urls import url_pattern_match
+
     suffix = (
         F.when(F.col("id") % 5 == 1, F.lit("#frag"))
         .when(F.col("id") % 5 == 2, F.lit("/file.pdf"))
@@ -650,6 +657,7 @@ def q_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
         url_path(F.col("url")).alias("path"),
         is_binary_url(F.col("url")).cast("int").alias("is_binary"),
         classify_url(F.col("url")).alias("url_class"),
+        url_pattern_match(F.col("url"), _GLOB_PATTERNS).cast("int").alias("glob_hit"),
     )
 
 
@@ -3422,7 +3430,11 @@ SELECT id,
        CASE WHEN id % 5 = 2 THEN 1 ELSE 0 END AS is_binary,
        CASE WHEN id % 5 = 4 THEN 'text_file'
             WHEN id % 5 = 3 THEN 'sitemap'
-            ELSE 'webpage' END AS url_class
+            ELSE 'webpage' END AS url_class,
+       -- glob kernel closed-form: '*.txt' ⇔ the readme variant, '*sitemap*'
+       -- ⇔ the sitemap variant, '*/private/*' ⇔ the robots-denied path
+       CASE WHEN id % 5 IN (3, 4) OR id % {C.PRIVATE_MOD} = 0 THEN 1 ELSE 0 END
+           AS glob_hit
 FROM (SELECT unnest(generate_series(0, 1999)) AS id)
 """
 

@@ -405,6 +405,56 @@ def py_composite_priority(scores: list[tuple[int, int]]) -> int:
     return -(sum(s * w for s, w in scores) // sum(w for _, w in scores))
 
 
+def _glob_to_regex(pattern: str) -> str:
+    """fnmatch-style glob → anchored regex: ``*`` = any run (including
+    ``/``, crawl4ai URLPatternFilter semantics), ``?`` = any one char;
+    everything else is literal. Character classes (``[seq]``) are NOT
+    supported — brackets match literally (URLs rarely carry them; callers
+    needing classes should pass a regex-based filter directly)."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            # escape regex metacharacters byte-for-byte
+            out.append("\\" + ch if ch in r"\.^$+{}[]|()" else ch)
+    return "^" + "".join(out) + "$"
+
+
+def url_pattern_match(url: Column | str, patterns: list[str]) -> Column:
+    """crawl4ai URLPatternFilter shape: True when the URL matches ANY of
+    the fnmatch-style glob patterns (``*/docs/*``, ``*.txt``, …). The
+    translation to an anchored regex alternation happens once in Python;
+    the match is a single codegen ``rlike``. Empty pattern list matches
+    nothing (the filter passes no URL — match-any is the caller's choice
+    via ``['*']``)."""
+    c = F.col(url) if isinstance(url, str) else url
+    if not patterns:
+        return F.lit(False)
+    alts = "|".join(f"(?:{_glob_to_regex(p)[1:-1]})" for p in patterns)
+    return c.rlike(f"^(?:{alts})$")
+
+
+def py_url_pattern_match(url: str, patterns: list[str]) -> bool:
+    """Python twin (fnmatchcase — same ``*``/``?`` semantics, no locale
+    case folding)."""
+    from fnmatch import fnmatchcase
+
+    return any(fnmatchcase(url, p) for p in patterns)
+
+
+def filter_chain(conditions: list[Column]) -> Column:
+    """crawl4ai FilterChain shape: a URL survives iff EVERY filter passes
+    — one AND fold, stays a single codegen predicate. Empty chain passes
+    everything (crawl4ai's default)."""
+    acc = F.lit(True)
+    for cond in conditions:
+        acc = acc & cond
+    return acc
+
+
 def with_link_counts(
     df: Column | "DataFrame",  # DataFrame; Column in sig for symmetry only
     url_col: str = "url",

@@ -285,3 +285,54 @@ def test_scorer_family_matches_twins(spark):
         domain_authority_milli(u, {}, 650).alias("d"),
     ).head()
     assert (row["z"], row["d"]) == (0, 650)
+
+
+def test_url_pattern_match_and_filter_chain(spark):
+    """URLPatternFilter glob kernel == fnmatchcase twin; FilterChain is a
+    plain AND fold with an empty-chain pass-all default."""
+    from mcp_crawl4ai_rag_spark.functions.urls import (
+        filter_chain,
+        is_binary_url,
+        py_url_pattern_match,
+        url_pattern_match,
+    )
+
+    pats = ["*/docs/*", "*.txt", "*sitemap*", "https://h?.example.com/p/1"]
+    urls = [
+        "https://h1.example.com/docs/guide",       # */docs/* hit
+        "https://h1.example.com/readme.txt",       # *.txt hit
+        "https://h1.example.com/sitemap_index.xml",
+        "https://h1.example.com/p/1",              # ? single-char hit
+        "https://h10.example.com/p/1",             # ? must NOT span 2 chars
+        "https://h1.example.com/p/2",
+        "https://h1.example.com/Docs/guide",       # case-sensitive miss
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r["url"]: r["hit"]
+        for r in df.select(
+            "url", url_pattern_match("url", pats).alias("hit")
+        ).collect()
+    }
+    for u in urls:
+        assert got[u] == py_url_pattern_match(u, pats), u
+    assert got["https://h1.example.com/p/1"] is True
+    assert got["https://h10.example.com/p/1"] is False
+    assert got["https://h1.example.com/Docs/guide"] is False
+    # empty pattern list matches nothing
+    row = df.limit(1).select(url_pattern_match("url", []).alias("z")).head()
+    assert row["z"] is False
+    # chain: pattern-pass AND not-binary; empty chain passes all
+    chained = df.select(
+        "url",
+        filter_chain(
+            [url_pattern_match("url", ["*h1.example.com*"]), ~is_binary_url("url")]
+        ).alias("keep"),
+        filter_chain([]).alias("all_pass"),
+    ).collect()
+    for r in chained:
+        assert r["all_pass"] is True
+        want = py_url_pattern_match(r["url"], ["*h1.example.com*"]) and not r[
+            "url"
+        ].endswith(".pdf")
+        assert r["keep"] == want, r["url"]
