@@ -929,13 +929,60 @@ def main():
         ],
     ))
 
+    # best-first scorer family: one codegen projection over Range — the
+    # whole composite priority must stay shuffle-free
+    comp = E.q_composite_prior(spark, sf_dir)
+    sections.append((
+        "Composite best-first priority (keyword+depth+freshness+authority)",
+        formatted(comp),
+        [
+            ("Range", "generated input, no source shuffle"),
+            ("!Exchange", "scorer family is a pure projection — zero shuffle"),
+            # the path-depth higher-order filter() and the authority map
+            # lookup keep the FINAL projection out of whole-stage codegen
+            # (interpreted but still JVM-columnar, zero Python); the url
+            # build below it stays codegen
+            ("codegen id", "url construction inside a codegen span"),
+            ("!BatchEvalPython", "no Python in the scorer path"),
+        ],
+    ))
+
+    # max_pages truncation: ordered take over one bounded batch — must be a
+    # per-partition top-k merge, never a global range-sort exchange
+    fr = E.CrawlEngine(spark, gen_pages(spark, 10_000))._seed_frontier(
+        gen_seeds(spark, 10_000)
+    )
+    capped = fr.orderBy("depth", "priority", "seq").limit(2000)
+    sections.append((
+        "max_pages truncation (ordered take of the popped batch)",
+        formatted(capped),
+        [
+            ("TakeOrderedAndProject", "per-partition top-k + driver merge"),
+            ("!rangepartitioning", "no global sort exchange"),
+        ],
+    ))
+
+    # RFC 9309 robots gate: tiny rules table broadcast onto paths — the
+    # paths side must stream with no hash-partitioning exchange
+    rfc = E.q_robots_rfc(spark, sf_dir)
+    sections.append((
+        "RFC 9309 Allow/Disallow gate (rules ⋈ paths)",
+        formatted(rfc),
+        [
+            ("BroadcastNestedLoopJoin", "1-row rules table broadcast"),
+            ("BroadcastExchange", "only the rules side moves"),
+            ("!Exchange hashpartitioning", "paths never shuffle"),
+        ],
+    ))
+
     out = ["# Physical-plan audit (auto-generated by tools/explain_plans.py)",
            "", f"sf_dir: {sf_dir}", ""]
     n_fail = 0
     for title, plan, checks in sections:
         out.append(f"## {title}\n")
         for needle, why in checks:
-            ok = needle in plan
+            # a '!' prefix asserts ABSENCE (e.g. '!Exchange' = zero shuffle)
+            ok = (needle[1:] not in plan) if needle.startswith("!") else (needle in plan)
             n_fail += 0 if ok else 1
             out.append(f"- {'PASS' if ok else 'FAIL'}: `{needle}` — {why}")
         out.append("\n```\n" + plan.strip() + "\n```\n")
