@@ -321,10 +321,58 @@ def _crawl(spark: SparkSession, sf_dir: str):
 
 
 def q_crawl_bfs_visited(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1/J2/D1/F1-F8: full frontier crawl; visited set with BFS depths."""
+    """Deep-crawl traversal strategies, two tagged legs:
+    'bfs' — J1/J2/D1/F1-F8: full frontier crawl; visited set with BFS
+    depths (val = schedule depth).
+    'dfs' — the crawl4ai DFSDeepCrawlStrategy order over the SAME graph:
+    depth-limited DFS preorder computed distributed as the min-lex-key
+    Jacobi fixed point (operators/ordering.dfs_preorder; val = preorder
+    rank). Schema (mode, canonical_url, val)."""
     res = _crawl(spark, sf_dir)
-    return res.url_seen.select(
-        "canonical_url", F.col("depth").cast("long").alias("depth")
+    bfs = res.url_seen.select(
+        F.lit("bfs").alias("mode"),
+        "canonical_url",
+        F.col("depth").cast("long").alias("val"),
+    )
+    dfs = q_dfs_order(spark, sf_dir).select(
+        F.lit("dfs").alias("mode"),
+        "canonical_url",
+        F.col("dfs_rank").cast("long").alias("val"),
+    )
+    return bfs.unionByName(dfs)
+
+
+def q_dfs_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone DFS-preorder leg (bench cell): the corpus link graph's
+    depth-limited DFS visit order from the seed set — edges from the
+    modular target formula gated on expandability (success + robots),
+    exactly the graph the BFS walk traverses."""
+    from mcp_crawl4ai_rag_spark.operators.ordering import dfs_preorder
+
+    n = _lineitem_count(spark, sf_dir)
+    i = F.col("id")
+    expandable = (
+        (i % C.FAIL404_MOD != 0) & (i % C.FAIL429_MOD != 0) & (i % C.PRIVATE_MOD != 0)
+    )
+    src = spark.range(0, n, 1, 16).where(expandable)
+    edges = src.select(
+        i.alias("src"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    ((i * C.EDGE_A + F.lit(C.EDGE_B * j + C.EDGE_C)) % F.lit(n)).alias("dst"),
+                    F.lit(j).alias("pos"),
+                )
+                for j in range(C.OUT_DEGREE)
+            ])
+        ).alias("e"),
+    ).select("src", F.col("e.dst").alias("dst"), F.col("e.pos").alias("pos"))
+    seeds = spark.createDataFrame(
+        [(s, k) for k, s in enumerate(C.SEED_IDS)], "id long, pos int"
+    )
+    out = dfs_preorder(edges, seeds, CRAWL_DEPTH)
+    return out.select(
+        C._url_expr(F.col("id")).alias("canonical_url"), "dfs_rank"
     )
 
 
@@ -3216,14 +3264,55 @@ def _oracle_media_features() -> str:
 # ---------------------------------------------------------------------------
 
 
+def _dfs_order_literals() -> str:
+    """DFS-preorder oracle via the sequential twin (visited-set stack DFS
+    is not expressible as a min-over-all-paths recursive CTE — the claim
+    key must come from each parent's CLAIMED key only, see
+    operators/ordering.dfs_preorder). The builder replays
+    py_dfs_preorder over the same modular graph at the oracle SF and
+    injects (url, rank) literals — the quality_probe/rag_pipeline
+    twin-injection precedent."""
+    import os
+
+    import duckdb
+
+    from mcp_crawl4ai_rag_spark.operators.ordering import py_dfs_preorder
+
+    sf_dir = os.environ.get(_ORACLE_SF_DIR_ENV, _ORACLE_SF_DIR_DEFAULT)
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT count(*) FROM '{sf_dir}/lineitem.parquet'"
+    ).fetchone()[0]
+    con.close()
+
+    class _FormulaTargets(dict):
+        def get(self, u, default=None):
+            return C.targets_of(u, n)
+
+    def expandable(u: int) -> bool:
+        return C.status_of(u) == 200 and u % C.PRIVATE_MOD != 0
+
+    order = py_dfs_preorder(_FormulaTargets(), list(C.SEED_IDS), CRAWL_DEPTH, expandable)
+    vals = ",\n       ".join(
+        f"('{C.url_of(i, C.N_HOSTS)}', CAST({rank} AS BIGINT))"
+        for rank, i in enumerate(order)
+    )
+    return f"SELECT * FROM (VALUES\n       {vals}) AS t(canonical_url, val)"
+
+
 def _oracle_crawl_bfs_visited() -> str:
-    return f"""
+    bfs = f"""
 {_WALK_CTE}
 SELECT {C.oracle_url_sql('id')} AS canonical_url,
-       CAST(MIN(depth) AS BIGINT) AS depth
+       CAST(MIN(depth) AS BIGINT) AS val
 FROM walk
 GROUP BY 1
 """
+    return (
+        _tagged(bfs, "'bfs' AS mode, canonical_url, val")
+        + "\nUNION ALL\n"
+        + _tagged(_dfs_order_literals(), "'dfs' AS mode, canonical_url, val")
+    )
 
 
 def _oracle_crawl_lineage() -> str:

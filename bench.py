@@ -47,6 +47,7 @@ DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
 
 BENCH_QUERIES = [
     "crawl_bfs_visited",
+    "dfs_order",
     "smart_crawl_sitemap",
     "smart_crawl_webpage",
     "sitemap_expand",

@@ -101,3 +101,84 @@ def test_distributed_cumsum_matches_python(spark):
     for k, v in rows:  # rows already in k order
         assert got[k] == acc, k
         acc += v
+
+
+def _spark_dfs_order(spark, targets, seeds, max_depth, expandable=None):
+    from mcp_crawl4ai_rag_spark.operators.ordering import dfs_preorder
+
+    edge_rows = [
+        (u, v, p)
+        for u, vs in targets.items()
+        if expandable is None or expandable(u)
+        for p, v in enumerate(vs)
+    ]
+    edges = spark.createDataFrame(
+        edge_rows or [(0, 0, 0)], "src long, dst long, pos int"
+    )
+    if not edge_rows:
+        edges = edges.limit(0)
+    seed_df = spark.createDataFrame(
+        [(s, i) for i, s in enumerate(seeds)], "id long, pos int"
+    )
+    out = dfs_preorder(edges, seed_df, max_depth)
+    return [
+        r["id"] for r in out.orderBy("dfs_rank").collect()
+    ]
+
+
+def test_dfs_preorder_matches_stack_twin_on_synthetic_graph(spark):
+    """Distributed min-lex-key fixed point == sequential stack DFS with
+    visited-set pruning on the corpus link graph (the crawl4ai
+    DFSDeepCrawlStrategy order), including robots/failure expansion gates."""
+    from mcp_crawl4ai_rag_spark.operators.ordering import py_dfs_preorder
+    from mcp_crawl4ai_rag_spark.sources.corpus import py_graph
+
+    n = 300
+    g = py_graph(n)
+    targets = {i: v["targets"] for i, v in g.items()}
+
+    def expandable(u):
+        return g[u]["status"] == 200 and not g[u]["robots_denied"]
+
+    for depth in (1, 2, 4):
+        want = py_dfs_preorder(targets, [1, 2, 3], depth, expandable)
+        got = _spark_dfs_order(spark, targets, [1, 2, 3], depth, expandable)
+        assert got == want, depth
+
+
+def test_dfs_preorder_depth_pruning_divergence_case(spark):
+    """The case where min-over-ALL-paths is wrong: a node whose claimed
+    (lex-min) path sits at the depth bound cannot re-expand via its longer
+    but shallower alternative path — visited-set semantics prune it."""
+    from mcp_crawl4ai_rag_spark.operators.ordering import py_dfs_preorder
+
+    # seed 0 -> 1 -> 2 -> 3(child 4); also 0 -> 3 directly at pos 1.
+    # max_depth=3: DFS claims 3 via 0/0/... wait — claim via the lex-min
+    # path 0->1->2 is depth 3 > bound, so 3 is claimed via (0,pos1) at
+    # depth 1 and DOES expand to 4. The twin decides; Spark must agree.
+    targets = {0: [1, 3], 1: [2], 2: [3], 3: [4]}
+    want = py_dfs_preorder(targets, [0], 3)
+    got = _spark_dfs_order(spark, targets, [0], 3)
+    assert got == want
+    # and the opposite shape: lex-min path claims 3 AT the bound (depth 2),
+    # blocking expansion to 4 even though the longer-pos path is shallower
+    targets2 = {0: [1, 3], 1: [3], 3: [4]}
+    want2 = py_dfs_preorder(targets2, [0], 3)
+    got2 = _spark_dfs_order(spark, targets2, [0], 3)
+    assert got2 == want2
+    # 3's claim is the lex-min path 0→1→3 (key 0/0/0, AT the bound), so its
+    # child 4 is pruned even though the direct 0→3 path is shallower — the
+    # phantom-child retraction this operator's Jacobi recompute exists for
+    assert 4 not in want2 and want2 == [0, 1, 3]
+
+
+def test_dfs_preorder_seed_order_and_cross_seed_claims(spark):
+    """Seeds pop in order; a later seed reachable inside an earlier seed's
+    subtree is claimed there (crawl4ai shares one visited set)."""
+    from mcp_crawl4ai_rag_spark.operators.ordering import py_dfs_preorder
+
+    targets = {0: [5, 2], 5: [7], 2: [], 7: []}
+    # seed order (0, 2): 2 is also a child of 0 — claimed under 0's subtree
+    want = py_dfs_preorder(targets, [0, 2], 4)
+    got = _spark_dfs_order(spark, targets, [0, 2], 4)
+    assert got == want == [0, 5, 7, 2]
