@@ -130,6 +130,7 @@ class CrawlEngine:
         checkpoint_dir: str | None = None,
         epoch_seconds: float | None = None,
         pop_impl: str = "twophase",
+        url_scorer=None,
     ):
         self.spark = spark
         self.pages = pages
@@ -139,6 +140,15 @@ class CrawlEngine:
         self.salt_lanes = salt_lanes
         self.ckpt = CheckpointManager(spark, checkpoint_dir) if checkpoint_dir else None
         self.epoch_seconds = epoch_seconds
+        # Best-first hook (crawl4ai BestFirstCrawlingStrategy's url_scorer):
+        # a Column factory url_col -> priority Column, applied to every
+        # DISCOVERED URL in _expand — so frontier order (T4: depth,
+        # priority, seq) ranks links by score instead of inheriting the
+        # discoverer's priority. Compose with functions/urls
+        # best_first_priority / composite_priority. Seeds keep their own
+        # caller-set priority column. Must be deterministic (pure column
+        # expression) — resume replays it bit-identically.
+        self.url_scorer = url_scorer
         # "twophase" (default): salted two-phase window pop — the measured
         # local/wall-clock winner (interleaved paired A/B, BENCH/
         # bench_r3_ab_pairs_postfix.json: median twophase/threshold 0.51)
@@ -266,13 +276,18 @@ class CrawlEngine:
                 )
             ).alias("k")
         )
+        prio = (
+            self.url_scorer(F.col("next_url")).cast("int")
+            if self.url_scorer is not None
+            else F.col("k.parent_priority").cast("int")
+        )
         return picked.select(
             F.col("next_url").alias("canonical_url"),
             url_hash(F.col("next_url")).alias("url_hash"),
             url_host(F.col("next_url")).alias("host"),
             url_path(F.col("next_url")).alias("path"),
             (F.col("k.parent_depth") + 1).cast("int").alias("depth"),
-            F.col("k.parent_priority").cast("int").alias("priority"),
+            prio.alias("priority"),
             F.col("k.parent_seq").alias("__disc_seq"),
             F.col("k.link_pos").alias("__disc_pos"),
         )

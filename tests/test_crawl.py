@@ -690,3 +690,53 @@ def test_max_pages_level_boundary_and_zero_remaining(spark, corpus):
     assert capped.url_seen.count() == m
     assert capped.url_seen.agg(F.max("epoch_seen")).head()[0] == 1
     assert capped.epochs_run == 2
+
+
+def test_url_scorer_hook_best_first_scheduling(spark, corpus):
+    """The engine's url_scorer hook scores every DISCOVERED URL into the
+    frontier's priority, and a max_pages cut then prefers high-scoring
+    (low-priority) URLs within the truncated epoch — the crawl4ai
+    best-first strategy end-to-end."""
+    from mcp_crawl4ai_rag_spark.functions.urls import (
+        best_first_priority,
+        py_keyword_relevance_milli,
+    )
+
+    kws = ["private", "p/1"]
+    seeds = gen_seeds(spark, N)
+
+    def eng():
+        return CrawlEngine(
+            spark, corpus, robots=gen_robots(spark),
+            allowed_host_suffix=".example.com",
+            url_scorer=lambda u: best_first_priority(u, kws),
+        )
+
+    full = eng().run(seeds, max_depth=3)
+    # url_seen drops the priority column; the scorer is a deterministic
+    # function of the URL, so reconstruct each discovered row's priority
+    # via the twin (seeds keep their caller priority, 0 in gen_seeds)
+    def prio(r):
+        return (
+            -py_keyword_relevance_milli(r["canonical_url"], kws)
+            if r["depth"] > 0
+            else 0
+        )
+
+    order = sorted(
+        full.url_seen.select(
+            "canonical_url", "depth", "seq", "epoch_seen"
+        ).collect(),
+        key=lambda r: (r["epoch_seen"], r["depth"], prio(r), r["seq"]),
+    )
+    # non-vacuity: the scorer must actually differentiate discovered URLs
+    assert len({prio(r) for r in order if r["depth"] > 0}) > 1
+    last_epoch = order[-1]["epoch_seen"]
+    first_of_last = next(
+        i for i, r in enumerate(order) if r["epoch_seen"] == last_epoch
+    )
+    m = first_of_last + max(1, (len(order) - first_of_last) // 3)
+    capped = eng().run(seeds, max_depth=3, max_pages=m)
+    got = {r["canonical_url"] for r in capped.url_seen.collect()}
+    want = {r["canonical_url"] for r in order[:m]}
+    assert got == want
