@@ -717,7 +717,10 @@ def q_sitemap_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     directives (sources/robots.parse_robots_sitemaps over the
     closed-form gen_robots_bodies corpus): how a 10^10-URL crawler finds
     the sitemaps the reference requires the caller to already know.
-    Schema (mode, canonical_url)."""
+    'lastmod' — the ``<lastmod>`` recrawl signal (sources/sitemap.
+    lastmod_age_priority): per-page age-days vs a fixed NOW, the
+    freshness-at-discovery frontier priority; val carries it.
+    Schema (mode, canonical_url, val)."""
     n = _lineitem_count(spark, sf_dir)
     # materialize: the per-level expansion joins would regenerate the
     # synthetic corpus (groupBy + gzip) once per depth level otherwise
@@ -725,13 +728,38 @@ def q_sitemap_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = expand_sitemaps(
         spark, sitemaps, ["https://h1.example.com/sitemap_index.xml"]
     ).select(
-        F.lit("expand").alias("mode"), F.col("url").alias("canonical_url")
+        F.lit("expand").alias("mode"),
+        F.col("url").alias("canonical_url"),
+        F.lit(None).cast("long").alias("val"),
     )
     disc = q_robots_discovery(spark, sf_dir).select(
         F.lit("discovery").alias("mode"),
         F.col("sitemap_url").alias("canonical_url"),
+        F.lit(None).cast("long").alias("val"),
     )
-    return ex.unionByName(disc)
+    lm = q_sitemap_lastmod(spark, sf_dir).select(
+        F.lit("lastmod").alias("mode"), "canonical_url", "val"
+    )
+    return ex.unionByName(disc).unionByName(lm)
+
+
+_LASTMOD_NOW = "2026-03-01"
+
+
+def q_sitemap_lastmod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone lastmod leg (bench cell): host 1's sitemap tree expanded
+    WITH the <lastmod> signal, aged into a freshness frontier priority."""
+    from mcp_crawl4ai_rag_spark.sources.sitemap import lastmod_age_priority
+
+    n = _lineitem_count(spark, sf_dir)
+    sitemaps = materialized_sitemaps(spark, n)
+    return expand_sitemaps(
+        spark, sitemaps, ["https://h1.example.com/sitemap_index.xml"],
+        with_lastmod=True,
+    ).select(
+        F.col("url").alias("canonical_url"),
+        lastmod_age_priority("lastmod", _LASTMOD_NOW).cast("long").alias("val"),
+    )
 
 
 def q_robots_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3546,10 +3574,22 @@ SELECT 'https://h' || h || '.example.com/sitemap_news.xml' AS canonical_url
 FROM (SELECT unnest(generate_series(0, {C.N_HOSTS - 1})) AS h)
 WHERE h % 3 = 0
 """
+    # lastmod leg: same host-1 page set; <lastmod> = 2026-01-(1 + i%28)
+    # by the gen_sitemaps closed form, age vs the fixed NOW constant
+    lastmod = f"""
+SELECT {C.oracle_url_sql('i')} AS canonical_url,
+       CAST(GREATEST(0, LEAST(3650, date_diff('day',
+           CAST('2026-01-' || lpad(CAST((i % 28) + 1 AS VARCHAR), 2, '0') AS DATE),
+           DATE '{_LASTMOD_NOW}'))) AS BIGINT) AS val
+FROM (SELECT unnest(generate_series(0, {N_SQL} - 1)) AS i)
+WHERE i % {C.HOT_HOST_MOD} <> 0 AND i % {C.N_HOSTS} = 1
+"""
     return (
-        _tagged(expand, "'expand' AS mode, canonical_url")
+        _tagged(expand, "'expand' AS mode, canonical_url, CAST(NULL AS BIGINT) AS val")
         + "\nUNION ALL\n"
-        + _tagged(discovery, "'discovery' AS mode, canonical_url")
+        + _tagged(discovery, "'discovery' AS mode, canonical_url, CAST(NULL AS BIGINT) AS val")
+        + "\nUNION ALL\n"
+        + _tagged(lastmod, "'lastmod' AS mode, canonical_url, val")
     )
 
 

@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "smart_crawl_webpage",
     "sitemap_expand",
     "robots_discovery",
+    "sitemap_lastmod",
     "politeness_drain",
     "drain_capped",
     "urlseen_antijoin",

@@ -390,11 +390,19 @@ def gen_sitemaps(spark: SparkSession, n: int, partitions: int = 32) -> DataFrame
 
     i = F.col("id")
     host = _host_expr(i)
+    # deterministic <lastmod>: day-of-January keyed by id — the closed form
+    # the lastmod gate leg re-derives (age vs the fixed NOW constant)
+    lastmod = F.concat(
+        F.lit("2026-01-"), F.lpad(((i % 28) + 1).cast("string"), 2, "0")
+    )
     entries = spark.range(0, n, 1, partitions).select(
         host.alias("h"),
         (i % SITEMAPS_PER_HOST).alias("k"),
         i.alias("id"),
-        F.concat(F.lit("<url><loc>"), _url_expr(i), F.lit("</loc></url>")).alias("e"),
+        F.concat(
+            F.lit("<url><loc>"), _url_expr(i), F.lit("</loc><lastmod>"),
+            lastmod, F.lit("</lastmod></url>"),
+        ).alias("e"),
     )
     urlsets = entries.groupBy("h", "k").agg(
         F.concat(

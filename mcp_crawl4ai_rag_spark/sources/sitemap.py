@@ -28,7 +28,7 @@ from .. import SER_CKPT_LEVEL as _SER_LEVEL  # single engine-wide definition
 
 from ..config import SITEMAP_MAX_DEPTH
 
-ENTRY_SCHEMA = "sitemap_url string, kind string, loc string"
+ENTRY_SCHEMA = "sitemap_url string, kind string, loc string, lastmod string"
 
 
 def parse_sitemap_bodies(fetched: DataFrame) -> DataFrame:
@@ -50,18 +50,24 @@ def parse_sitemap_bodies(fetched: DataFrame) -> DataFrame:
                     continue
                 for child in root:
                     tag = child.tag.rsplit("}", 1)[-1]
-                    loc = child.find("loc")
-                    if loc is None:
-                        # namespaced children
-                        for sub in child:
-                            if sub.tag.rsplit("}", 1)[-1] == "loc":
-                                loc = sub
-                                break
+                    loc = None
+                    lastmod = None
+                    for sub in child:
+                        stag = sub.tag.rsplit("}", 1)[-1]
+                        if stag == "loc" and loc is None:
+                            loc = sub
+                        elif stag == "lastmod" and lastmod is None:
+                            lastmod = sub
                     if loc is not None and loc.text:
-                        rows.append(
-                            (url, "sitemap" if tag == "sitemap" else "url", loc.text.strip())
-                        )
-            yield pd.DataFrame(rows, columns=["sitemap_url", "kind", "loc"])
+                        rows.append((
+                            url,
+                            "sitemap" if tag == "sitemap" else "url",
+                            loc.text.strip(),
+                            lastmod.text.strip() if lastmod is not None and lastmod.text else None,
+                        ))
+            yield pd.DataFrame(
+                rows, columns=["sitemap_url", "kind", "loc", "lastmod"]
+            )
 
     return fetched.select("url", "body").mapInPandas(gen, schema=ENTRY_SCHEMA)
 
@@ -71,6 +77,7 @@ def expand_sitemaps(
     sitemap_corpus: DataFrame,
     seed_sitemap_urls: list[str],
     max_depth: int = SITEMAP_MAX_DEPTH,
+    with_lastmod: bool = False,
 ) -> DataFrame:
     """Recursively expand sitemap URLs to the distinct page-URL set.
 
@@ -79,6 +86,12 @@ def expand_sitemaps(
     a sitemap fetched at depth d recurse only while d < max_depth
     (src/crawl4ai_mcp.py:210-217); page ``<loc>`` entries are collected at
     every depth.
+
+    ``with_lastmod=True`` also returns each page's ``<lastmod>`` (the
+    sitemaps.org recrawl signal the reference ignores entirely; a
+    duplicated URL keeps its lexicographically-max lastmod — newest date,
+    ISO strings order correctly) for freshness-aware frontier priority
+    (``lastmod_age_priority``).
     """
     pending = spark.createDataFrame(
         [(u,) for u in seed_sitemap_urls], "url string"
@@ -89,7 +102,10 @@ def expand_sitemaps(
             break
         fetched = sitemap_corpus.join(F.broadcast(pending), "url", "inner")
         entries = parse_sitemap_bodies(fetched).localCheckpoint(eager=True, storageLevel=_SER_LEVEL)
-        page_parts.append(entries.where(F.col("kind") == "url").select(F.col("loc")))
+        page_cols = ["loc", "lastmod"] if with_lastmod else ["loc"]
+        page_parts.append(
+            entries.where(F.col("kind") == "url").select(*[F.col(c) for c in page_cols])
+        )
         if depth < max_depth:
             pending = (
                 entries.where(F.col("kind") == "sitemap")
@@ -99,8 +115,35 @@ def expand_sitemaps(
         else:
             pending = pending.limit(0)
     if not page_parts:
-        return spark.createDataFrame([], "loc string").select(F.col("loc").alias("url"))
-    out = page_parts[0]
-    for p in page_parts[1:]:
-        out = out.unionByName(p)
+        empty_schema = "loc string, lastmod string" if with_lastmod else "loc string"
+        out = spark.createDataFrame([], empty_schema)
+    else:
+        out = page_parts[0]
+        for p in page_parts[1:]:
+            out = out.unionByName(p)
+    if with_lastmod:
+        return out.groupBy(F.col("loc").alias("url")).agg(
+            F.max("lastmod").alias("lastmod")
+        )
     return out.select(F.col("loc").alias("url")).dropDuplicates(["url"])
+
+
+def lastmod_age_priority(lastmod, now_date: str, default_days: int = 365):
+    """Freshness-aware frontier priority from a sitemap ``<lastmod>``:
+    age in days vs the fixed ``now_date`` (an explicit parameter — never a
+    clock read inside a plan), clamped to [0, 3650]; missing/unparsable
+    lastmod gets ``default_days``. Smaller = fresher = crawled sooner
+    under the ascending (depth, priority, seq) pop order — the recrawl
+    half of the freshness story (plans/rag.recrawl_schedule) applied at
+    DISCOVERY time."""
+    c = F.col(lastmod) if isinstance(lastmod, str) else lastmod
+    d = F.to_date(F.substring(c, 1, 10))
+    age = F.datediff(F.to_date(F.lit(now_date)), d)
+    # explicit missing branch: Spark's greatest/least IGNORE nulls, so
+    # clamping a NULL age would silently return the clamp bound instead of
+    # falling through to the default (same trap as freshness_score_milli)
+    return (
+        F.when(age.isNull(), F.lit(int(default_days)))
+        .otherwise(F.greatest(F.lit(0), F.least(F.lit(3650), age)))
+        .cast("int")
+    )

@@ -110,3 +110,64 @@ def test_smart_crawl_txt_single_fetch(spark, sitemaps):
         "https://h0.example.com/readme.txt"
     ]
     assert res.url_seen.count() == 1  # the linked page was never scheduled
+
+
+def test_lastmod_parse_and_age_priority(spark):
+    """<lastmod> entries parse out of (gzipped) sitemap bodies; the age
+    kernel converts them to an ascending freshness priority with clamps
+    and an explicit missing-default; a URL listed twice keeps its newest
+    lastmod."""
+    import gzip as _gzip
+
+    from mcp_crawl4ai_rag_spark.sources.sitemap import (
+        expand_sitemaps,
+        lastmod_age_priority,
+        parse_sitemap_bodies,
+    )
+
+    xml_a = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc>https://s.example.com/fresh</loc>"
+        "<lastmod>2026-02-27</lastmod></url>"
+        "<url><loc>https://s.example.com/stale</loc>"
+        "<lastmod>2016-01-01</lastmod></url>"
+        "<url><loc>https://s.example.com/dup</loc>"
+        "<lastmod>2026-01-05</lastmod></url>"
+        "<url><loc>https://s.example.com/nolm</loc></url>"
+        "</urlset>"
+    )
+    xml_b = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc>https://s.example.com/dup</loc>"
+        "<lastmod>2026-02-01</lastmod></url>"
+        "</urlset>"
+    )
+    corpus = spark.createDataFrame(
+        [
+            ("https://s.example.com/a.xml", bytearray(xml_a.encode())),
+            ("https://s.example.com/b.xml.gz", bytearray(_gzip.compress(xml_b.encode()))),
+        ],
+        "url string, body binary",
+    )
+    ent = parse_sitemap_bodies(corpus).collect()
+    lm = {r["loc"]: r["lastmod"] for r in ent}
+    assert lm["https://s.example.com/fresh"] == "2026-02-27"
+    assert lm["https://s.example.com/nolm"] is None
+
+    out = expand_sitemaps(
+        spark, corpus,
+        ["https://s.example.com/a.xml", "https://s.example.com/b.xml.gz"],
+        with_lastmod=True,
+    )
+    got = {
+        r["url"]: r["prio"]
+        for r in out.select(
+            "url", lastmod_age_priority("lastmod", "2026-03-01").alias("prio")
+        ).collect()
+    }
+    assert got["https://s.example.com/fresh"] == 2      # 2 days old
+    assert got["https://s.example.com/stale"] == 3650   # clamped
+    assert got["https://s.example.com/dup"] == 28       # newest of the two
+    assert got["https://s.example.com/nolm"] == 365     # missing default
+    # fresher page sorts ahead under ascending priority
+    assert got["https://s.example.com/fresh"] < got["https://s.example.com/dup"]
