@@ -1131,29 +1131,78 @@ def pair_retrieval_recall(
     (``(qid, recall)``, recall ∈ {0.0, 1.0}; the corpus mean is the
     headline Recall@K).
 
-    Scale shape: the query table broadcasts (an evaluation sample is
-    bounded); similarities are the zero-shuffle cosine projection over the
-    image scan; the only exchange is the per-query ranking window —
-    partitioned by query id, never global. Similarity is rounded to 4dp
-    BEFORE ranking with id tie-break (the engine/oracle order contract).
+    Scale shape: the query side is a BOUNDED evaluation sample (CLIP evals
+    score thousands of pairs, not the corpus) — it collects to one
+    normalized float64 matrix broadcast to executors. The image scan then
+    runs ONE Arrow-batched numpy matmul per batch (vectorized cosine
+    against every query at once — the same work the old per-pair
+    ``F.aggregate`` fold did at ~100× the interpreted-lambda cost) and
+    emits only each batch's per-query top-``k`` candidates, so the single
+    exchange carries ≤ k·|Q|·partitions rows instead of |images|·|Q|.
+    A per-batch top-k row set provably contains the global top-k, which a
+    final small ranking window recomputes exactly. Similarity is rounded
+    to 4dp BEFORE ranking with id tie-break (the engine/oracle order
+    contract); the batch sort is id-stable so ties break identically.
+    Numpy's pairwise-summed dot differs from the oracle's sequential fold
+    only in trailing ulps — measure-zero against the 4dp boundary.
     """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import Window
 
-    from ..functions.vectors import cosine_expr
+    q_rows = queries.select(q_id, q_vec).collect()
+    if not q_rows:
+        return queries.select(q_id).select(
+            F.col(q_id), F.lit(0.0).alias("recall")
+        )
+    qids = np.array([r[q_id] for r in q_rows], dtype=np.int64)
+    qm = np.array([r[q_vec] for r in q_rows], dtype=np.float64)
+    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-300)
+    spark = queries.sparkSession
+    bq = spark.sparkContext.broadcast((qids, qn))
+    kk = int(k)
 
-    pairs = images.join(F.broadcast(queries)).select(
-        F.col(q_id),
-        F.col(img_id),
-        F.round(cosine_expr(F.col(img_vec), F.col(q_vec)), 4).alias("__sim"),
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_qids, b_qn = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[img_id].to_numpy(dtype=np.int64)
+            m = np.array(list(pdf[img_vec]), dtype=np.float64)
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+            sims = np.round(mn @ b_qn.T, 4)  # rows=images, cols=queries
+            # per-query top-k within the batch under (sim desc, id asc):
+            # pre-sort rows by id asc, then a STABLE sim argsort keeps the
+            # id order among equal sims — exact tie-break, fully vectorized
+            order = np.argsort(ids, kind="stable")
+            ids_s, sims_s = ids[order], sims[order]
+            top = np.argsort(-sims_s, axis=0, kind="stable")[:kk]  # (≤k, Q)
+            n_top, n_q = top.shape
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(b_qids[None, :], n_top, 0).ravel(),
+                    "cand_id": ids_s[top].ravel(),
+                    "sim": np.take_along_axis(sims_s, top, axis=0).ravel(),
+                }
+            )
+
+    cands = images.select(img_id, img_vec).mapInPandas(
+        gen, schema="qid long, cand_id long, sim double"
     )
-    w = Window.partitionBy(q_id).orderBy(F.desc("__sim"), F.asc(img_id))
-    top = pairs.withColumn("__rn", F.row_number().over(w)).where(
-        F.col("__rn") <= int(k)
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cand_id"))
+    top = cands.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") <= kk
     )
-    hits = top.groupBy(q_id).agg(
-        F.max((F.col(img_id) == F.col(q_id)).cast("int")).alias("__hit")
+    hits = top.groupBy("qid").agg(
+        F.max((F.col("cand_id") == F.col("qid")).cast("int")).alias("__hit")
     )
-    return queries.select(q_id).join(hits, q_id, "left").select(
-        F.col(q_id),
-        F.coalesce(F.col("__hit"), F.lit(0)).cast("double").alias("recall"),
+    return (
+        queries.select(F.col(q_id).alias("qid"))
+        .join(hits, "qid", "left")
+        .select(
+            F.col("qid").alias(q_id),
+            F.coalesce(F.col("__hit"), F.lit(0)).cast("double").alias("recall"),
+        )
     )
