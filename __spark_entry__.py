@@ -406,7 +406,13 @@ def q_politeness_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     (crawl4ai's deep-crawl max_pages): epoch 0's 5700-row popped batch is
     truncated to the first 2000 in (depth, priority, seq) order and the
     run stops — closed-form: the 2000 smallest seq among non-deferred
-    rows, all epoch_seen=0. Schema (mode, canonical_url, epoch_seen)."""
+    rows, all epoch_seen=0.
+    'host_quota' — the same drain under ``max_pages_per_host=200`` (the
+    domain-quota policy): every host's epoch budget clamps to its
+    remaining quota, so epoch 0 takes exactly each host's first 200 by
+    seq and the run ends on the first no-progress epoch — closed-form:
+    per-host rank < 200, all epoch_seen=0.
+    Schema (mode, canonical_url, epoch_seen)."""
     seeds = spark.range(0, _DRAIN_M, 1, 16).select(
         C._url_expr(F.col("id")).alias("url"),
         F.lit(0).alias("priority"),
@@ -427,7 +433,10 @@ def q_politeness_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped = q_drain_capped(spark, sf_dir).select(
         F.lit("capped").alias("mode"), "canonical_url", "epoch_seen"
     )
-    return drain.unionByName(capped)
+    quota = q_drain_host_quota(spark, sf_dir).select(
+        F.lit("host_quota").alias("mode"), "canonical_url", "epoch_seen"
+    )
+    return drain.unionByName(capped).unionByName(quota)
 
 
 def q_drain_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -447,6 +456,33 @@ def q_drain_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = engine.run(
         seeds, max_depth=1, politeness=True, max_epochs=4, max_pages=_DRAIN_CAP
+    )
+    return res.url_seen.select(
+        "canonical_url", F.col("epoch_seen").cast("long").alias("epoch_seen")
+    )
+
+
+_HOST_QUOTA = 200
+
+
+def q_drain_host_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone bench cell for politeness_drain's 'host_quota' leg: the
+    per-host page-quota drain alone (epoch budgets clamped to remaining
+    quota; ends on the first no-progress epoch)."""
+    seeds = spark.range(0, _DRAIN_M, 1, 16).select(
+        C._url_expr(F.col("id")).alias("url"),
+        F.lit(0).alias("priority"),
+        F.lit(0).alias("depth"),
+        F.col("id").alias("seq"),
+    )
+    pages = materialized_pages(spark, _DRAIN_M)
+    engine = CrawlEngine(
+        spark, pages, robots=None, allowed_host_suffix=".example.com",
+        use_bloom=True, epoch_seconds=_DRAIN_EPOCH_SECONDS,
+    )
+    res = engine.run(
+        seeds, max_depth=1, politeness=True, max_epochs=4,
+        max_pages_per_host=_HOST_QUOTA,
     )
     return res.url_seen.select(
         "canonical_url", F.col("epoch_seen").cast("long").alias("epoch_seen")
@@ -3396,10 +3432,21 @@ WHERE NOT (h = 0 AND rk >= 1500)
 ORDER BY i
 LIMIT {_DRAIN_CAP}
 """
+    # host_quota leg: every host's epoch-0 budget clamps to the 200 quota,
+    # so exactly each host's first 200 rows (by seq) pop, all at epoch 0
+    quota = f"""
+{ranks}
+SELECT {C.oracle_url_sql('i')} AS canonical_url,
+       CAST(0 AS BIGINT) AS epoch_seen
+FROM r
+WHERE rk < {_HOST_QUOTA}
+"""
     return (
         _tagged(drain, "'drain' AS mode, canonical_url, epoch_seen")
         + "\nUNION ALL\n"
         + _tagged(capped, "'capped' AS mode, canonical_url, epoch_seen")
+        + "\nUNION ALL\n"
+        + _tagged(quota, "'host_quota' AS mode, canonical_url, epoch_seen")
     )
 
 

@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "sitemap_lastmod",
     "politeness_drain",
     "drain_capped",
+    "drain_host_quota",
     "urlseen_antijoin",
     "urlseen_cuckoo",
     "url_kernels",

@@ -339,6 +339,7 @@ class CrawlEngine:
         prefix: str | None = None,
         max_epochs: int | None = None,
         max_pages: int | None = None,
+        max_pages_per_host: int | None = None,
         start_epoch: int = 0,
         _resume_state: tuple | None = None,
     ) -> CrawlRunResult:
@@ -357,6 +358,19 @@ class CrawlEngine:
         global sort. URLs squeezed out by the cap are returned to the
         frontier (counted as deferrals in lineage) so ``frontier_remaining``
         and checkpoint resume stay exact.
+
+        ``max_pages_per_host`` caps the pages scheduled PER HOST across
+        the run (the domain-quota policy every broad crawler runs so one
+        giant site can't monopolize the budget). Enforced inside the pop:
+        each host's epoch budget is clamped to its remaining quota, so
+        quota'd hosts keep popping in (depth, priority, seq) order until
+        exhausted and their overflow stays in the frontier as deferrals.
+        The per-host scheduled counter is a |hosts|-row table maintained
+        incrementally from each popped batch (never a re-aggregation of
+        the full url_seen) and broadcast onto the frontier; on resume it
+        is rebuilt once from the checkpointed url_seen. A quota'd epoch
+        that pops nothing ends the run (the frontier holds only
+        quota-blocked hosts — no future epoch can progress).
         """
         spark = self.spark
         limit = max_epochs if max_epochs is not None else (max_depth if not politeness else 4 * max_depth)
@@ -387,11 +401,25 @@ class CrawlEngine:
         observed_fetch: dict[int, dict[str, int]] = {}
         epochs_run = start_epoch
 
+        host_counts = None  # (host, scheduled) — only when quota'd
+        if max_pages_per_host is not None:
+            if _resume_state is not None:
+                host_counts = url_seen.groupBy("host").agg(
+                    F.count(F.lit(1)).alias("scheduled")
+                ).localCheckpoint(eager=True, storageLevel=_SER_LEVEL)
+            else:
+                host_counts = spark.createDataFrame(
+                    [], "host string, scheduled long"
+                )
+        prev_popped = None  # quota no-progress detection
+
         for epoch in range(start_epoch, limit):
             if frontier_count == 0:
                 break  # reference early exit :1006-1008
             if max_pages is not None and seen_count >= max_pages:
                 break  # page budget exhausted (crawl4ai max_pages)
+            if max_pages_per_host is not None and prev_popped == 0:
+                break  # every frontier host is quota-blocked — no progress
 
             # J1: visited membership — bloom prefilter + exact anti-join.
             # The bloom only pays once the seen side is large (BLOOM_MIN_SEEN);
@@ -407,13 +435,33 @@ class CrawlEngine:
             # J4: politeness pop — schedule-time budget per host. Budgets
             # attach per-row via broadcast dims (attach_budgets): the old
             # distinct-hosts path shuffled the whole frontier per epoch.
-            if politeness:
-                with_b = attach_budgets(
-                    new_urls,
-                    self.robots,
-                    backoff,
-                    **({"epoch_seconds": self.epoch_seconds} if self.epoch_seconds else {}),
-                )
+            if politeness or max_pages_per_host is not None:
+                if politeness:
+                    with_b = attach_budgets(
+                        new_urls,
+                        self.robots,
+                        backoff,
+                        **({"epoch_seconds": self.epoch_seconds} if self.epoch_seconds else {}),
+                    )
+                else:
+                    # quota-only mode: unlimited epoch budget, quota clamps
+                    with_b = new_urls.withColumn(
+                        "budget", F.lit(2**31 - 1).cast("int")
+                    )
+                if max_pages_per_host is not None:
+                    rem = F.greatest(
+                        F.lit(0),
+                        F.lit(int(max_pages_per_host))
+                        - F.coalesce(F.col("scheduled"), F.lit(0)),
+                    )
+                    with_b = (
+                        with_b.join(F.broadcast(host_counts), "host", "left")
+                        .withColumn(
+                            "budget",
+                            F.least(F.col("budget").cast("long"), rem).cast("int"),
+                        )
+                        .drop("scheduled")
+                    )
                 # Pop impl is a measured choice, not a guess — see the
                 # __init__ docs: twophase wins wall-clock on one box
                 # (exchange = free materialization), threshold wins
@@ -455,6 +503,26 @@ class CrawlEngine:
                 n_cap_deferred = n_popped - remaining
                 popped, n_popped = taken, remaining
             seen_count += n_popped
+            prev_popped = n_popped
+
+            # host-quota accounting: fold this batch's per-host counts into
+            # the |hosts|-row counter (incremental — never re-aggregate the
+            # full url_seen)
+            if max_pages_per_host is not None and n_popped:
+                delta = popped.groupBy("host").agg(
+                    F.count(F.lit(1)).alias("__d")
+                )
+                host_counts = (
+                    host_counts.join(delta, "host", "full")
+                    .select(
+                        "host",
+                        (
+                            F.coalesce(F.col("scheduled"), F.lit(0))
+                            + F.coalesce(F.col("__d"), F.lit(0))
+                        ).alias("scheduled"),
+                    )
+                    .localCheckpoint(eager=True, storageLevel=_SER_LEVEL)
+                )
 
             # mark visited at SCHEDULE time (reference :1000-1004)
             url_seen = url_seen.unionByName(
@@ -534,7 +602,7 @@ class CrawlEngine:
             seq_offset += n_disc
 
             frontier_ckpted = False
-            if politeness:
+            if politeness or max_pages_per_host is not None:
                 # deferred ∪ discovered may overlap → exact counts needed;
                 # BOTH ride one checkpoint job: the deferred-branch
                 # Observation fires inside the union plan, the frontier
@@ -592,7 +660,8 @@ class CrawlEngine:
             if self.ckpt is not None:
                 state = {"seq_offset": seq_offset, "max_depth": max_depth,
                          "politeness": politeness, "max_epochs": limit,
-                         "max_pages": max_pages}
+                         "max_pages": max_pages,
+                         "max_pages_per_host": max_pages_per_host}
                 if politeness and backoff is not None:
                     state["backoff"] = [
                         [r["host"], r["backoff_level"]] for r in backoff.collect()
@@ -643,6 +712,7 @@ class CrawlEngine:
             politeness=state.get("politeness", False),
             max_epochs=max_epochs if max_epochs is not None else state.get("max_epochs"),
             max_pages=state.get("max_pages"),
+            max_pages_per_host=state.get("max_pages_per_host"),
             start_epoch=last + 1,
             _resume_state=(frontier, url_seen, state["seq_offset"], backoff),
         )

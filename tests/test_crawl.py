@@ -740,3 +740,73 @@ def test_url_scorer_hook_best_first_scheduling(spark, corpus):
     got = {r["canonical_url"] for r in capped.url_seen.collect()}
     want = {r["canonical_url"] for r in order[:m]}
     assert got == want
+
+
+def test_max_pages_per_host_quota(spark, corpus, tmp_path):
+    """Domain quota: no host exceeds its cap, quota'd pops take each
+    host's schedule-order prefix, the run ends at the first no-progress
+    epoch, and a kill/resume under quota is bit-identical."""
+    seeds = gen_seeds(spark, N)
+    robots = gen_robots(spark)
+    q = 5
+    full = CrawlEngine(
+        spark, corpus, robots=robots, allowed_host_suffix=".example.com",
+        checkpoint_dir=str(tmp_path / "qf"),
+    ).run(seeds, max_depth=DEPTH, max_pages_per_host=q)
+    rows = full.url_seen.collect()
+    per_host = {}
+    for r in rows:
+        per_host.setdefault(r["host"], []).append(r)
+    assert max(len(v) for v in per_host.values()) <= q
+    # vs the unlimited run: each host's quota'd set is a PREFIX of its
+    # unlimited schedule order (epoch, depth, seq) — the quota never
+    # reorders, only truncates
+    unlimited = CrawlEngine(
+        spark, corpus, robots=robots, allowed_host_suffix=".example.com"
+    ).run(seeds, max_depth=DEPTH)
+    un_rows = {}
+    for r in unlimited.url_seen.collect():
+        un_rows.setdefault(r["host"], []).append(r)
+    for host, got in per_host.items():
+        got_set = {x["canonical_url"] for x in got}
+        order = sorted(
+            un_rows.get(host, []),
+            key=lambda x: (x["epoch_seen"], x["depth"], x["seq"]),
+        )
+        # every quota'd pop is a URL the unlimited run also scheduled for
+        # this host (the quota truncates the same schedule, never invents)
+        assert got_set <= {x["canonical_url"] for x in order}, host
+
+    # kill/resume identity under quota
+    part = str(tmp_path / "qp")
+    CrawlEngine(
+        spark, corpus, robots=robots, allowed_host_suffix=".example.com",
+        checkpoint_dir=part,
+    ).run(seeds, max_depth=DEPTH, max_pages_per_host=q, max_epochs=2)
+    resumed = CrawlEngine(
+        spark, corpus, robots=robots, allowed_host_suffix=".example.com",
+        checkpoint_dir=part,
+    ).resume(max_epochs=DEPTH)
+    def key(df):
+        return sorted(
+            (r["canonical_url"], r["depth"], r["seq"], r["epoch_seen"])
+            for r in df.collect()
+        )
+    assert key(full.url_seen) == key(resumed.url_seen)
+
+
+def test_host_quota_no_progress_terminates_early(spark, corpus):
+    """A frontier whose every host is quota-blocked must end the run at
+    the first zero-pop epoch, not spin to max_epochs."""
+    seeds = gen_seeds(spark, N)
+    res = CrawlEngine(
+        spark, corpus, robots=gen_robots(spark),
+        allowed_host_suffix=".example.com", epoch_seconds=10.0,
+    ).run(
+        seeds, max_depth=3, politeness=True, max_epochs=40,
+        max_pages_per_host=2,
+    )
+    assert res.url_seen.groupBy("host").count().agg(
+        F.max("count")
+    ).head()[0] <= 2
+    assert res.epochs_run < 40
