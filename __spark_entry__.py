@@ -721,11 +721,17 @@ _GLOB_PATTERNS = ["*.txt", "*sitemap*", "*/private/*"]
 def q_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1/F2/F6 + C11: canonicalize / classify / host / path kernels, plus
     the URLPatternFilter glob kernel (functions/urls.url_pattern_match —
-    any-of fnmatch-style patterns compiled to one rlike)."""
-    from mcp_crawl4ai_rag_spark.functions.urls import url_pattern_match
+    any-of fnmatch-style patterns compiled to one rlike) and strict
+    canonicalization (functions/urls.canonical_url_strict — tracking-param
+    strip + query sort; the %5==1 variant carries a utm-decorated
+    unsorted query to exercise it)."""
+    from mcp_crawl4ai_rag_spark.functions.urls import (
+        canonical_url_strict,
+        url_pattern_match,
+    )
 
     suffix = (
-        F.when(F.col("id") % 5 == 1, F.lit("#frag"))
+        F.when(F.col("id") % 5 == 1, F.lit("?utm_source=x&b=2&a=1#frag"))
         .when(F.col("id") % 5 == 2, F.lit("/file.pdf"))
         .when(F.col("id") % 5 == 3, F.lit("/sitemap.xml"))
         .when(F.col("id") % 5 == 4, F.lit("/readme.txt"))
@@ -742,6 +748,7 @@ def q_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
         is_binary_url(F.col("url")).cast("int").alias("is_binary"),
         classify_url(F.col("url")).alias("url_class"),
         url_pattern_match(F.col("url"), _GLOB_PATTERNS).cast("int").alias("glob_hit"),
+        canonical_url_strict(F.col("url")).alias("strict_url"),
     )
 
 
@@ -3582,7 +3589,8 @@ def _oracle_url_kernels() -> str:
     )
     return f"""
 SELECT id,
-       CASE WHEN id % 5 IN (0, 1) THEN {base}
+       CASE WHEN id % 5 = 0 THEN {base}
+            WHEN id % 5 = 1 THEN {base} || '?utm_source=x&b=2&a=1'
             WHEN id % 5 = 2 THEN {base} || '/file.pdf'
             WHEN id % 5 = 3 THEN {base} || '/sitemap.xml'
             ELSE {base} || '/readme.txt' END AS canonical_url,
@@ -3598,7 +3606,15 @@ SELECT id,
        -- glob kernel closed-form: '*.txt' ⇔ the readme variant, '*sitemap*'
        -- ⇔ the sitemap variant, '*/private/*' ⇔ the robots-denied path
        CASE WHEN id % 5 IN (3, 4) OR id % {C.PRIVATE_MOD} = 0 THEN 1 ELSE 0 END
-           AS glob_hit
+           AS glob_hit,
+       -- strict canonicalization: utm dropped, remaining query sorted;
+       -- hosts already lowercase and portless, so other variants equal
+       -- their canonical form
+       CASE WHEN id % 5 = 0 THEN {base}
+            WHEN id % 5 = 1 THEN {base} || '?a=1&b=2'
+            WHEN id % 5 = 2 THEN {base} || '/file.pdf'
+            WHEN id % 5 = 3 THEN {base} || '/sitemap.xml'
+            ELSE {base} || '/readme.txt' END AS strict_url
 FROM (SELECT unnest(generate_series(0, 1999)) AS id)
 """
 

@@ -445,6 +445,84 @@ def py_url_pattern_match(url: str, patterns: list[str]) -> bool:
     return any(fnmatchcase(url, p) for p in patterns)
 
 
+_SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://"
+_QUERY_RE = r"^[^?#]*\?([^#]*)"
+# tracking parameters every canonicalizer strips: any utm_* name, plus the
+# exact common click identifiers. EXACT name match for the latter —
+# a prefix match would eat legitimate params ('ref' must not strip
+# 'refresh')
+_TRACKING_NAME_PREFIXES = ("utm_",)
+_TRACKING_NAMES = frozenset(("fbclid", "gclid", "msclkid", "mc_eid", "ref"))
+
+
+def canonical_url_strict(url: Column | str) -> Column:
+    """Aggressive crawl canonicalization — the identity a broad crawler
+    uses so ``?b=2&a=1`` and ``?a=1&b=2`` (and utm-decorated copies) don't
+    crawl twice. Beyond the reference's fragment strip:
+
+    - scheme and host lowercased (RFC 3986 §6.2.2.1 case normalization);
+    - default ports dropped (``:80`` for http, ``:443`` for https);
+    - query parameters with tracking names (utm_*, fbclid, gclid,
+      msclkid, mc_eid, ref) removed, the rest SORTED; an emptied query
+      drops its ``?``;
+    - fragment stripped.
+
+    One Catalyst projection (split / filter / array_sort / array_join) —
+    no Python. Parameter VALUES keep their case; paths keep theirs."""
+    c = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(c, _SCHEME_RE, 1))
+    host = F.lower(url_host(c))
+    host = F.when(
+        scheme == "http", F.regexp_replace(host, ":80$", "")
+    ).when(
+        scheme == "https", F.regexp_replace(host, ":443$", "")
+    ).otherwise(host)
+    path = url_path(c)
+    query = F.regexp_extract(c, _QUERY_RE, 1)
+    def _tracking(p):
+        name = F.substring_index(p, "=", 1)
+        hit = F.lit(False)
+        for pref in _TRACKING_NAME_PREFIXES:
+            hit = hit | name.startswith(pref)
+        for exact in sorted(_TRACKING_NAMES):
+            hit = hit | (name == exact)
+        return hit
+
+    kept = F.array_sort(
+        F.filter(F.split(query, "&"), lambda p: (p != F.lit("")) & ~_tracking(p))
+    )
+    qs = F.array_join(kept, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
+    )
+
+
+def py_canonical_url_strict(url: str) -> str:
+    """Python twin of canonical_url_strict (differential tests)."""
+    from urllib.parse import urlsplit
+
+    p = urlsplit(url)
+    scheme = p.scheme.lower()
+    host = p.netloc.lower()
+    if scheme == "http" and host.endswith(":80"):
+        host = host[:-3]
+    elif scheme == "https" and host.endswith(":443"):
+        host = host[:-4]
+    def tracking(seg: str) -> bool:
+        name = seg.split("=", 1)[0]
+        return name in _TRACKING_NAMES or any(
+            name.startswith(pref) for pref in _TRACKING_NAME_PREFIXES
+        )
+
+    kept = sorted(seg for seg in p.query.split("&") if seg and not tracking(seg))
+    qs = "&".join(kept)
+    return f"{scheme}://{host}{p.path}" + (f"?{qs}" if qs else "")
+
+
 def filter_chain(conditions: list[Column]) -> Column:
     """crawl4ai FilterChain shape: a URL survives iff EVERY filter passes
     — one AND fold, stays a single codegen predicate. Empty chain passes

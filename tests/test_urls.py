@@ -336,3 +336,36 @@ def test_url_pattern_match_and_filter_chain(spark):
             "url"
         ].endswith(".pdf")
         assert r["keep"] == want, r["url"]
+
+
+def test_canonical_url_strict_matches_twin(spark):
+    """Strict canonicalization: scheme/host case, default ports, tracking
+    params, query sort, fragment — Spark == the urlsplit twin."""
+    from mcp_crawl4ai_rag_spark.functions.urls import (
+        canonical_url_strict,
+        py_canonical_url_strict,
+    )
+
+    urls = [
+        "HTTP://Example.COM:80/a?b=2&a=1#frag",
+        "https://example.com:443/x?utm_source=tw&z=9&utm_medium=m",
+        "https://example.com:8443/x?a=1",          # non-default port kept
+        "http://example.com/p?fbclid=abc&gclid=d", # all tracking -> no query
+        "https://example.com/p?ref=home&refresh=1",# exact 'ref' dropped, 'refresh' KEPT
+        "https://example.com/CaseInPath?B=2&a=1",  # path case kept; names sort before lowercase letters
+        "https://example.com/q?a=1&a=0",           # duplicate names sort by whole segment
+        "https://example.com/plain",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r["url"]: r["s"]
+        for r in df.select(
+            "url", canonical_url_strict("url").alias("s")
+        ).collect()
+    }
+    for u in urls:
+        assert got[u] == py_canonical_url_strict(u), (u, got[u])
+    assert got["HTTP://Example.COM:80/a?b=2&a=1#frag"] == "http://example.com/a?a=1&b=2"
+    assert got["http://example.com/p?fbclid=abc&gclid=d"] == "http://example.com/p"
+    assert got["https://example.com:8443/x?a=1"] == "https://example.com:8443/x?a=1"
+    assert got["https://example.com/p?ref=home&refresh=1"] == "https://example.com/p?refresh=1"
