@@ -369,3 +369,110 @@ def test_canonical_url_strict_matches_twin(spark):
     assert got["http://example.com/p?fbclid=abc&gclid=d"] == "http://example.com/p"
     assert got["https://example.com:8443/x?a=1"] == "https://example.com:8443/x?a=1"
     assert got["https://example.com/p?ref=home&refresh=1"] == "https://example.com/p?refresh=1"
+
+
+# --- property tests (pure-Python twins; the Spark==twin equivalence is
+# pinned by the example-based tests above and the url_kernels oracle) ---
+
+def test_property_strict_canonical_idempotent_and_total():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mcp_crawl4ai_rag_spark.functions.urls import py_canonical_url_strict
+
+    seg = st.text(
+        alphabet="abcXYZ019-._~", min_size=0, max_size=6
+    )
+    params = st.lists(
+        st.tuples(
+            st.sampled_from(
+                ["a", "b", "zz", "utm_source", "utm_x", "ref", "refresh",
+                 "fbclid", "gclid", "Ref"]
+            ),
+            seg,
+        ),
+        max_size=5,
+    )
+
+    @given(
+        scheme=st.sampled_from(["http", "https", "HTTP", "HtTpS"]),
+        host=st.sampled_from(
+            ["Example.com", "h1.example.com", "EX.com:80", "ex.com:443",
+             "ex.com:8080"]
+        ),
+        path=st.lists(seg, max_size=3),
+        ps=params,
+        frag=seg,
+    )
+    @settings(max_examples=200, deadline=None)
+    def run(scheme, host, path, ps, frag):
+        url = f"{scheme}://{host}/" + "/".join(path)
+        if ps:
+            url += "?" + "&".join(f"{k}={v}" for k, v in ps)
+        if frag:
+            url += f"#{frag}"
+        out = py_canonical_url_strict(url)
+        # idempotent: canonicalizing a canonical URL is a no-op
+        assert py_canonical_url_strict(out) == out
+        # no fragment, no tracking params survive; query is sorted
+        assert "#" not in out
+        if "?" in out:
+            q = out.split("?", 1)[1]
+            segs = q.split("&")
+            assert segs == sorted(segs)
+            for s_ in segs:
+                name = s_.split("=", 1)[0]
+                assert not name.startswith("utm_")
+                assert name not in ("fbclid", "gclid", "msclkid", "mc_eid", "ref")
+        # scheme and host are lowercased, default ports gone
+        sch, rest = out.split("://", 1)
+        assert sch == sch.lower()
+        hostpart = rest.split("/", 1)[0]
+        assert hostpart == hostpart.lower()
+        assert not (sch == "http" and hostpart.endswith(":80"))
+        assert not (sch == "https" and hostpart.endswith(":443"))
+
+    run()
+
+
+def test_property_glob_translation_matches_fnmatch():
+    from fnmatch import fnmatchcase
+
+    import re as _re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mcp_crawl4ai_rag_spark.functions.urls import _glob_to_regex
+
+    # bracket-free glob alphabet (char classes documented-unsupported)
+    pat = st.text(alphabet="ab/.*?x-", min_size=0, max_size=8)
+    txt = st.text(alphabet="ab/.x-", min_size=0, max_size=10)
+
+    @given(p=pat, t=txt)
+    @settings(max_examples=300, deadline=None)
+    def run(p, t):
+        assert bool(_re.fullmatch(_glob_to_regex(p)[1:-1], t)) == fnmatchcase(t, p)
+
+    run()
+
+
+def test_property_keyword_score_bounds_and_monotonicity():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mcp_crawl4ai_rag_spark.functions.urls import py_keyword_relevance_milli
+
+    kws = st.lists(st.text(alphabet="abcz/", min_size=1, max_size=4),
+                   min_size=1, max_size=5)
+
+    @given(url=st.text(alphabet="abcz/:.", max_size=30), keywords=kws)
+    @settings(max_examples=300, deadline=None)
+    def run(url, keywords):
+        m = py_keyword_relevance_milli(url, keywords)
+        assert 0 <= m <= 1000
+        # appending a keyword occurrence never lowers the score
+        m2 = py_keyword_relevance_milli(url + keywords[0], keywords)
+        assert m2 >= m
+
+    run()
