@@ -623,6 +623,28 @@ def q_keyword_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trap_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-trap guard at frontier scale (functions/urls.is_crawl_trap —
+    Heritrix pathological-path + too-many-segments rules, param-count and
+    length caps): every 7th URL decorated with one of the four trap shapes,
+    the guard classifies the whole batch in one codegen projection (zero
+    shuffle; the count() aggregate in the consumer is the only exchange)."""
+    from mcp_crawl4ai_rag_spark.functions.urls import is_crawl_trap
+
+    n = _lineitem_count(spark, sf_dir)
+    suffix = (
+        F.when(F.col("id") % 7 != 0, F.lit(""))
+        .when(F.col("id") % 4 == 0, F.lit("/x/x/x/x"))
+        .when(F.col("id") % 4 == 1, F.lit(_TRAP_DEEP_SUFFIX))
+        .when(F.col("id") % 4 == 2, F.lit(_TRAP_PARAM_SUFFIX))
+        .otherwise(F.concat(F.lit("/"), F.repeat(F.lit("z"), 2100)))
+    )
+    df = spark.range(0, n, 1, 16).select(
+        F.concat(C._url_expr(F.col("id")), suffix).alias("url")
+    )
+    return df.groupBy(is_crawl_trap(F.col("url")).alias("is_trap")).count()
+
+
 _COMPOSITE_NOW_YEAR = 2026
 _COMPOSITE_DA = {"h0.example.com": 900, "h1.example.com": 700}
 
@@ -718,26 +740,44 @@ WHERE i % 3 <> 0
 _GLOB_PATTERNS = ["*.txt", "*sitemap*", "*/private/*"]
 
 
+_TRAP_DEEP_SUFFIX = "/" + "/".join(f"s{i}" for i in range(24))
+_TRAP_PARAM_SUFFIX = "?" + "&".join(f"p{i:02d}=1" for i in range(1, 13))
+
+
 def q_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1/F2/F6 + C11: canonicalize / classify / host / path kernels, plus
     the URLPatternFilter glob kernel (functions/urls.url_pattern_match —
-    any-of fnmatch-style patterns compiled to one rlike) and strict
+    any-of fnmatch-style patterns compiled to one rlike), strict
     canonicalization (functions/urls.canonical_url_strict — tracking-param
     strip + query sort; the %5==1 variant carries a utm-decorated
-    unsorted query to exercise it)."""
+    unsorted query to exercise it), and the crawl-trap guard
+    (functions/urls.is_crawl_trap — Heritrix pathological-path /
+    too-many-segments rules + param-count and length caps): ids 2000-2399
+    are trap-decorated (consecutive-repeat path, 24-deep path, 12-param
+    query, 2100-char segment by id%4), every one a structural trap the
+    reference would crawl forever."""
     from mcp_crawl4ai_rag_spark.functions.urls import (
         canonical_url_strict,
+        is_crawl_trap,
+        max_segment_run,
         url_pattern_match,
     )
 
     suffix = (
-        F.when(F.col("id") % 5 == 1, F.lit("?utm_source=x&b=2&a=1#frag"))
+        F.when(
+            F.col("id") >= 2000,
+            F.when(F.col("id") % 4 == 0, F.lit("/x/x/x/x"))
+            .when(F.col("id") % 4 == 1, F.lit(_TRAP_DEEP_SUFFIX))
+            .when(F.col("id") % 4 == 2, F.lit(_TRAP_PARAM_SUFFIX))
+            .otherwise(F.concat(F.lit("/"), F.repeat(F.lit("z"), 2100))),
+        )
+        .when(F.col("id") % 5 == 1, F.lit("?utm_source=x&b=2&a=1#frag"))
         .when(F.col("id") % 5 == 2, F.lit("/file.pdf"))
         .when(F.col("id") % 5 == 3, F.lit("/sitemap.xml"))
         .when(F.col("id") % 5 == 4, F.lit("/readme.txt"))
         .otherwise(F.lit(""))
     )
-    df = spark.range(0, 2000, 1, 8).select(
+    df = spark.range(0, 2400, 1, 8).select(
         "id", F.concat(C._url_expr(F.col("id")), suffix).alias("url")
     )
     return df.select(
@@ -749,6 +789,8 @@ def q_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
         classify_url(F.col("url")).alias("url_class"),
         url_pattern_match(F.col("url"), _GLOB_PATTERNS).cast("int").alias("glob_hit"),
         canonical_url_strict(F.col("url")).alias("strict_url"),
+        max_segment_run(F.col("url")).alias("max_seg_run"),
+        is_crawl_trap(F.col("url")).cast("int").alias("is_trap"),
     )
 
 
@@ -861,9 +903,17 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       through the SAME chunker+section-info pipeline (chunk_size=800; the
       synthetic page is provably < 800 chars, so exactly one chunk equal to
       the stripped markdown, keeping the oracle closed-form).
+    - ``warc`` (r4): the Common Crawl ingestion path — the SAME pages
+      archived as deterministic WARC/1.0 blobs (sources/corpus.
+      gen_warc_blobs: warcinfo + skippable request records, 404s for down
+      pages, every 3rd blob gzipped), content-length-framed parse
+      (sources/warc.parse_warc), 200s only, then the SAME extraction
+      kernel; the oracle is the mdq closed form minus the down pages, so
+      bytes→records→HTTP→markdown is hash-verified end-to-end.
     """
     from mcp_crawl4ai_rag_spark.functions.html import extract_markdown
-    from mcp_crawl4ai_rag_spark.sources.corpus import gen_html_pages
+    from mcp_crawl4ai_rag_spark.sources.corpus import gen_html_pages, gen_warc_blobs
+    from mcp_crawl4ai_rag_spark.sources.warc import parse_warc
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     chunks = explode_chunks(docs, text_col="text", chunk_size=200)
@@ -902,7 +952,26 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("char_count").cast("long").alias("char_count"),
         F.col("word_count").cast("long").alias("word_count"),
     )
-    return leg_doc.unionByName(leg_md).unionByName(leg_hc)
+    wmd = extract_markdown(
+        parse_warc(gen_warc_blobs(spark, n))
+        .where(F.col("status") == 200)
+        .select("url", "html"),
+        "html",
+        "markdown",
+    )
+    leg_warc = wmd.select(
+        F.lit("warc").alias("leg"),
+        F.col("url").alias("key"),
+        F.lit(0).cast("long").alias("chunk_number"),
+        F.col("markdown").alias("content"),
+        F.length("markdown").cast("long").alias("char_count"),
+        F.size(F.regexp_extract_all(F.col("markdown"), F.lit(r"\S+"), 0))
+        .cast("long")
+        .alias("word_count"),
+    )
+    return (
+        leg_doc.unionByName(leg_md).unionByName(leg_hc).unionByName(leg_warc)
+    )
 
 
 def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -917,6 +986,23 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return md.select(
         F.count("*").cast("long").alias("n_pages"),
         F.sum(F.length("markdown")).cast("long").alias("total_chars"),
+    )
+
+
+def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only leg: WARC archive ingestion throughput — render-once
+    (the generator is itself a grouped Arrow stage), then the
+    content-length-framed parse fans blobs out to response rows; reduced
+    to scalars so the bench times parsing, not materialization."""
+    from mcp_crawl4ai_rag_spark.sources.corpus import gen_warc_blobs
+    from mcp_crawl4ai_rag_spark.sources.warc import parse_warc
+
+    n = max(_lineitem_count(spark, sf_dir) // 3, 100)
+    parsed = parse_warc(gen_warc_blobs(spark, n))
+    return parsed.select(
+        F.count("*").cast("long").alias("n_records"),
+        F.sum((F.col("status") == 200).cast("long")).alias("n_ok"),
+        F.sum(F.length("html")).cast("long").alias("total_chars"),
     )
 
 
@@ -3587,35 +3673,63 @@ def _oracle_url_kernels() -> str:
     path = (
         f"((CASE WHEN (id) % {C.PRIVATE_MOD} = 0 THEN '/private/p/' ELSE '/p/' END) || id)"
     )
+    # trap-decorated rows (id >= 2000): suffix by id % 4 — consecutive-repeat
+    # path / 24-deep path / 12-param query / 2100-char segment; none carries
+    # a fragment, a tracking param, or an unsorted query, so canonical ==
+    # strict == raw for these rows
+    trap_suffix = (
+        "CASE WHEN id % 4 = 0 THEN '/x/x/x/x'"
+        f" WHEN id % 4 = 1 THEN '{_TRAP_DEEP_SUFFIX}'"
+        f" WHEN id % 4 = 2 THEN '{_TRAP_PARAM_SUFFIX}'"
+        " ELSE '/' || repeat('z', 2100) END"
+    )
+    trap_path_suffix = (
+        "CASE WHEN id % 4 = 0 THEN '/x/x/x/x'"
+        f" WHEN id % 4 = 1 THEN '{_TRAP_DEEP_SUFFIX}'"
+        " WHEN id % 4 = 2 THEN ''"
+        " ELSE '/' || repeat('z', 2100) END"
+    )
     return f"""
 SELECT id,
-       CASE WHEN id % 5 = 0 THEN {base}
+       CASE WHEN id >= 2000 THEN {base} || ({trap_suffix})
+            WHEN id % 5 = 0 THEN {base}
             WHEN id % 5 = 1 THEN {base} || '?utm_source=x&b=2&a=1'
             WHEN id % 5 = 2 THEN {base} || '/file.pdf'
             WHEN id % 5 = 3 THEN {base} || '/sitemap.xml'
             ELSE {base} || '/readme.txt' END AS canonical_url,
        'h' || {host} || '.example.com' AS host,
-       CASE WHEN id % 5 IN (0, 1) THEN {path}
+       CASE WHEN id >= 2000 THEN {path} || ({trap_path_suffix})
+            WHEN id % 5 IN (0, 1) THEN {path}
             WHEN id % 5 = 2 THEN {path} || '/file.pdf'
             WHEN id % 5 = 3 THEN {path} || '/sitemap.xml'
             ELSE {path} || '/readme.txt' END AS path,
-       CASE WHEN id % 5 = 2 THEN 1 ELSE 0 END AS is_binary,
-       CASE WHEN id % 5 = 4 THEN 'text_file'
+       CASE WHEN id < 2000 AND id % 5 = 2 THEN 1 ELSE 0 END AS is_binary,
+       CASE WHEN id >= 2000 THEN 'webpage'
+            WHEN id % 5 = 4 THEN 'text_file'
             WHEN id % 5 = 3 THEN 'sitemap'
             ELSE 'webpage' END AS url_class,
        -- glob kernel closed-form: '*.txt' ⇔ the readme variant, '*sitemap*'
        -- ⇔ the sitemap variant, '*/private/*' ⇔ the robots-denied path
-       CASE WHEN id % 5 IN (3, 4) OR id % {C.PRIVATE_MOD} = 0 THEN 1 ELSE 0 END
-           AS glob_hit,
+       -- (trap suffixes never match the first two)
+       CASE WHEN id % {C.PRIVATE_MOD} = 0 THEN 1
+            WHEN id < 2000 AND id % 5 IN (3, 4) THEN 1
+            ELSE 0 END AS glob_hit,
        -- strict canonicalization: utm dropped, remaining query sorted;
        -- hosts already lowercase and portless, so other variants equal
-       -- their canonical form
-       CASE WHEN id % 5 = 0 THEN {base}
+       -- their canonical form (trap rows: p01..p12 already name-sorted)
+       CASE WHEN id >= 2000 THEN {base} || ({trap_suffix})
+            WHEN id % 5 = 0 THEN {base}
             WHEN id % 5 = 1 THEN {base} || '?a=1&b=2'
             WHEN id % 5 = 2 THEN {base} || '/file.pdf'
             WHEN id % 5 = 3 THEN {base} || '/sitemap.xml'
-            ELSE {base} || '/readme.txt' END AS strict_url
-FROM (SELECT unnest(generate_series(0, 1999)) AS id)
+            ELSE {base} || '/readme.txt' END AS strict_url,
+       -- crawl-trap signals: base paths never repeat a segment, so only the
+       -- repeat-suffix rows carry a run (1 + the 4 'x' segments start fresh:
+       -- run 4); every decorated row trips exactly one structural cap
+       CAST(CASE WHEN id >= 2000 AND id % 4 = 0 THEN 4 ELSE 1 END AS BIGINT)
+           AS max_seg_run,
+       CASE WHEN id >= 2000 THEN 1 ELSE 0 END AS is_trap
+FROM (SELECT unnest(generate_series(0, 2399)) AS id)
 """
 
 
@@ -3720,7 +3834,7 @@ def _oracle_chunk_documents() -> str:
     )
     return f"""
 WITH mdq AS (
-    SELECT {C.oracle_url_sql('i')} AS url, {md} AS md
+    SELECT i, {C.oracle_url_sql('i')} AS url, {md} AS md
     FROM (SELECT unnest(generate_series(0, {_HTML_N_SQL} - 1)) AS i)
 )
 SELECT 'doc' AS leg,
@@ -3743,6 +3857,13 @@ SELECT 'html_chunk', url, CAST(0 AS BIGINT), md,
        CAST(length(md) AS BIGINT),
        CAST(len(regexp_extract_all(md, '{_WS_RE}')) AS BIGINT)
 FROM mdq
+UNION ALL
+-- warc leg: the archive parse recovers exactly the live corpus minus the
+-- down pages (WARC_404_MOD), then the same extraction closed form applies
+SELECT 'warc', url, CAST(0 AS BIGINT), md,
+       CAST(length(md) AS BIGINT),
+       CAST(len(regexp_extract_all(md, '{_WS_RE}')) AS BIGINT)
+FROM mdq WHERE i % {C.WARC_404_MOD} <> 0
 """
 
 

@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "urlseen_antijoin",
     "urlseen_cuckoo",
     "url_kernels",
+    "trap_kernel",
     "politeness_budgets",
     "host_quality_prior",
     "keyword_prior",
@@ -68,6 +69,7 @@ BENCH_QUERIES = [
     "doc_token_stats",
     "chunk_documents",
     "html_extract",
+    "warc_parse",
     "quality_score",
     "lang_id",
     "exact_dedup",

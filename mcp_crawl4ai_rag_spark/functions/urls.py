@@ -547,3 +547,123 @@ def with_link_counts(
     return df.withColumn("n_internal", n_int).withColumn(
         "n_external", F.size(links) - n_int
     )
+
+
+# ---------------------------------------------------------------------------
+# Crawl-trap (spider-trap) detection
+# ---------------------------------------------------------------------------
+# The reference has no trap defense at all: crawl4ai's deep-crawl strategies
+# follow every in-boundary link (the reference consumes them verbatim,
+# src/crawl4ai_mcp.py:1022-1053), so an infinite calendar, a session-id
+# explosion, or a cyclic path ('/a/b/a/b/a/b/...') grows the frontier without
+# bound. At a 10^10-URL frontier these URL families are a dominant junk
+# source, and every production crawler ships structural guards; the public
+# precedents are Heritrix's PathologicalPathDecideRule (same segment repeated
+# more than N times consecutively) and TooManyPathSegmentsDecideRule, plus
+# the universal query-parameter-count and URL-length caps.
+#
+# All four signals are pure Catalyst over the URL string (split / filter /
+# aggregate lambdas): one codegen projection, zero shuffle, no Python, so the
+# guard can sit in the discovered-link filter chain at frontier scale for the
+# cost of a projection.
+
+TRAP_MAX_SEG_RUN = 2  # >2 consecutive identical path segments = pathological
+TRAP_MAX_SEGMENTS = 20  # more path segments than this = trap
+TRAP_MAX_QUERY_PARAMS = 10  # more '&'-separated params than this = trap
+TRAP_MAX_URL_LEN = 2048  # longer than this = trap
+
+
+def path_segment_array(url: Column | str) -> Column:
+    """Non-empty path segments of the URL as an array."""
+    c = F.col(url) if isinstance(url, str) else url
+    return F.filter(F.split(url_path(c), "/"), lambda s: s != "")
+
+
+def max_segment_run(url: Column | str) -> Column:
+    """Length of the longest run of CONSECUTIVE identical path segments
+    (the Heritrix pathological-path signal: '/x/x/x' has run 3). Empty
+    path -> 0. One aggregate fold over the segment array - stays columnar."""
+    segs = path_segment_array(url)
+    zero = F.lit(0).cast("long")
+    state = F.aggregate(
+        segs,
+        F.struct(
+            F.lit("/").alias("prev"),  # impossible segment value
+            zero.alias("run"),
+            zero.alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                ),
+            ).alias("best"),
+        ),
+    )
+    return state["best"]
+
+
+def query_param_count(url: Column | str) -> Column:
+    """Number of non-empty '&'-separated query parameters (0 if no query)."""
+    c = F.col(url) if isinstance(url, str) else url
+    q = F.regexp_extract(c, _QUERY_RE, 1)
+    return F.size(F.filter(F.split(q, "&"), lambda p: p != "")).cast("long")
+
+
+def is_crawl_trap(
+    url: Column | str,
+    max_seg_run: int = TRAP_MAX_SEG_RUN,
+    max_segments: int = TRAP_MAX_SEGMENTS,
+    max_query_params: int = TRAP_MAX_QUERY_PARAMS,
+    max_url_len: int = TRAP_MAX_URL_LEN,
+) -> Column:
+    """True iff any structural trap signal fires. Composes with
+    ``filter_chain`` (pass ``~is_crawl_trap(col)``) so the guard rides the
+    existing discovered-link filter pipeline as one fused predicate."""
+    c = F.col(url) if isinstance(url, str) else url
+    return (
+        (max_segment_run(c) > F.lit(max_seg_run))
+        | (F.size(path_segment_array(c)) > F.lit(max_segments))
+        | (query_param_count(c) > F.lit(max_query_params))
+        | (F.length(c) > F.lit(max_url_len))
+    )
+
+
+def py_max_segment_run(url: str) -> int:
+    """Python twin of max_segment_run."""
+    from urllib.parse import urlsplit
+
+    segs = [s for s in urlsplit(url).path.split("/") if s]
+    best = run = 0
+    prev = None
+    for s in segs:
+        run = run + 1 if s == prev else 1
+        best = max(best, run)
+        prev = s
+    return best
+
+
+def py_is_crawl_trap(
+    url: str,
+    max_seg_run: int = TRAP_MAX_SEG_RUN,
+    max_segments: int = TRAP_MAX_SEGMENTS,
+    max_query_params: int = TRAP_MAX_QUERY_PARAMS,
+    max_url_len: int = TRAP_MAX_URL_LEN,
+) -> bool:
+    """Python twin of is_crawl_trap."""
+    from urllib.parse import urlsplit
+
+    p = urlsplit(url)
+    segs = [s for s in p.path.split("/") if s]
+    n_params = len([s for s in p.query.split("&") if s]) if p.query else 0
+    return (
+        py_max_segment_run(url) > max_seg_run
+        or len(segs) > max_segments
+        or n_params > max_query_params
+        or len(url) > max_url_len
+    )

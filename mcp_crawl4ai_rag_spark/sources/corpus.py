@@ -590,3 +590,86 @@ def materialized_sitemaps(spark: SparkSession, n: int) -> DataFrame:
     """Parquet-materialized ``gen_sitemaps(n)`` (gzip+XML synthesis is the
     costliest generator; one build serves every query/run of this code)."""
     return _materialized(spark, "sitemaps", n, gen_sitemaps)
+
+
+# WARC archive synthesis: page i is DOWN (response 404, empty body) when
+# i % WARC_404_MOD == 0; every WARC_REQ_MOD-th page also archives its
+# 'request' record (the parser must skip it); every WARC_GZ_MOD-th blob is
+# gzip-compressed (the parser must sniff the magic)
+WARC_404_MOD = 23
+WARC_REQ_MOD = 5
+WARC_GZ_MOD = 3
+
+
+def gen_warc_blobs(
+    spark: SparkSession, n: int, records_per_blob: int = 20
+) -> DataFrame:
+    """WARC archive corpus: the ``gen_html_pages`` corpus re-rendered as
+    deterministic WARC/1.0 blobs (sources/warc.py documents the format) —
+    (warc_file string, data binary), one blob per ``records_per_blob``
+    consecutive page ids. Each blob opens with a ``warcinfo`` record; each
+    page contributes a ``response`` record (HTTP 404 with an empty body for
+    down pages, else 200 carrying the closed-form raw HTML), preceded by a
+    skippable ``request`` record for every WARC_REQ_MOD-th page; every
+    WARC_GZ_MOD-th blob is gzipped. Rendering groups by blob id in
+    ``applyInPandas`` so the HTML closed form stays single-sourced in
+    :func:`gen_html_pages`."""
+    import gzip as _gzip
+
+    from .warc import render_http_response, render_warc_record
+
+    pages = gen_html_pages(spark, n).withColumn(
+        "blob_id", (F.col("page_id") / records_per_blob).cast("long")
+    )
+
+    out_schema = StructType(
+        [
+            StructField("warc_file", StringType()),
+            StructField("data", BinaryType()),
+        ]
+    )
+
+    def render(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("page_id")
+        bid = int(pdf["blob_id"].iloc[0])
+        fname = f"crawl-{bid:06d}.warc"
+        parts = [
+            render_warc_record(
+                "warcinfo",
+                None,
+                b"software: mcp_crawl4ai_rag_spark synthetic archive\r\n",
+                record_id=f"info-{bid}",
+                content_type="application/warc-fields",
+            )
+        ]
+        for pid, url, html in zip(pdf["page_id"], pdf["url"], pdf["raw_html"]):
+            pid = int(pid)
+            if pid % WARC_REQ_MOD == 0:
+                req = (
+                    f"GET {url} HTTP/1.1\r\nHost: example.com\r\n\r\n"
+                ).encode("utf-8")
+                parts.append(
+                    render_warc_record(
+                        "request",
+                        url,
+                        req,
+                        record_id=f"req-{pid}",
+                        content_type="application/http; msgtype=request",
+                    )
+                )
+            if pid % WARC_404_MOD == 0:
+                block = render_http_response("", status=404)
+            else:
+                block = render_http_response(html, status=200)
+            parts.append(
+                render_warc_record(
+                    "response", url, block, record_id=f"resp-{pid}"
+                )
+            )
+        data = b"".join(parts)
+        if bid % WARC_GZ_MOD == 0:
+            fname += ".gz"
+            data = _gzip.compress(data, compresslevel=1, mtime=0)
+        return pd.DataFrame({"warc_file": [fname], "data": [data]})
+
+    return pages.groupBy("blob_id").applyInPandas(render, out_schema)

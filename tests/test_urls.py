@@ -476,3 +476,123 @@ def test_property_keyword_score_bounds_and_monotonicity():
         assert m2 >= m
 
     run()
+
+
+TRAP_URLS = [
+    # pathological repeats
+    "https://example.com/a/a/a/page",
+    "https://example.com/a/a/page",          # run 2: allowed
+    "https://example.com/cal/2024/01/cal/2024/01/cal/2024/01",
+    "https://example.com/x/x",
+    "https://example.com/x/y/x/y/x/y",       # alternating, no consecutive run
+    # deep paths
+    "https://example.com/" + "/".join(f"s{i}" for i in range(21)),
+    "https://example.com/" + "/".join(f"s{i}" for i in range(20)),
+    # query-param explosions
+    "https://example.com/p?" + "&".join(f"q{i}=1" for i in range(11)),
+    "https://example.com/p?" + "&".join(f"q{i}=1" for i in range(10)),
+    "https://example.com/p?&&&a=1",          # empty params don't count
+    # long URLs
+    "https://example.com/" + "z" * 2100,
+    "https://example.com/" + "z" * 2000,
+    # benign
+    "https://example.com/",
+    "https://example.com",
+    "https://example.com/p/1",
+    "https://h0.example.com/private/p/41",
+]
+
+
+def test_crawl_trap_matches_twin(spark):
+    from mcp_crawl4ai_rag_spark.functions.urls import (
+        is_crawl_trap,
+        max_segment_run,
+        py_is_crawl_trap,
+        py_max_segment_run,
+        query_param_count,
+    )
+
+    urls = URLS + TRAP_URLS
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select(
+        "url",
+        max_segment_run(F.col("url")).alias("run"),
+        query_param_count(F.col("url")).alias("np"),
+        is_crawl_trap(F.col("url")).alias("trap"),
+    ).collect()
+    from urllib.parse import urlsplit
+
+    for r in rows:
+        assert r["run"] == py_max_segment_run(r["url"]), r["url"]
+        p = urlsplit(r["url"])
+        want_np = len([s for s in p.query.split("&") if s]) if p.query else 0
+        assert r["np"] == want_np, r["url"]
+        assert r["trap"] == py_is_crawl_trap(r["url"]), r["url"]
+
+
+def test_crawl_trap_pinned_cases():
+    from mcp_crawl4ai_rag_spark.functions.urls import (
+        py_is_crawl_trap,
+        py_max_segment_run,
+    )
+
+    # Heritrix pathological-path rule: 2 consecutive repeats pass, 3 trip
+    assert not py_is_crawl_trap("https://e.com/a/a/page")
+    assert py_is_crawl_trap("https://e.com/a/a/a/page")
+    assert py_max_segment_run("https://e.com/a/a/a/page") == 3
+    # alternating segments never build a consecutive run
+    assert py_max_segment_run("https://e.com/x/y/x/y/x/y") == 1
+    # boundary: exactly 20 segments pass, 21 trip
+    base = "https://e.com/"
+    assert not py_is_crawl_trap(base + "/".join("s%d" % i for i in range(20)))
+    assert py_is_crawl_trap(base + "/".join("s%d" % i for i in range(21)))
+    # boundary: exactly 10 params pass, 11 trip
+    assert not py_is_crawl_trap("https://e.com/p?" + "&".join("q%d=1" % i for i in range(10)))
+    assert py_is_crawl_trap("https://e.com/p?" + "&".join("q%d=1" % i for i in range(11)))
+    # boundary: length 2048 passes, 2049 trips
+    stem = "https://e.com/"
+    assert not py_is_crawl_trap(stem + "z" * (2048 - len(stem)))
+    assert py_is_crawl_trap(stem + "z" * (2049 - len(stem)))
+    # empty path
+    assert py_max_segment_run("https://e.com") == 0
+    assert not py_is_crawl_trap("https://e.com")
+
+
+def test_crawl_trap_zero_shuffle_plan(spark):
+    """The trap guard must stay a single codegen projection: no Exchange,
+    no Python eval in the plan."""
+    from mcp_crawl4ai_rag_spark.functions.urls import is_crawl_trap
+
+    df = spark.range(0, 1000, 1, 4).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 7).cast("string"),
+                 F.lit(".example.com/p/"), F.col("id").cast("string")).alias("url")
+    )
+    out = df.select(is_crawl_trap(F.col("url")).alias("trap"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+def test_crawl_trap_filter_chain_composition(spark):
+    """~is_crawl_trap composes into filter_chain and prunes trap URLs from
+    a discovered-link batch while keeping benign ones."""
+    from mcp_crawl4ai_rag_spark.functions.urls import (
+        filter_chain,
+        is_crawl_trap,
+        is_valid_http_url,
+    )
+
+    urls = [
+        "https://example.com/p/1",
+        "https://example.com/a/a/a/a",
+        "https://example.com/p?'" + "&".join("q%d=1" % i for i in range(12)),
+        "https://example.com/p/2",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    kept = [
+        r[0]
+        for r in df.where(
+            filter_chain([is_valid_http_url(F.col("url")), ~is_crawl_trap(F.col("url"))])
+        ).select("url").collect()
+    ]
+    assert kept == ["https://example.com/p/1", "https://example.com/p/2"]

@@ -975,6 +975,51 @@ def main():
         ],
     ))
 
+    # crawl-trap guard: the structural trap predicate (segment-run fold +
+    # segment/param/length caps) must stay ONE zero-Exchange codegen
+    # projection with no Python eval — it sits in the discovered-link
+    # filter chain at frontier scale.
+    from mcp_crawl4ai_rag_spark.functions.urls import is_crawl_trap
+
+    trap_df = spark.range(0, 4096, 1, 4).select(
+        F.concat(
+            F.lit("https://h"), (F.col("id") % 7).cast("string"),
+            F.lit(".example.com/p/"), F.col("id").cast("string"),
+        ).alias("url")
+    )
+    trap_plan = formatted(trap_df.select(is_crawl_trap(F.col("url")).alias("t")))
+    checks = [
+        ("codegen id", "segment fold + caps fused in a WholeStageCodegen span"),
+    ]
+    if "Exchange" in trap_plan:
+        checks.append(("never", "EXCHANGE FOUND — the trap guard must not shuffle"))
+    if "Python" in trap_plan:
+        checks.append(("never", "PYTHON EVAL FOUND — the trap guard must stay columnar"))
+    sections.append((
+        "Crawl-trap guard (zero-shuffle structural predicate)",
+        trap_plan,
+        checks,
+    ))
+
+    # WARC parse: over a stored blob table the content-length-framed fan-out
+    # must be scan -> one MapInPandas -- blobs are the unit of parallelism,
+    # no shuffle anywhere before the consumer's aggregate.
+    from mcp_crawl4ai_rag_spark.sources.warc import parse_warc
+
+    with _tf.TemporaryDirectory() as td:
+        from mcp_crawl4ai_rag_spark.sources.corpus import gen_warc_blobs
+
+        gen_warc_blobs(spark, 200, records_per_blob=20).write.parquet(f"{td}/w")
+        warc_plan = formatted(parse_warc(spark.read.parquet(f"{td}/w")))
+    checks = [("MapInPandas", "one Arrow stage fans blobs out to response rows")]
+    if "Exchange" in warc_plan:
+        checks.append(("never", "EXCHANGE FOUND — WARC parse must not shuffle"))
+    sections.append((
+        "WARC archive parse (blob-parallel Arrow fan-out, zero shuffle)",
+        warc_plan,
+        checks,
+    ))
+
     out = ["# Physical-plan audit (auto-generated by tools/explain_plans.py)",
            "", f"sf_dir: {sf_dir}", ""]
     n_fail = 0
