@@ -505,6 +505,9 @@ def q_politeness_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority; host column carries the canonical URL (URL-grain leg).
     'rfc_allow' — RFC 9309 longest-match Allow/Disallow precedence
     (q_robots_rfc): host column carries the path, value the denied flag.
+    'rfc_wildcard' (r4) — RFC 9309 §2.2.3 '*'/'$' wildcard rules under the
+    same precedence (q_robots_wildcard): rules pre-compiled to (regex,
+    specificity) structs, most octets govern, Allow wins ties.
     'composite_prior' — the weighted scorer family (q_composite_prior:
     keyword + path-depth + freshness + domain-authority → one priority).
     Schema (mode, host, value)."""
@@ -535,12 +538,23 @@ def q_politeness_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("path").alias("host"),
         F.col("denied").alias("value"),
     )
+    wc = q_robots_wildcard(spark, sf_dir).select(
+        F.lit("rfc_wildcard").alias("mode"),
+        F.col("path").alias("host"),
+        F.col("denied").alias("value"),
+    )
     comp = q_composite_prior(spark, sf_dir).select(
         F.lit("composite_prior").alias("mode"),
         F.col("canonical_url").alias("host"),
         F.col("priority").cast("long").alias("value"),
     )
-    return b.unionByName(qp).unionByName(kw).unionByName(rfc).unionByName(comp)
+    return (
+        b.unionByName(qp)
+        .unionByName(kw)
+        .unionByName(rfc)
+        .unionByName(wc)
+        .unionByName(comp)
+    )
 
 
 def q_host_quality_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -592,6 +606,49 @@ def q_robots_rfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return paths.crossJoin(F.broadcast(rules)).select(
         "path", robots_denied_rfc_expr().cast("long").alias("denied")
+    )
+
+
+_WILDCARD_ROBOTS_BODY = (
+    "User-agent: *\n"
+    "Disallow: /private\n"
+    "Disallow: /p/*4$\n"
+    "Allow: /p/*44$\n"
+    "Disallow: /p/1*3\n"
+)
+
+
+def q_robots_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 section 2.2.3 wildcard rules end-to-end: a literal robots
+    body with '*' / trailing-'$' rules parsed (sources/robots.
+    parse_robots_rules), pre-compiled to (regex, specificity) structs once
+    per host (compile_rule_patterns), broadcast onto n synthetic paths and
+    gated by operators/politeness.robots_denied_wildcard_expr — most
+    octets govern, Allow wins ties. Same 1-row broadcast-rules shape as
+    q_robots_rfc; the per-URL work is regexp_like inside codegen."""
+    from mcp_crawl4ai_rag_spark.operators.politeness import (
+        robots_denied_wildcard_expr,
+    )
+    from mcp_crawl4ai_rag_spark.sources.robots import (
+        compile_rule_patterns,
+        parse_robots_rules,
+    )
+
+    bodies = spark.createDataFrame(
+        [("h0.example.com", _WILDCARD_ROBOTS_BODY)], "host string, body string"
+    )
+    pats = compile_rule_patterns(parse_robots_rules(bodies)).drop("host")
+    n = _lineitem_count(spark, sf_dir)
+    paths = spark.range(0, n, 1, 16).select(
+        F.when(
+            F.col("id") % 3 == 0,
+            F.concat(F.lit("/private/p/"), F.col("id").cast("string")),
+        )
+        .otherwise(F.concat(F.lit("/p/"), F.col("id").cast("string")))
+        .alias("path")
+    )
+    return paths.crossJoin(F.broadcast(pats)).select(
+        "path", robots_denied_wildcard_expr().cast("long").alias("denied")
     )
 
 
@@ -3609,6 +3666,33 @@ SELECT path AS host,
        THEN 1 ELSE 0 END AS BIGINT) AS value
 FROM p
 """
+    # rfc_wildcard leg: the '*'/'$' rule set of _WILDCARD_ROBOTS_BODY
+    # restated closed-form on the id that built each path (never a SQL
+    # regex engine — the oracle re-derives the MATCH SETS from the path
+    # formula): '/private' (spec 8) ⇔ id%3=0; '/p/*4$' (6) ⇔ non-private
+    # and id ends in 4; '/p/1*3' (6) ⇔ non-private, id starts with '1'
+    # and has a '3' after it; Allow '/p/*44$' (7) ⇔ id ends in 44.
+    # Denied iff max disallow specificity > max allow specificity.
+    wc = f"""
+WITH p AS (
+  SELECT id,
+         CAST(id AS VARCHAR) AS ids,
+         CASE WHEN id % 3 = 0 THEN '/private/p/' || id
+              ELSE '/p/' || id END AS path
+  FROM (SELECT unnest(generate_series(0, {N_SQL} - 1)) AS id)
+)
+SELECT path AS host,
+       CAST(CASE WHEN
+         GREATEST(CASE WHEN id % 3 = 0 THEN 8 ELSE -1 END,
+                  CASE WHEN id % 3 <> 0 AND id % 10 = 4 THEN 6 ELSE -1 END,
+                  CASE WHEN id % 3 <> 0 AND substr(ids, 1, 1) = '1'
+                            AND strpos(substr(ids, 2), '3') > 0
+                       THEN 6 ELSE -1 END)
+         >
+         (CASE WHEN id % 3 <> 0 AND id % 100 = 44 THEN 7 ELSE -1 END)
+       THEN 1 ELSE 0 END AS BIGINT) AS value
+FROM p
+"""
     # composite_prior leg: the four milli-scores restated — keyword contains
     # flags, path-segment count closed-form from the corpus/suffix formulas,
     # freshness via the same year regex on the same built string, domain
@@ -3654,6 +3738,8 @@ FROM s
         + _tagged(kw, "'keyword_prior' AS mode, host, value")
         + "\nUNION ALL\n"
         + _tagged(rfc, "'rfc_allow' AS mode, host, value")
+        + "\nUNION ALL\n"
+        + _tagged(wc, "'rfc_wildcard' AS mode, host, value")
         + "\nUNION ALL\n"
         + _tagged(comp, "'composite_prior' AS mode, host, value")
     )

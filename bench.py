@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "host_quality_prior",
     "keyword_prior",
     "robots_rfc",
+    "robots_wildcard",
     "composite_prior",
     "sources_distinct",
     "doc_token_stats",

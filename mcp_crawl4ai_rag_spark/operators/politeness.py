@@ -330,6 +330,56 @@ def py_robots_denied_rfc(
     return dis > alw
 
 
+def _longest_pattern_match_len(pats_col: str) -> "F.Column":
+    """Specificity of the most specific wildcard rule matching ``path``;
+    -1 when none match. ``pats_col`` holds (re, len) structs pre-compiled
+    by sources/robots.compile_rule_patterns — the per-URL work is regex
+    matching only, still pure codegen (regexp_like inside an array
+    filter), no Python."""
+    matched = F.filter(
+        F.coalesce(F.col(pats_col), F.array()),
+        lambda p: F.regexp_like(F.col("path"), p["re"]),
+    )
+    return F.coalesce(
+        F.array_max(F.transform(matched, lambda p: p["len"])), F.lit(-1)
+    )
+
+
+def robots_denied_wildcard_expr():
+    """RFC 9309 section 2.2.3 wildcard rules ('*' any-sequence, trailing
+    '$' end-anchor) under the section 2.2.2 longest-match precedence:
+    among all matching rules the most octets govern, an Allow/Disallow
+    tie resolves to Allow. Consumes the (re, len) pattern table from
+    sources/robots.compile_rule_patterns; strictly subsumes
+    robots_denied_rfc_expr on wildcard-free tables (a prefix rule
+    compiles to its anchored-prefix regex with identical specificity).
+    The crawl engine auto-selects this gate when its robots table
+    carries ``disallow_pats``."""
+    return _longest_pattern_match_len("disallow_pats") > _longest_pattern_match_len(
+        "allow_pats"
+    )
+
+
+def py_robots_denied_wildcard(
+    path: str, disallow: list[str] | None, allow: list[str] | None
+) -> bool:
+    """Python twin of robots_denied_wildcard_expr over RAW rule strings
+    (compiles via the same sources/robots.py_compile_robots_pattern)."""
+    import re as _re
+
+    from ..sources.robots import py_compile_robots_pattern
+
+    def best(rules: list[str] | None) -> int:
+        out = -1
+        for r in rules or []:
+            rx, spec = py_compile_robots_pattern(r)
+            if _re.search(rx, path):
+                out = max(out, spec)
+        return out
+
+    return best(disallow) > best(allow)
+
+
 def host_quality_prior(
     docs: DataFrame,
     host_col: str = "host",

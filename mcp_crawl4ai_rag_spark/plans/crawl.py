@@ -65,6 +65,7 @@ from ..operators.politeness import (
     pop_per_host_threshold,
     robots_denied_expr,
     robots_denied_rfc_expr,
+    robots_denied_wildcard_expr,
     update_backoff,
 )
 from ..operators.urlseen import anti_join_seen, build_bloom
@@ -535,14 +536,17 @@ class CrawlEngine:
             # D4: robots gate (denied URLs are consumed but not fetched)
             if self.robots is not None:
                 gated = popped.join(F.broadcast(self.robots), "host", "left")
-                # RFC 9309 longest-match precedence iff the robots table
-                # carries Allow rules (parse_robots_rules); deny-only
-                # prefix gate (strictly more conservative) otherwise
-                deny = (
-                    robots_denied_rfc_expr()
-                    if "allow_prefixes" in self.robots.columns
-                    else robots_denied_expr()
-                )
+                # wildcard rules ('*'/'$', compile_rule_patterns) govern
+                # when present; else RFC 9309 longest-match precedence iff
+                # the robots table carries Allow rules (parse_robots_rules);
+                # deny-only prefix gate (strictly more conservative)
+                # otherwise
+                if "disallow_pats" in self.robots.columns:
+                    deny = robots_denied_wildcard_expr()
+                elif "allow_prefixes" in self.robots.columns:
+                    deny = robots_denied_rfc_expr()
+                else:
+                    deny = robots_denied_expr()
                 denied = gated.where(deny).select(*_FRONTIER_COLS)
                 allowed = gated.where(~deny).select(*_FRONTIER_COLS)
             else:

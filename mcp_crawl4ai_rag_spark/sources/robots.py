@@ -204,3 +204,80 @@ def parse_robots_sitemaps(fetched: DataFrame) -> DataFrame:
     return fetched.select("host", "body").mapInPandas(
         gen, schema="host string, sitemap_url string"
     )
+
+
+# ---------------------------------------------------------------------------
+# RFC 9309 section 2.2.3 special characters: '*' and '$'
+# ---------------------------------------------------------------------------
+
+PATTERN_SCHEMA = (
+    "host string,"
+    " disallow_pats array<struct<re: string, len: int>>,"
+    " allow_pats array<struct<re: string, len: int>>,"
+    " crawl_delay double"
+)
+
+_RE_SPECIALS = r"\.^+?{}[]|()"
+
+
+def py_compile_robots_pattern(rule: str) -> tuple[str, int]:
+    """One robots rule -> (anchored Java/RE2-safe regex, specificity).
+
+    RFC 9309 section 2.2.3: '*' matches any sequence of characters; a
+    TRAILING '$' anchors the rule at the end of the path ('$' anywhere
+    else is a literal octet — the spec gives it meaning only as an
+    end-of-match designator). Specificity for longest-match precedence
+    (section 2.2.2 'most octets') is the octet length of the rule as
+    written, wildcards included — the de-facto interpretation the major
+    implementations share; prefix rules keep their old length, so this
+    machinery strictly subsumes the prefix gate on wildcard-free tables.
+    The regex uses only escaped literals, '.*', and anchors, so the Java
+    (Spark) and RE2 (DuckDB oracle) engines agree on it by construction."""
+    spec = len(rule)
+    anchored_end = rule.endswith("$")
+    body = rule[:-1] if anchored_end else rule
+    out = []
+    for ch in body:
+        if ch == "*":
+            out.append(".*")
+        elif ch in _RE_SPECIALS or ch in ("$", "\\"):
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "^" + "".join(out) + ("$" if anchored_end else ""), spec
+
+
+def compile_rule_patterns(rules: DataFrame) -> DataFrame:
+    """Full-rules robots table -> wildcard-pattern table
+    ``(host, disallow_pats, allow_pats, crawl_delay)`` where each rule is
+    pre-compiled to ``(re, len)`` once per host (the table is host-count
+    bounded — compiling here keeps the per-URL gate free of string
+    munging). Feed to ``operators/politeness.robots_denied_wildcard_expr``;
+    the crawl engine auto-selects that gate when its robots table carries
+    ``disallow_pats``."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for host, dis, alw, delay in zip(
+                pdf["host"],
+                pdf["disallow_prefixes"],
+                pdf["allow_prefixes"],
+                pdf["crawl_delay"],
+            ):
+                rows.append(
+                    (
+                        host,
+                        [py_compile_robots_pattern(r) for r in (dis if dis is not None else [])],
+                        [py_compile_robots_pattern(r) for r in (alw if alw is not None else [])],
+                        delay,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["host", "disallow_pats", "allow_pats", "crawl_delay"],
+            )
+
+    return rules.select(
+        "host", "disallow_prefixes", "allow_prefixes", "crawl_delay"
+    ).mapInPandas(gen, schema=PATTERN_SCHEMA)

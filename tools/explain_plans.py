@@ -1020,6 +1020,41 @@ def main():
         checks,
     ))
 
+    # wildcard robots gate: rules pre-compiled host-side; the per-URL gate
+    # must be the same 1-row broadcast shape as the prefix RFC gate, with
+    # paths never shuffling and no Python in the match loop.
+    from mcp_crawl4ai_rag_spark.operators.politeness import (
+        robots_denied_wildcard_expr,
+    )
+    from mcp_crawl4ai_rag_spark.sources.robots import (
+        compile_rule_patterns,
+        parse_robots_rules,
+    )
+
+    wc_bodies = spark.createDataFrame(
+        [("h0.example.com", "User-agent: *\nDisallow: /p/*4$\nAllow: /p/*44$\n")],
+        "host string, body string",
+    )
+    wc_pats = compile_rule_patterns(parse_robots_rules(wc_bodies)).drop("host")
+    wc_paths = spark.range(0, 4096, 1, 4).select(
+        F.concat(F.lit("/p/"), F.col("id").cast("string")).alias("path")
+    )
+    wc_plan = formatted(
+        wc_paths.crossJoin(F.broadcast(wc_pats)).select(
+            "path", robots_denied_wildcard_expr().alias("denied")
+        )
+    )
+    checks = [
+        ("BroadcastNestedLoopJoin", "1-row compiled-rules table broadcast"),
+        ("BroadcastExchange", "only the rules side moves"),
+        ("!Exchange hashpartitioning", "paths never shuffle"),
+    ]
+    sections.append((
+        "RFC 9309 wildcard robots gate (compiled rules broadcast)",
+        wc_plan,
+        checks,
+    ))
+
     out = ["# Physical-plan audit (auto-generated by tools/explain_plans.py)",
            "", f"sf_dir: {sf_dir}", ""]
     n_fail = 0
