@@ -510,6 +510,9 @@ def q_politeness_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
     specificity) structs, most octets govern, Allow wins ties.
     'composite_prior' — the weighted scorer family (q_composite_prior:
     keyword + path-depth + freshness + domain-authority → one priority).
+    'template_guard' (r4) — dynamic trap detection (q_template_explosion):
+    URLs per generalized family; host column carries the template, value
+    its cardinality (the explosion flag is value > n/20 by construction).
     Schema (mode, host, value)."""
     hosts = spark.createDataFrame(
         [(f"h{h}.example.com",) for h in range(C.N_HOSTS)], "host string"
@@ -548,12 +551,18 @@ def q_politeness_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("canonical_url").alias("host"),
         F.col("priority").cast("long").alias("value"),
     )
+    tg = q_template_explosion(spark, sf_dir).select(
+        F.lit("template_guard").alias("mode"),
+        F.concat(F.col("host"), F.lit(" "), F.col("template")).alias("host"),
+        F.col("n_urls").cast("long").alias("value"),
+    )
     return (
         b.unionByName(qp)
         .unionByName(kw)
         .unionByName(rfc)
         .unionByName(wc)
         .unionByName(comp)
+        .unionByName(tg)
     )
 
 
@@ -650,6 +659,28 @@ def q_robots_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paths.crossJoin(F.broadcast(pats)).select(
         "path", robots_denied_wildcard_expr().cast("long").alias("denied")
     )
+
+
+def q_template_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic trap detection at frontier scale (operators/politeness.
+    template_explosion over functions/urls.url_template): URLs per
+    generalized family — template projection in codegen, one map-side-
+    combinable groupBy whose shuffle payload is template strings, never
+    URL rows; output is family-count bounded (8 families here at any n)."""
+    from mcp_crawl4ai_rag_spark.operators.politeness import template_explosion
+
+    n = _lineitem_count(spark, sf_dir)
+    suffix = (
+        F.when(F.col("id") % 5 == 1, F.lit("?utm_source=x&b=2&a=1#frag"))
+        .when(F.col("id") % 5 == 2, F.lit("/file.pdf"))
+        .when(F.col("id") % 5 == 3, F.lit("/sitemap.xml"))
+        .when(F.col("id") % 5 == 4, F.lit("/readme.txt"))
+        .otherwise(F.lit(""))
+    )
+    df = spark.range(0, n, 1, 16).select(
+        F.concat(C._url_expr(F.col("id")), suffix).alias("canonical_url")
+    )
+    return template_explosion(df, max_urls_per_template=n // 20)
 
 
 _BEST_FIRST_KEYWORDS = ["private", "readme", "sitemap"]
@@ -3693,6 +3724,27 @@ SELECT path AS host,
        THEN 1 ELSE 0 END AS BIGINT) AS value
 FROM p
 """
+    # template_guard leg: the generalized family of each 5-variant URL is
+    # closed-form on id (digits -> 'N'; the literal segments stay), so the
+    # oracle rebuilds template strings and GROUP BYs them — same counts
+    # the engine's map-side-combined aggregate produces.
+    tg = f"""
+WITH t AS (
+  SELECT 'h' || (CASE WHEN id % {C.HOT_HOST_MOD} = 0 THEN 0
+                      ELSE id % {C.N_HOSTS} END) || '.example.com' AS hoststr,
+         (CASE WHEN id % {C.PRIVATE_MOD} = 0 THEN '/private/p/N'
+               ELSE '/p/N' END) ||
+         (CASE WHEN id % 5 = 2 THEN '/file.pdf'
+               WHEN id % 5 = 3 THEN '/sitemap.xml'
+               WHEN id % 5 = 4 THEN '/readme.txt'
+               ELSE '' END) ||
+         (CASE WHEN id % 5 = 1 THEN '?a&b&utm_source' ELSE '' END) AS tpl
+  FROM (SELECT unnest(generate_series(0, {N_SQL} - 1)) AS id)
+)
+SELECT hoststr || ' ' || hoststr || tpl AS host,
+       CAST(count(*) AS BIGINT) AS value
+FROM t GROUP BY hoststr, tpl
+"""
     # composite_prior leg: the four milli-scores restated — keyword contains
     # flags, path-segment count closed-form from the corpus/suffix formulas,
     # freshness via the same year regex on the same built string, domain
@@ -3742,6 +3794,8 @@ FROM s
         + _tagged(wc, "'rfc_wildcard' AS mode, host, value")
         + "\nUNION ALL\n"
         + _tagged(comp, "'composite_prior' AS mode, host, value")
+        + "\nUNION ALL\n"
+        + _tagged(tg, "'template_guard' AS mode, host, value")
     )
 
 

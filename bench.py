@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "urlseen_cuckoo",
     "url_kernels",
     "trap_kernel",
+    "template_explosion",
     "politeness_budgets",
     "host_quality_prior",
     "keyword_prior",

@@ -634,6 +634,78 @@ def is_crawl_trap(
     )
 
 
+# --- URL templates: the aggregate complement of the structural trap guard.
+# A session-id explosion or infinite calendar often passes every per-URL
+# structural check — each URL looks fine; the FAMILY is infinite. The
+# standard defense is template aggregation: generalize volatile path
+# segments to class tokens, count URLs per (host, template), and cap the
+# family. Generalization rules, first match wins per segment:
+#   digits-only           -> 'N'   (ids, years, pages)
+#   [0-9a-f]{8,}          -> 'H'   (hashes, uuids-sans-dashes, session ids)
+#   longer than 32 chars  -> 'L'   (blobs, encoded state)
+#   contains a digit      -> 'S'   (mixed slugs: 's17', 'item-4')
+#   else                  -> the literal segment, lowercased
+# Query parameter VALUES are dropped entirely; the sorted parameter NAMES
+# stay (the name set identifies the family, the values explode it).
+
+TEMPLATE_MAX_URLS = 100_000  # default per-(host,template) family cap
+
+
+def url_template(url: Column | str) -> Column:
+    """Generalized URL family key: host + classed path segments + sorted
+    query-parameter names. One Catalyst projection (split / transform /
+    array_sort / concat) — zero shuffle, no Python."""
+    c = F.col(url) if isinstance(url, str) else url
+    seg = lambda s: (  # noqa: E731 — inline classifier, used once
+        F.when(s.rlike(r"^[0-9]+$"), F.lit("N"))
+        .when(s.rlike(r"^[0-9a-f]{8,}$"), F.lit("H"))
+        .when(F.length(s) > 32, F.lit("L"))
+        .when(s.rlike(r"[0-9]"), F.lit("S"))
+        .otherwise(F.lower(s))
+    )
+    segs = F.transform(path_segment_array(c), seg)
+    q = F.regexp_extract(c, _QUERY_RE, 1)
+    names = F.array_sort(
+        F.transform(
+            F.filter(F.split(q, "&"), lambda p: p != ""),
+            lambda p: F.substring_index(p, "=", 1),
+        )
+    )
+    path_part = F.concat(F.lit("/"), F.array_join(segs, "/"))
+    q_part = F.when(
+        F.size(names) > 0, F.concat(F.lit("?"), F.array_join(names, "&"))
+    ).otherwise(F.lit(""))
+    return F.concat(F.lower(url_host(c)), path_part, q_part)
+
+
+def py_url_template(url: str) -> str:
+    """Python twin of url_template."""
+    import re as _re
+    from urllib.parse import urlsplit
+
+    p = urlsplit(url)
+
+    def classify(s: str) -> str:
+        if _re.fullmatch(r"[0-9]+", s):
+            return "N"
+        if _re.fullmatch(r"[0-9a-f]{8,}", s):
+            return "H"
+        if len(s) > 32:
+            return "L"
+        if _re.search(r"[0-9]", s):
+            return "S"
+        return s.lower()
+
+    segs = [classify(s) for s in p.path.split("/") if s]
+    names = sorted(
+        seg.split("=", 1)[0] for seg in p.query.split("&") if seg
+    ) if p.query else []
+    out = p.netloc.lower() + "/" + "/".join(segs)
+    if names:
+        out += "?" + "&".join(names)
+    return out
+
+
 def py_max_segment_run(url: str) -> int:
     """Python twin of max_segment_run."""
     from urllib.parse import urlsplit

@@ -439,3 +439,67 @@ def apply_host_prior(
         )
         .drop("__prio")
     )
+
+
+def template_explosion(
+    urls: DataFrame,
+    url_col: str = "canonical_url",
+    max_urls_per_template: int | None = None,
+) -> DataFrame:
+    """(host, template, n_urls, exploded): URLs per generalized family
+    (functions/urls.url_template) — the DYNAMIC trap detector. A
+    session-id mill or infinite calendar passes every per-URL structural
+    check (functions/urls.is_crawl_trap) because each URL looks ordinary;
+    what gives the family away is its cardinality. crawl4ai has no such
+    defense (the reference follows every in-boundary link verbatim,
+    src/crawl4ai_mcp.py:1022-1053).
+
+    Plan shape: the template is a zero-shuffle codegen projection; the
+    count is one map-side-combinable groupBy(host, template) — the minimal
+    shuffle, and its payload is the template STRING, not the URL rows. The
+    output is family-count bounded (orders of magnitude below URL count at
+    10^10 frontier scale: templates are what's LEFT after generalizing the
+    volatile parts away), so it broadcasts back onto the frontier
+    (:func:`apply_template_guard`)."""
+    from ..functions.urls import TEMPLATE_MAX_URLS, url_template
+
+    cap = (
+        TEMPLATE_MAX_URLS
+        if max_urls_per_template is None
+        else max_urls_per_template
+    )
+    from ..functions.urls import url_host
+
+    agg = (
+        urls.select(
+            F.lower(url_host(F.col(url_col))).alias("host"),
+            url_template(F.col(url_col)).alias("template"),
+        )
+        .groupBy("host", "template")
+        .agg(F.count("*").alias("n_urls"))
+    )
+    return agg.select(
+        "host",
+        "template",
+        "n_urls",
+        (F.col("n_urls") > F.lit(cap)).alias("exploded"),
+    )
+
+
+def apply_template_guard(
+    frontier: DataFrame,
+    families: DataFrame,
+    url_col: str = "canonical_url",
+) -> DataFrame:
+    """Drop frontier URLs whose family exploded: broadcast LEFT ANTI join
+    of the frontier's computed template against the flagged families —
+    wide frontier rows never shuffle; the guard costs one projection plus
+    a broadcast probe."""
+    from ..functions.urls import url_template
+
+    flagged = families.where(F.col("exploded")).select("template")
+    return (
+        frontier.withColumn("__tpl", url_template(F.col(url_col)))
+        .join(F.broadcast(flagged), F.col("__tpl") == F.col("template"), "left_anti")
+        .drop("__tpl")
+    )

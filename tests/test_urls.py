@@ -596,3 +596,88 @@ def test_crawl_trap_filter_chain_composition(spark):
         ).select("url").collect()
     ]
     assert kept == ["https://example.com/p/1", "https://example.com/p/2"]
+
+
+def test_url_template_matches_twin(spark):
+    from mcp_crawl4ai_rag_spark.functions.urls import py_url_template, url_template
+
+    urls = URLS + TRAP_URLS + [
+        "https://e.com/2024/01/15/post-title",
+        "https://e.com/user/deadbeefcafe1234/profile",
+        "https://e.com/item?id=99&sort=asc&id=12",
+        "https://E.COM/Mixed/Case/PATH",
+        "https://e.com/s17/item-4/x",
+        "https://e.com/" + "q" * 40 + "/end",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select("url", url_template(F.col("url")).alias("t")).collect()
+    for r in rows:
+        assert r["t"] == py_url_template(r["url"]), r["url"]
+
+
+def test_url_template_pinned_classes():
+    from mcp_crawl4ai_rag_spark.functions.urls import py_url_template
+
+    # digits -> N, hex>=8 -> H, >32 chars -> L, digit-bearing -> S
+    assert py_url_template("https://e.com/2024/01/page") == "e.com/N/N/page"
+    assert (
+        py_url_template("https://e.com/user/deadbeefcafe1234/x")
+        == "e.com/user/H/x"
+    )
+    assert py_url_template("https://e.com/" + "q" * 40) == "e.com/L"
+    assert py_url_template("https://e.com/s17/item-4") == "e.com/S/S"
+    # 7-char hex is NOT H (min 8): digit-bearing -> S; pure alpha stays
+    assert py_url_template("https://e.com/deadbe1/beta") == "e.com/S/beta"
+    # query values dropped, names sorted, duplicates kept; host lowercased
+    assert (
+        py_url_template("https://E.com/item?id=99&sort=asc&id=12")
+        == "e.com/item?id&id&sort"
+    )
+    # the whole family collapses: calendar pages share one template
+    fam = {
+        py_url_template(f"https://e.com/cal/{y}/{m}/{d}")
+        for y in (2024, 2025) for m in (1, 7) for d in (3, 28)
+    }
+    assert fam == {"e.com/cal/N/N/N"}
+
+
+def test_template_explosion_and_guard(spark):
+    from mcp_crawl4ai_rag_spark.operators.politeness import (
+        apply_template_guard,
+        template_explosion,
+    )
+
+    # a session-id mill (800 hex URLs, one family) + benign pages; ids
+    # offset so every hex string carries a letter (digits-only ids would
+    # correctly classify 'N' and split the family)
+    mill = [(f"https://e.com/sess/{0xA0000000 + i:08x}/view",) for i in range(800)]
+    ok = [(f"https://e.com/docs/page{i}",) for i in range(20)]
+    other = [("https://e.com/about",)]
+    df = spark.createDataFrame(mill + ok + other, "canonical_url string")
+    fams = template_explosion(df, max_urls_per_template=100)
+    rows = {r["template"]: r for r in fams.collect()}
+    assert rows["e.com/sess/H/view"]["n_urls"] == 800
+    assert rows["e.com/sess/H/view"]["exploded"] is True
+    assert rows["e.com/docs/S"]["n_urls"] == 20
+    assert rows["e.com/docs/S"]["exploded"] is False
+    assert rows["e.com/about"]["exploded"] is False
+    kept = apply_template_guard(df, fams).count()
+    assert kept == 21  # the mill is gone, everything else survives
+
+
+def test_template_explosion_plan_shape(spark):
+    """One map-side-combinable groupBy over the template projection: the
+    aggregate's partial runs before the exchange and no Python appears."""
+    from mcp_crawl4ai_rag_spark.operators.politeness import template_explosion
+
+    df = spark.range(0, 1000, 1, 4).select(
+        F.concat(
+            F.lit("https://h"), (F.col("id") % 7).cast("string"),
+            F.lit(".example.com/p/"), F.col("id").cast("string"),
+        ).alias("canonical_url")
+    )
+    plan = (
+        template_explosion(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_count" in plan  # map-side combine
+    assert "Python" not in plan

@@ -1055,6 +1055,31 @@ def main():
         checks,
     ))
 
+    # template explosion: family counting must combine map-side — the
+    # exchange carries (host, template) partial counts, never URL rows.
+    from mcp_crawl4ai_rag_spark.operators.politeness import template_explosion
+
+    te_plan = formatted(
+        template_explosion(
+            spark.range(0, 4096, 1, 4).select(
+                F.concat(
+                    F.lit("https://h"), (F.col("id") % 7).cast("string"),
+                    F.lit(".example.com/p/"), F.col("id").cast("string"),
+                ).alias("canonical_url")
+            )
+        )
+    )
+    checks = [
+        ("partial_count", "family counts combine map-side"),
+    ]
+    if "Python" in te_plan:
+        checks.append(("never", "PYTHON EVAL FOUND — template kernel must stay columnar"))
+    sections.append((
+        "URL-template explosion (map-side-combined family count)",
+        te_plan,
+        checks,
+    ))
+
     out = ["# Physical-plan audit (auto-generated by tools/explain_plans.py)",
            "", f"sf_dir: {sf_dir}", ""]
     n_fail = 0
