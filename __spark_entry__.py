@@ -893,6 +893,9 @@ def q_sitemap_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     'lastmod' — the ``<lastmod>`` recrawl signal (sources/sitemap.
     lastmod_age_priority): per-page age-days vs a fixed NOW, the
     freshness-at-discovery frontier priority; val carries it.
+    'priority' (r4) — the ``<priority>`` owner hint (sources/sitemap.
+    sitemap_priority_milli): inverted fixed-point milli so priority 1.0
+    pops first under the ascending order; val carries it.
     Schema (mode, canonical_url, val)."""
     n = _lineitem_count(spark, sf_dir)
     # materialize: the per-level expansion joins would regenerate the
@@ -913,7 +916,10 @@ def q_sitemap_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     lm = q_sitemap_lastmod(spark, sf_dir).select(
         F.lit("lastmod").alias("mode"), "canonical_url", "val"
     )
-    return ex.unionByName(disc).unionByName(lm)
+    pr = q_sitemap_priority(spark, sf_dir).select(
+        F.lit("priority").alias("mode"), "canonical_url", "val"
+    )
+    return ex.unionByName(disc).unionByName(lm).unionByName(pr)
 
 
 _LASTMOD_NOW = "2026-03-01"
@@ -932,6 +938,23 @@ def q_sitemap_lastmod(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("url").alias("canonical_url"),
         lastmod_age_priority("lastmod", _LASTMOD_NOW).cast("long").alias("val"),
+    )
+
+
+def q_sitemap_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone priority leg (bench cell): host 1's sitemap tree expanded
+    WITH the <priority> owner hint, inverted to the ascending frontier
+    milli-priority (sources/sitemap.sitemap_priority_milli)."""
+    from mcp_crawl4ai_rag_spark.sources.sitemap import sitemap_priority_milli
+
+    n = _lineitem_count(spark, sf_dir)
+    sitemaps = materialized_sitemaps(spark, n)
+    return expand_sitemaps(
+        spark, sitemaps, ["https://h1.example.com/sitemap_index.xml"],
+        with_priority=True,
+    ).select(
+        F.col("url").alias("canonical_url"),
+        sitemap_priority_milli("priority").cast("long").alias("val"),
     )
 
 
@@ -3901,12 +3924,24 @@ SELECT {C.oracle_url_sql('i')} AS canonical_url,
 FROM (SELECT unnest(generate_series(0, {N_SQL} - 1)) AS i)
 WHERE i % {C.HOT_HOST_MOD} <> 0 AND i % {C.N_HOSTS} = 1
 """
+    # priority leg: same host-1 page set; <priority> = i%11 ladder
+    # ('1.0' at 10, else '0.'||(i%11)) by the gen_sitemaps closed form,
+    # inverted fixed-point milli
+    priority = f"""
+SELECT {C.oracle_url_sql('i')} AS canonical_url,
+       CAST(CASE WHEN i % 11 = 10 THEN 0
+                 ELSE 1000 - 100 * (i % 11) END AS BIGINT) AS val
+FROM (SELECT unnest(generate_series(0, {N_SQL} - 1)) AS i)
+WHERE i % {C.HOT_HOST_MOD} <> 0 AND i % {C.N_HOSTS} = 1
+"""
     return (
         _tagged(expand, "'expand' AS mode, canonical_url, CAST(NULL AS BIGINT) AS val")
         + "\nUNION ALL\n"
         + _tagged(discovery, "'discovery' AS mode, canonical_url, CAST(NULL AS BIGINT) AS val")
         + "\nUNION ALL\n"
         + _tagged(lastmod, "'lastmod' AS mode, canonical_url, val")
+        + "\nUNION ALL\n"
+        + _tagged(priority, "'priority' AS mode, canonical_url, val")
     )
 
 

@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "sitemap_expand",
     "robots_discovery",
     "sitemap_lastmod",
+    "sitemap_priority",
     "politeness_drain",
     "drain_capped",
     "drain_host_quota",

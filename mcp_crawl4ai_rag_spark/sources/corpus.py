@@ -395,13 +395,19 @@ def gen_sitemaps(spark: SparkSession, n: int, partitions: int = 32) -> DataFrame
     lastmod = F.concat(
         F.lit("2026-01-"), F.lpad(((i % 28) + 1).cast("string"), 2, "0")
     )
+    # deterministic <priority>: i%11 spans the full sitemaps.org range
+    # 0.0 .. 0.9, 1.0 — the closed form the priority gate leg re-derives
+    priority = F.when(i % 11 == 10, F.lit("1.0")).otherwise(
+        F.concat(F.lit("0."), (i % 11).cast("string"))
+    )
     entries = spark.range(0, n, 1, partitions).select(
         host.alias("h"),
         (i % SITEMAPS_PER_HOST).alias("k"),
         i.alias("id"),
         F.concat(
             F.lit("<url><loc>"), _url_expr(i), F.lit("</loc><lastmod>"),
-            lastmod, F.lit("</lastmod></url>"),
+            lastmod, F.lit("</lastmod><priority>"), priority,
+            F.lit("</priority></url>"),
         ).alias("e"),
     )
     urlsets = entries.groupBy("h", "k").agg(

@@ -28,7 +28,10 @@ from .. import SER_CKPT_LEVEL as _SER_LEVEL  # single engine-wide definition
 
 from ..config import SITEMAP_MAX_DEPTH
 
-ENTRY_SCHEMA = "sitemap_url string, kind string, loc string, lastmod string"
+ENTRY_SCHEMA = (
+    "sitemap_url string, kind string, loc string, lastmod string,"
+    " priority string"
+)
 
 
 def parse_sitemap_bodies(fetched: DataFrame) -> DataFrame:
@@ -52,21 +55,26 @@ def parse_sitemap_bodies(fetched: DataFrame) -> DataFrame:
                     tag = child.tag.rsplit("}", 1)[-1]
                     loc = None
                     lastmod = None
+                    prio = None
                     for sub in child:
                         stag = sub.tag.rsplit("}", 1)[-1]
                         if stag == "loc" and loc is None:
                             loc = sub
                         elif stag == "lastmod" and lastmod is None:
                             lastmod = sub
+                        elif stag == "priority" and prio is None:
+                            prio = sub
                     if loc is not None and loc.text:
                         rows.append((
                             url,
                             "sitemap" if tag == "sitemap" else "url",
                             loc.text.strip(),
                             lastmod.text.strip() if lastmod is not None and lastmod.text else None,
+                            prio.text.strip() if prio is not None and prio.text else None,
                         ))
             yield pd.DataFrame(
-                rows, columns=["sitemap_url", "kind", "loc", "lastmod"]
+                rows,
+                columns=["sitemap_url", "kind", "loc", "lastmod", "priority"],
             )
 
     return fetched.select("url", "body").mapInPandas(gen, schema=ENTRY_SCHEMA)
@@ -78,6 +86,7 @@ def expand_sitemaps(
     seed_sitemap_urls: list[str],
     max_depth: int = SITEMAP_MAX_DEPTH,
     with_lastmod: bool = False,
+    with_priority: bool = False,
 ) -> DataFrame:
     """Recursively expand sitemap URLs to the distinct page-URL set.
 
@@ -92,6 +101,13 @@ def expand_sitemaps(
     duplicated URL keeps its lexicographically-max lastmod — newest date,
     ISO strings order correctly) for freshness-aware frontier priority
     (``lastmod_age_priority``).
+
+    ``with_priority=True`` also returns each page's ``<priority>`` (the
+    third sitemaps.org signal — the site owner's own crawl-importance
+    hint, [0.0, 1.0], default 0.5; likewise ignored by the reference); a
+    duplicated URL keeps its max priority (the strongest claim). Feed
+    through ``sitemap_priority_milli`` into the frontier's priority
+    column.
     """
     pending = spark.createDataFrame(
         [(u,) for u in seed_sitemap_urls], "url string"
@@ -102,7 +118,11 @@ def expand_sitemaps(
             break
         fetched = sitemap_corpus.join(F.broadcast(pending), "url", "inner")
         entries = parse_sitemap_bodies(fetched).localCheckpoint(eager=True, storageLevel=_SER_LEVEL)
-        page_cols = ["loc", "lastmod"] if with_lastmod else ["loc"]
+        page_cols = ["loc"]
+        if with_lastmod:
+            page_cols.append("lastmod")
+        if with_priority:
+            page_cols.append("priority")
         page_parts.append(
             entries.where(F.col("kind") == "url").select(*[F.col(c) for c in page_cols])
         )
@@ -115,16 +135,30 @@ def expand_sitemaps(
         else:
             pending = pending.limit(0)
     if not page_parts:
-        empty_schema = "loc string, lastmod string" if with_lastmod else "loc string"
+        empty_schema = "loc string"
+        if with_lastmod:
+            empty_schema += ", lastmod string"
+        if with_priority:
+            empty_schema += ", priority string"
         out = spark.createDataFrame([], empty_schema)
     else:
         out = page_parts[0]
         for p in page_parts[1:]:
             out = out.unionByName(p)
+    aggs = []
     if with_lastmod:
-        return out.groupBy(F.col("loc").alias("url")).agg(
-            F.max("lastmod").alias("lastmod")
+        aggs.append(F.max("lastmod").alias("lastmod"))
+    if with_priority:
+        # NUMERIC max (a string max would misorder '.9' vs '0.5');
+        # unparseable values cast to NULL, which max ignores — a URL whose
+        # only priorities are malformed ends NULL and takes the default
+        # downstream
+        # try_cast: ANSI mode makes a plain cast THROW on 'junk' values
+        aggs.append(
+            F.max(F.col("priority").try_cast("double")).alias("priority")
         )
+    if aggs:
+        return out.groupBy(F.col("loc").alias("url")).agg(*aggs)
     return out.select(F.col("loc").alias("url")).dropDuplicates(["url"])
 
 
@@ -145,5 +179,27 @@ def lastmod_age_priority(lastmod, now_date: str, default_days: int = 365):
     return (
         F.when(age.isNull(), F.lit(int(default_days)))
         .otherwise(F.greatest(F.lit(0), F.least(F.lit(3650), age)))
+        .cast("int")
+    )
+
+
+def sitemap_priority_milli(priority, default_milli: int = 500):
+    """Frontier priority from a sitemap ``<priority>`` (sitemaps.org:
+    [0.0, 1.0], default 0.5 — the site owner's own crawl-importance hint,
+    which the reference ignores entirely): fixed-pointed to milli and
+    INVERTED (``1000 - round(p*1000)``) because the frontier pops
+    ascending — priority 1.0 becomes 0 (soonest), 0.0 becomes 1000.
+    Out-of-range values clamp to [0, 1]; missing/unparseable takes the
+    spec default via ``default_milli`` (explicit NULL branch — Spark's
+    greatest/least ignore NULLs, the engine-wide clamp trap)."""
+    c = F.col(priority) if isinstance(priority, str) else priority
+    p = c.try_cast("double")  # ANSI-safe: 'junk' -> NULL -> default branch
+    milli = F.floor(
+        F.greatest(F.lit(0.0), F.least(F.lit(1.0), p)) * F.lit(1000.0)
+        + F.lit(0.5)
+    ).cast("int")
+    return (
+        F.when(p.isNull(), F.lit(1000 - int(default_milli)))
+        .otherwise(F.lit(1000) - milli)
         .cast("int")
     )

@@ -171,3 +171,90 @@ def test_lastmod_parse_and_age_priority(spark):
     assert got["https://s.example.com/nolm"] == 365     # missing default
     # fresher page sorts ahead under ascending priority
     assert got["https://s.example.com/fresh"] < got["https://s.example.com/dup"]
+
+
+def test_priority_parse_and_milli(spark):
+    """<priority> parses alongside lastmod; the milli kernel inverts,
+    clamps, and defaults per the sitemaps.org contract."""
+    from pyspark.sql import functions as F
+
+    from mcp_crawl4ai_rag_spark.sources.sitemap import (
+        parse_sitemap_bodies,
+        sitemap_priority_milli,
+    )
+
+    xml = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc>https://e.com/a</loc><priority>0.8</priority></url>"
+        "<url><loc>https://e.com/b</loc><priority>1.0</priority></url>"
+        "<url><loc>https://e.com/c</loc></url>"
+        "<url><loc>https://e.com/d</loc><priority>junk</priority></url>"
+        "<url><loc>https://e.com/e</loc><priority>7.5</priority></url>"
+        "<url><loc>https://e.com/f</loc><priority>-1</priority></url>"
+        "</urlset>"
+    ).encode()
+    df = spark.createDataFrame(
+        [("https://e.com/sitemap.xml", xml)], "url string, body binary"
+    )
+    rows = {
+        r["loc"]: r["val"]
+        for r in parse_sitemap_bodies(df)
+        .select("loc", sitemap_priority_milli("priority").alias("val"))
+        .collect()
+    }
+    assert rows == {
+        "https://e.com/a": 200,   # 1000 - 800
+        "https://e.com/b": 0,     # top priority pops first
+        "https://e.com/c": 500,   # missing -> spec default 0.5
+        "https://e.com/d": 500,   # unparseable -> default
+        "https://e.com/e": 0,     # clamps to 1.0
+        "https://e.com/f": 1000,  # clamps to 0.0
+    }
+
+
+def test_priority_expansion_dup_max_and_ordering(spark):
+    """Duplicate URLs keep the NUMERIC max priority; corpus expansion with
+    with_priority yields the closed-form i%11 ladder, and the milli order
+    puts owner-prioritized pages first."""
+    from pyspark.sql import functions as F
+
+    from mcp_crawl4ai_rag_spark.sources.corpus import gen_sitemaps, host_of
+    from mcp_crawl4ai_rag_spark.sources.sitemap import (
+        expand_sitemaps,
+        parse_sitemap_bodies,
+        sitemap_priority_milli,
+    )
+
+    # dup resolution: numeric max ('.9'-style strings would break a string max)
+    xml = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc>https://e.com/a</loc><priority>0.5</priority></url>"
+        "<url><loc>https://e.com/a</loc><priority>.9</priority></url>"
+        "</urlset>"
+    ).encode()
+    dup = spark.createDataFrame(
+        [("https://e.com/s.xml", xml)], "url string, body binary"
+    )
+    got = expand_sitemaps(
+        spark, dup, ["https://e.com/s.xml"], with_priority=True
+    ).collect()
+    assert len(got) == 1 and abs(got[0]["priority"] - 0.9) < 1e-9
+
+    n = 200
+    ex = expand_sitemaps(
+        spark,
+        gen_sitemaps(spark, n),
+        ["https://h1.example.com/sitemap_index.xml"],
+        with_priority=True,
+    ).select(
+        "url", sitemap_priority_milli("priority").alias("val")
+    )
+    rows = {r["url"]: r["val"] for r in ex.collect()}
+    from mcp_crawl4ai_rag_spark.sources.corpus import url_of
+
+    expect = {
+        url_of(i): (0 if i % 11 == 10 else 1000 - 100 * (i % 11))
+        for i in range(n)
+        if host_of(i) == 1
+    }
+    assert rows == expect
