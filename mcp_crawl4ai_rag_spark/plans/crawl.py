@@ -132,6 +132,7 @@ class CrawlEngine:
         epoch_seconds: float | None = None,
         pop_impl: str = "twophase",
         url_scorer=None,
+        link_filter=None,
     ):
         self.spark = spark
         self.pages = pages
@@ -150,6 +151,15 @@ class CrawlEngine:
         # caller-set priority column. Must be deterministic (pure column
         # expression) — resume replays it bit-identically.
         self.url_scorer = url_scorer
+        # Link-filter hook (crawl4ai FilterChain's engine seat): a Column
+        # factory url_col -> boolean Column applied to every DISCOVERED URL
+        # in _expand, after the built-in binary/shape filters and before
+        # boundary filters — keep iff true. Compose with functions/urls
+        # filter_chain / url_pattern_match / ~is_crawl_trap; pair with
+        # operators/politeness.apply_template_guard between epochs for the
+        # dynamic-family guard. Must be a deterministic pure column
+        # expression — resume replays it bit-identically.
+        self.link_filter = link_filter
         # "twophase" (default): salted two-phase window pop — the measured
         # local/wall-clock winner (interleaved paired A/B, BENCH/
         # bench_r3_ab_pairs_postfix.json: median twophase/threshold 0.51)
@@ -252,6 +262,8 @@ class CrawlEngine:
         resolved = resolved.where(
             F.col("next_url").isNotNull() & (F.col("next_url") != "")
         ).where(~is_binary_url(F.col("next_url")))
+        if self.link_filter is not None:
+            resolved = resolved.where(self.link_filter(F.col("next_url")))
 
         if prefix is not None:
             target_domain = urlparse(prefix).netloc
