@@ -513,6 +513,9 @@ def q_politeness_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
     'template_guard' (r4) — dynamic trap detection (q_template_explosion):
     URLs per generalized family; host column carries the template, value
     its cardinality (the explosion flag is value > n/20 by construction).
+    'domain_collapse' (r4) — registrable-domain politeness grain
+    (q_domain_collapse): hostnames per eTLD+1; host column carries the
+    domain, value the collapsed hostname count.
     Schema (mode, host, value)."""
     hosts = spark.createDataFrame(
         [(f"h{h}.example.com",) for h in range(C.N_HOSTS)], "host string"
@@ -556,6 +559,11 @@ def q_politeness_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("host"), F.lit(" "), F.col("template")).alias("host"),
         F.col("n_urls").cast("long").alias("value"),
     )
+    dc = q_domain_collapse(spark, sf_dir).select(
+        F.lit("domain_collapse").alias("mode"),
+        F.col("domain").alias("host"),
+        F.col("n_hosts").cast("long").alias("value"),
+    )
     return (
         b.unionByName(qp)
         .unionByName(kw)
@@ -563,6 +571,7 @@ def q_politeness_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(wc)
         .unionByName(comp)
         .unionByName(tg)
+        .unionByName(dc)
     )
 
 
@@ -658,6 +667,33 @@ def q_robots_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return paths.crossJoin(F.broadcast(pats)).select(
         "path", robots_denied_wildcard_expr().cast("long").alias("denied")
+    )
+
+
+_EXOTIC_HOSTS = [
+    "deep.sub.example.net", "x.co.uk", "y.x.co.uk", "z.y.x.co.uk",
+    "single", "10.0.0.1", "user.github.io", "a.user.github.io",
+    "shop.com.au", "b.shop.com.au",
+]
+
+
+def q_domain_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain (eTLD+1) politeness grain (functions/urls.
+    registrable_domain): the n-scaled corpus hosts plus exotic literals
+    collapse to their registered domains — the grain real crawlers
+    throttle at ('a.example.com' and 'b.example.com' are one server farm).
+    One codegen projection + a map-side-combinable groupBy(domain)."""
+    from mcp_crawl4ai_rag_spark.functions.urls import registrable_domain
+
+    n = _lineitem_count(spark, sf_dir)
+    corpus = spark.range(0, n, 1, 16).select(
+        url_host(C._url_expr(F.col("id"))).alias("host")
+    )
+    exotic = spark.createDataFrame([(h,) for h in _EXOTIC_HOSTS], "host string")
+    return (
+        corpus.unionByName(exotic)
+        .groupBy(registrable_domain(F.col("host")).alias("domain"))
+        .agg(F.count("*").alias("n_hosts"))
     )
 
 
@@ -3768,6 +3804,19 @@ SELECT hoststr || ' ' || hoststr || tpl AS host,
        CAST(count(*) AS BIGINT) AS value
 FROM t GROUP BY hoststr, tpl
 """
+    # domain_collapse leg: every corpus host is a subdomain of example.com
+    # (n rows collapse to one); the exotic literals restate the eTLD+1
+    # rules by hand (multi-label suffixes keep 3 labels; IPs/single-label
+    # hosts are themselves)
+    dc = f"""
+SELECT 'example.com' AS host, CAST({N_SQL} AS BIGINT) AS value
+UNION ALL SELECT 'example.net', CAST(1 AS BIGINT)
+UNION ALL SELECT 'x.co.uk', CAST(3 AS BIGINT)
+UNION ALL SELECT 'single', CAST(1 AS BIGINT)
+UNION ALL SELECT '10.0.0.1', CAST(1 AS BIGINT)
+UNION ALL SELECT 'user.github.io', CAST(2 AS BIGINT)
+UNION ALL SELECT 'shop.com.au', CAST(2 AS BIGINT)
+"""
     # composite_prior leg: the four milli-scores restated — keyword contains
     # flags, path-segment count closed-form from the corpus/suffix formulas,
     # freshness via the same year regex on the same built string, domain
@@ -3819,6 +3868,8 @@ FROM s
         + _tagged(comp, "'composite_prior' AS mode, host, value")
         + "\nUNION ALL\n"
         + _tagged(tg, "'template_guard' AS mode, host, value")
+        + "\nUNION ALL\n"
+        + _tagged(dc, "'domain_collapse' AS mode, host, value")
     )
 
 

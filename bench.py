@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "url_kernels",
     "trap_kernel",
     "template_explosion",
+    "domain_collapse",
     "politeness_budgets",
     "host_quality_prior",
     "keyword_prior",

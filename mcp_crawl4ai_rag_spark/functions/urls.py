@@ -634,6 +634,55 @@ def is_crawl_trap(
     )
 
 
+# --- Registrable domain (eTLD+1): the grain real politeness runs at.
+# 'a.example.com' and 'b.example.com' are one server farm — throttling per
+# HOSTNAME lets a crawler hammer a domain N-subdomains fast. The public
+# precedent is the Mozilla Public Suffix List; vendoring all ~9k suffixes
+# buys nothing for an engine whose politeness only needs the common shapes,
+# so a small built-in set covers the multi-label suffixes and single-label
+# TLDs fall out of the default rule (registrable = last 2 labels, or last 3
+# when the last 2 form a listed suffix like 'co.uk'). IP literals and
+# single-label hosts return themselves.
+
+_MULTI_LABEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "com.br", "com.cn", "com.mx", "co.in",
+    "co.kr", "com.tw", "com.sg", "github.io", "gitlab.io", "blogspot.com",
+)
+
+
+def registrable_domain(host: Column | str) -> Column:
+    """eTLD+1 of a hostname column — one codegen expression (split +
+    slice + when-chain over the built-in suffix set); lowercases first."""
+    c = F.lower(F.col(host) if isinstance(host, str) else host)
+    labels = F.split(c, r"\.")
+    n = F.size(labels)
+    last2 = F.array_join(F.slice(labels, -2, 2), ".")
+    last3 = F.array_join(F.slice(labels, -3, 3), ".")
+    is_ip = c.rlike(r"^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$")
+    suffix_hit = F.lit(False)
+    for s in _MULTI_LABEL_SUFFIXES:
+        suffix_hit = suffix_hit | (last2 == s)
+    return (
+        F.when(is_ip | (n <= 2), c)
+        .when(suffix_hit & (n >= 3), last3)
+        .otherwise(last2)
+    )
+
+
+def py_registrable_domain(host: str) -> str:
+    """Python twin of registrable_domain."""
+    import re as _re
+
+    h = host.lower()
+    labels = h.split(".")
+    if _re.fullmatch(r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+", h) or len(labels) <= 2:
+        return h
+    if ".".join(labels[-2:]) in _MULTI_LABEL_SUFFIXES and len(labels) >= 3:
+        return ".".join(labels[-3:])
+    return ".".join(labels[-2:])
+
+
 # --- URL templates: the aggregate complement of the structural trap guard.
 # A session-id explosion or infinite calendar often passes every per-URL
 # structural check — each URL looks fine; the FAMILY is infinite. The

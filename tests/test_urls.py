@@ -681,3 +681,58 @@ def test_template_explosion_plan_shape(spark):
     )
     assert "partial_count" in plan  # map-side combine
     assert "Python" not in plan
+
+
+EXOTIC_HOSTS = [
+    "a.example.com", "b.example.com", "EXAMPLE.com", "example.com",
+    "deep.sub.example.com", "x.co.uk", "y.x.co.uk", "z.y.x.co.uk",
+    "single", "10.0.0.1", "user.github.io", "a.user.github.io",
+    "shop.com.au", "b.shop.com.au", "blog.blogspot.com",
+]
+
+
+def test_registrable_domain_matches_twin(spark):
+    from mcp_crawl4ai_rag_spark.functions.urls import (
+        py_registrable_domain,
+        registrable_domain,
+    )
+
+    df = spark.createDataFrame([(h,) for h in EXOTIC_HOSTS], "host string")
+    rows = df.select("host", registrable_domain(F.col("host")).alias("d")).collect()
+    for r in rows:
+        assert r["d"] == py_registrable_domain(r["host"]), r["host"]
+
+
+def test_registrable_domain_pinned():
+    from mcp_crawl4ai_rag_spark.functions.urls import py_registrable_domain as rd
+
+    assert rd("a.example.com") == "example.com"
+    assert rd("EXAMPLE.com") == "example.com"
+    assert rd("deep.sub.example.com") == "example.com"
+    # multi-label suffixes keep three labels
+    assert rd("y.x.co.uk") == "x.co.uk"
+    assert rd("z.y.x.co.uk") == "x.co.uk"
+    assert rd("x.co.uk") == "x.co.uk"
+    assert rd("a.user.github.io") == "user.github.io"
+    assert rd("b.shop.com.au") == "shop.com.au"
+    # degenerate shapes return themselves
+    assert rd("single") == "single"
+    assert rd("10.0.0.1") == "10.0.0.1"
+    assert rd("co.uk") == "co.uk"  # a bare suffix has no registrable part
+
+
+def test_domain_grain_politeness_collapse(spark):
+    """Mapping host -> registrable domain before the politeness layer makes
+    all subdomains of one registered domain share a single budget row —
+    the grain real crawlers throttle at."""
+    from mcp_crawl4ai_rag_spark.functions.urls import registrable_domain
+    from mcp_crawl4ai_rag_spark.operators.politeness import compute_budgets
+
+    hosts = spark.createDataFrame(
+        [(f"h{i}.example.com",) for i in range(10)] + [("y.x.co.uk",), ("x.co.uk",)],
+        "host string",
+    )
+    domains = hosts.select(registrable_domain(F.col("host")).alias("host"))
+    budgets = compute_budgets(domains.distinct(), None, None)
+    rows = {r["host"]: r["budget"] for r in budgets.collect()}
+    assert set(rows) == {"example.com", "x.co.uk"}
