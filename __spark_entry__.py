@@ -516,6 +516,10 @@ def q_politeness_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
     'domain_collapse' (r4) — registrable-domain politeness grain
     (q_domain_collapse): hostnames per eTLD+1; host column carries the
     domain, value the collapsed hostname count.
+    'robots_status' (r4) — RFC 9309 §2.3.1 fetch-status semantics
+    (sources/robots.robots_table_from_fetch): per status class the
+    resulting rule posture — value 0 = open (4xx/empty 2xx), 1 = parsed
+    rules (2xx with body), 2 = fully closed (5xx/unfetched/3xx-terminal).
     Schema (mode, host, value)."""
     hosts = spark.createDataFrame(
         [(f"h{h}.example.com",) for h in range(C.N_HOSTS)], "host string"
@@ -564,6 +568,9 @@ def q_politeness_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("domain").alias("host"),
         F.col("n_hosts").cast("long").alias("value"),
     )
+    rs = q_robots_status(spark, sf_dir).select(
+        F.lit("robots_status").alias("mode"), "host", "value"
+    )
     return (
         b.unionByName(qp)
         .unionByName(kw)
@@ -572,6 +579,7 @@ def q_politeness_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(comp)
         .unionByName(tg)
         .unionByName(dc)
+        .unionByName(rs)
     )
 
 
@@ -675,6 +683,40 @@ _EXOTIC_HOSTS = [
     "single", "10.0.0.1", "user.github.io", "a.user.github.io",
     "shop.com.au", "b.shop.com.au",
 ]
+
+
+_ROBOTS_STATUS_FETCHES = [
+    ("s200.example.com", 200, "User-agent: *\nDisallow: /private\n"),
+    ("s200empty.example.com", 200, ""),
+    ("s404.example.com", 404, None),
+    ("s403.example.com", 403, None),
+    ("s500.example.com", 500, None),
+    ("s503.example.com", 503, None),
+    ("snone.example.com", None, None),
+    ("s301.example.com", 301, "User-agent: *\nDisallow: /x\n"),
+]
+
+
+def q_robots_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 §2.3.1 fetch-status leg: a literal per-status fetch table
+    through robots_table_from_fetch; posture per host — 0 open, 1 parsed
+    rules, 2 fully closed ('/' is the whole-site disallow)."""
+    from mcp_crawl4ai_rag_spark.sources.robots import robots_table_from_fetch
+
+    fetched = spark.createDataFrame(
+        _ROBOTS_STATUS_FETCHES, "host string, status int, body string"
+    )
+    t = robots_table_from_fetch(fetched)
+    posture = (
+        F.when(F.size(F.col("disallow_prefixes")) == 0, F.lit(0))
+        .when(
+            (F.size(F.col("disallow_prefixes")) == 1)
+            & (F.col("disallow_prefixes")[0] == "/"),
+            F.lit(2),
+        )
+        .otherwise(F.lit(1))
+    )
+    return t.select("host", posture.cast("long").alias("value"))
 
 
 def q_domain_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3817,6 +3859,19 @@ UNION ALL SELECT '10.0.0.1', CAST(1 AS BIGINT)
 UNION ALL SELECT 'user.github.io', CAST(2 AS BIGINT)
 UNION ALL SELECT 'shop.com.au', CAST(2 AS BIGINT)
 """
+    # robots_status leg: the section-2.3.1 posture of each literal fetch
+    # row restated by status class (2xx parses — '/private' is posture 1,
+    # empty body posture 0; 4xx open; 5xx/None/3xx closed)
+    rs = """
+SELECT 's200.example.com' AS host, CAST(1 AS BIGINT) AS value
+UNION ALL SELECT 's200empty.example.com', CAST(0 AS BIGINT)
+UNION ALL SELECT 's404.example.com', CAST(0 AS BIGINT)
+UNION ALL SELECT 's403.example.com', CAST(0 AS BIGINT)
+UNION ALL SELECT 's500.example.com', CAST(2 AS BIGINT)
+UNION ALL SELECT 's503.example.com', CAST(2 AS BIGINT)
+UNION ALL SELECT 'snone.example.com', CAST(2 AS BIGINT)
+UNION ALL SELECT 's301.example.com', CAST(2 AS BIGINT)
+"""
     # composite_prior leg: the four milli-scores restated — keyword contains
     # flags, path-segment count closed-form from the corpus/suffix formulas,
     # freshness via the same year regex on the same built string, domain
@@ -3870,6 +3925,8 @@ FROM s
         + _tagged(tg, "'template_guard' AS mode, host, value")
         + "\nUNION ALL\n"
         + _tagged(dc, "'domain_collapse' AS mode, host, value")
+        + "\nUNION ALL\n"
+        + _tagged(rs, "'robots_status' AS mode, host, value")
     )
 
 

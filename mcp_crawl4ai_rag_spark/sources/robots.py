@@ -281,3 +281,63 @@ def compile_rule_patterns(rules: DataFrame) -> DataFrame:
     return rules.select(
         "host", "disallow_prefixes", "allow_prefixes", "crawl_delay"
     ).mapInPandas(gen, schema=PATTERN_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# RFC 9309 section 2.3.1: robots.txt fetch-status semantics
+# ---------------------------------------------------------------------------
+
+
+def py_robots_status_rules(
+    status: int | None, body: str | None, agent: str = "*"
+) -> tuple[list[str], list[str], float | None]:
+    """What rules govern a host whose robots.txt fetch returned ``status``:
+
+    - 2xx: parse the body (RFC 9309 section 2.3.1.1);
+    - 4xx (unavailable): crawl as if there were no robots.txt — ALLOW ALL
+      (section 2.3.1.2, the universal implementation);
+    - 5xx / None (unreachable, never fetched): assume full disallow until
+      a fresh fetch succeeds (section 2.3.1.3);
+    - terminal 3xx (redirect loop / too many hops — the fetch layer
+      follows ordinary redirects before this function sees a status): the
+      RFC leaves it open ('MAY' treat as unavailable); we pick the
+      conservative full-disallow, same as 5xx.
+    """
+    if status is not None and 200 <= status < 300:
+        return py_parse_robots_rules(body or "", agent)
+    if status is not None and 400 <= status < 500:
+        return [], [], None  # allow all
+    return ["/"], [], None  # unreachable/5xx/3xx-terminal: full disallow
+
+
+def robots_table_from_fetch(
+    fetched: DataFrame, agent: str = "*", with_allow: bool = False
+) -> DataFrame:
+    """(host, status int, body string) → the engine's robots table with the
+    RFC 9309 section 2.3.1 status semantics applied per host. One
+    Arrow-batched stage; output schema matches parse_robots_bodies
+    (deny-only) or parse_robots_rules (``with_allow=True``), so the result
+    drops into ``CrawlEngine(robots=...)`` unchanged and hosts whose
+    robots fetch 5xx'd are fully closed until a later fetch succeeds."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for host, status, body in zip(
+                pdf["host"], pdf["status"], pdf["body"]
+            ):
+                st = None if pd.isna(status) else int(status)
+                dis, alw, delay = py_robots_status_rules(st, body, agent)
+                if with_allow:
+                    rows.append((host, dis, alw, delay))
+                else:
+                    rows.append((host, dis, delay))
+            cols = (
+                ["host", "disallow_prefixes", "allow_prefixes", "crawl_delay"]
+                if with_allow
+                else ["host", "disallow_prefixes", "crawl_delay"]
+            )
+            yield pd.DataFrame(rows, columns=cols)
+
+    schema = RULES_SCHEMA if with_allow else ROBOTS_SCHEMA
+    return fetched.select("host", "status", "body").mapInPandas(gen, schema=schema)

@@ -473,3 +473,71 @@ def test_engine_selects_wildcard_gate(spark):
     # denials recorded: the reachable set at n=300 includes paths ending in 1
     denials = sum(r["robots_denials"] for r in res.lineage.collect())
     assert denials > 0
+
+
+def test_robots_status_semantics(spark):
+    """RFC 9309 section 2.3.1: 2xx parses, 4xx allows all, 5xx/None/3xx
+    fully disallows; the table drops into CrawlEngine unchanged."""
+    from mcp_crawl4ai_rag_spark.sources.robots import (
+        py_robots_status_rules,
+        robots_table_from_fetch,
+    )
+
+    body = "User-agent: *\nDisallow: /private\nCrawl-delay: 2\n"
+    assert py_robots_status_rules(200, body) == (["/private"], [], 2.0)
+    assert py_robots_status_rules(404, body) == ([], [], None)
+    assert py_robots_status_rules(403, None) == ([], [], None)
+    assert py_robots_status_rules(500, body) == (["/"], [], None)
+    assert py_robots_status_rules(None, None) == (["/"], [], None)
+    assert py_robots_status_rules(301, body) == (["/"], [], None)
+
+    fetched = spark.createDataFrame(
+        [
+            ("h200.example.com", 200, body),
+            ("h404.example.com", 404, None),
+            ("h500.example.com", 500, None),
+            ("hnone.example.com", None, None),
+        ],
+        "host string, status int, body string",
+    )
+    rows = {
+        r["host"]: (list(r["disallow_prefixes"]), r["crawl_delay"])
+        for r in robots_table_from_fetch(fetched).collect()
+    }
+    assert rows == {
+        "h200.example.com": (["/private"], 2.0),
+        "h404.example.com": ([], None),
+        "h500.example.com": (["/"], None),
+        "hnone.example.com": (["/"], None),
+    }
+
+
+def test_robots_status_engine_closure(spark):
+    """A host whose robots fetch 5xx'd is fully closed during a crawl; a
+    4xx host is fully open — same seeds, same corpus, only the robots
+    fetch status differs."""
+    from pyspark.sql import functions as F
+
+    from mcp_crawl4ai_rag_spark.plans.crawl import CrawlEngine
+    from mcp_crawl4ai_rag_spark.sources.corpus import N_HOSTS, gen_pages, gen_seeds
+    from mcp_crawl4ai_rag_spark.sources.robots import robots_table_from_fetch
+
+    n = 300
+    # h1 unreachable (500) -> fully disallowed; everyone else 404 -> open
+    fetched = spark.createDataFrame(
+        [
+            (f"h{h}.example.com", 500 if h == 1 else 404, None)
+            for h in range(N_HOSTS)
+        ],
+        "host string, status int, body string",
+    )
+    robots = robots_table_from_fetch(fetched)
+    res = CrawlEngine(
+        spark, gen_pages(spark, n), robots=robots,
+        allowed_host_suffix=".example.com",
+    ).run(gen_seeds(spark, n), max_depth=4)
+    fetched_hosts = {r["host"] for r in res.fetched.collect()}
+    assert "h1.example.com" not in fetched_hosts
+    assert len(fetched_hosts) > 1  # others crawled
+    denials = sum(r["robots_denials"] for r in res.lineage.collect())
+    assert denials > 0
