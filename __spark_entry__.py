@@ -327,7 +327,14 @@ def q_crawl_bfs_visited(spark: SparkSession, sf_dir: str) -> DataFrame:
     'dfs' — the crawl4ai DFSDeepCrawlStrategy order over the SAME graph:
     depth-limited DFS preorder computed distributed as the min-lex-key
     Jacobi fixed point (operators/ordering.dfs_preorder; val = preorder
-    rank). Schema (mode, canonical_url, val)."""
+    rank).
+    'redirect' (r4) — the SAME crawl with the closed-form 301 map
+    (sources/corpus.gen_redirects; plans/crawl CrawlEngine(redirects=)):
+    redirect sources consumed without fetch, targets re-enter at the SAME
+    depth; oracle replays the sequential twin (py_crawl_with_redirects,
+    literal injection — epoch-bounded redirect semantics are not a
+    min-over-paths closure, the DFS-leg precedent).
+    Schema (mode, canonical_url, val)."""
     res = _crawl(spark, sf_dir)
     bfs = res.url_seen.select(
         F.lit("bfs").alias("mode"),
@@ -339,7 +346,29 @@ def q_crawl_bfs_visited(spark: SparkSession, sf_dir: str) -> DataFrame:
         "canonical_url",
         F.col("dfs_rank").cast("long").alias("val"),
     )
-    return bfs.unionByName(dfs)
+    red = q_crawl_redirects(spark, sf_dir).select(
+        F.lit("redirect").alias("mode"), "canonical_url", "val"
+    )
+    return bfs.unionByName(dfs).unionByName(red)
+
+
+def q_crawl_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone redirect-crawl leg (bench cell): the BFS crawl with the
+    closed-form redirect map active — visited set with schedule depths."""
+    from mcp_crawl4ai_rag_spark.sources.corpus import gen_redirects
+
+    n = _lineitem_count(spark, sf_dir)
+    res = CrawlEngine(
+        spark,
+        materialized_pages(spark, n),
+        gen_robots(spark),
+        allowed_host_suffix=".example.com",
+        use_bloom=True,
+        redirects=gen_redirects(spark, n),
+    ).run(gen_seeds(spark, n), max_depth=CRAWL_DEPTH)
+    return res.url_seen.select(
+        "canonical_url", F.col("depth").cast("long").alias("val")
+    )
 
 
 def q_dfs_order(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3658,7 +3687,43 @@ GROUP BY 1
         _tagged(bfs, "'bfs' AS mode, canonical_url, val")
         + "\nUNION ALL\n"
         + _tagged(_dfs_order_literals(), "'dfs' AS mode, canonical_url, val")
+        + "\nUNION ALL\n"
+        + _tagged(_redirect_visited_literals(), "'redirect' AS mode, canonical_url, val")
     )
+
+
+def _redirect_visited_literals() -> str:
+    """Redirect-crawl oracle via the sequential twin (plans/crawl.
+    py_crawl_with_redirects) — epoch-bounded same-depth redirect hops are
+    not expressible as a min-over-all-paths recursive CTE (a URL reachable
+    via redirect at one epoch and via link at another must keep its FIRST
+    discoverer's depth, which depends on the engine's seq order), so the
+    builder replays the twin over the same closed forms at the oracle SF
+    and injects (url, depth) literals — the DFS-leg precedent."""
+    import os
+
+    import duckdb
+
+    from mcp_crawl4ai_rag_spark.plans.crawl import py_crawl_with_redirects
+    from mcp_crawl4ai_rag_spark.sources.corpus import redirect_of
+
+    sf_dir = os.environ.get(_ORACLE_SF_DIR_ENV, _ORACLE_SF_DIR_DEFAULT)
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT count(*) FROM '{sf_dir}/lineitem.parquet'"
+    ).fetchone()[0]
+    con.close()
+    visited = py_crawl_with_redirects(
+        n, list(C.SEED_IDS), CRAWL_DEPTH, lambda i: redirect_of(i, n)
+    )
+    vals = ",\n       ".join(
+        f"('{u}', CAST({d} AS BIGINT))" for u, d in sorted(visited.items())
+    )
+    return f"""
+SELECT * FROM (VALUES
+       {vals}
+) AS t(canonical_url, val)
+"""
 
 
 def _oracle_crawl_lineage() -> str:

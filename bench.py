@@ -48,6 +48,7 @@ DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
 BENCH_QUERIES = [
     "crawl_bfs_visited",
     "dfs_order",
+    "crawl_redirects",
     "smart_crawl_sitemap",
     "smart_crawl_webpage",
     "sitemap_expand",

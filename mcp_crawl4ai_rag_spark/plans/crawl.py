@@ -133,6 +133,7 @@ class CrawlEngine:
         pop_impl: str = "twophase",
         url_scorer=None,
         link_filter=None,
+        redirects=None,
     ):
         self.spark = spark
         self.pages = pages
@@ -160,6 +161,21 @@ class CrawlEngine:
         # dynamic-family guard. Must be a deterministic pure column
         # expression — resume replays it bit-identically.
         self.link_filter = link_filter
+        # HTTP-level redirect handling (301/302 chains): ``redirects`` is a
+        # (from_url, to_url) table. crawl4ai's browser follows redirects
+        # transparently inside one fetch; an HTTP frontier crawler must NOT
+        # — the TARGET host's politeness budget and robots rules govern the
+        # next hop, so a popped, robots-allowed URL matching the table is
+        # consumed without a fetch and its canonicalized target re-enters
+        # the frontier at the SAME depth (redirects don't consume crawl
+        # depth) with the source's priority, ordered BEFORE the source
+        # page's out-links (link_pos -1: the hop precedes parsing).
+        # Targets pass the same binary/boundary/link_filter gates as
+        # discovered links; chains follow across epochs; loops terminate
+        # via the visited set. The table must carry ONE row per from_url
+        # (a URL has one Location header); duplicates would overcount
+        # lineage. ``None`` (default) = behavior unchanged.
+        self.redirects = redirects
         # "twophase" (default): salted two-phase window pop — the measured
         # local/wall-clock winner (interleaved paired A/B, BENCH/
         # bench_r3_ab_pairs_postfix.json: median twophase/threshold 0.51)
@@ -245,6 +261,75 @@ class CrawlEngine:
 
     # -- expansion -----------------------------------------------------------
 
+    def _gate_next_urls(self, df: DataFrame, prefix: str | None) -> DataFrame:
+        """The discovered-URL gates (F1 binary, F4 prefix, F5 same-domain,
+        link_filter hook) over a ``next_url`` column — ONE definition so
+        link expansion and redirect targets cannot drift apart."""
+        df = df.where(
+            F.col("next_url").isNotNull() & (F.col("next_url") != "")
+        ).where(~is_binary_url(F.col("next_url")))
+        if self.link_filter is not None:
+            df = df.where(self.link_filter(F.col("next_url")))
+        if prefix is not None:
+            target_domain = urlparse(prefix).netloc
+            norm_prefix = py_comparison_normalize(prefix)
+            df = df.where(
+                (url_host(F.col("next_url")) == F.lit(target_domain))
+                & comparison_normalize(F.col("next_url")).startswith(F.lit(norm_prefix))
+            )
+        elif self.allowed_host_suffix:
+            df = df.where(
+                url_host(F.col("next_url")).endswith(F.lit(self.allowed_host_suffix))
+            )
+        return df
+
+    def _redirect_targets(self, red_src: DataFrame, prefix: str | None) -> DataFrame:
+        """Frontier rows for the redirect targets of this batch
+        (``red_src``: the batch ⋈ redirects rows, carrying to_url +
+        depth/priority/seq), shaped like ``_expand`` output: SAME depth,
+        inherited priority, ordered before the source page's links
+        (__disc_pos -1)."""
+        rt = red_src.select(
+            canonical_url(F.col("to_url")).alias("next_url"),
+            F.col("depth").alias("parent_depth"),
+            F.col("priority").alias("parent_priority"),
+            F.col("seq").alias("parent_seq"),
+        )
+        rt = self._gate_next_urls(rt, prefix)
+        return rt.select(
+            F.col("next_url").alias("canonical_url"),
+            url_hash(F.col("next_url")).alias("url_hash"),
+            url_host(F.col("next_url")).alias("host"),
+            url_path(F.col("next_url")).alias("path"),
+            F.col("parent_depth").cast("int").alias("depth"),
+            F.col("parent_priority").cast("int").alias("priority"),
+            F.col("parent_seq").alias("__disc_seq"),
+            F.lit(-1).alias("__disc_pos"),
+        )
+
+    @staticmethod
+    def _first_discoverer(discovered: DataFrame) -> DataFrame:
+        """Collapse duplicate discoveries of one URL (link ∪ redirect) to
+        the min-(__disc_seq, __disc_pos) discoverer — the same rule
+        _expand applies among links."""
+        return discovered.groupBy("canonical_url").agg(
+            F.min(
+                F.struct(
+                    "__disc_seq", "__disc_pos", "depth", "priority",
+                    "url_hash", "host", "path",
+                )
+            ).alias("k")
+        ).select(
+            "canonical_url",
+            F.col("k.url_hash").alias("url_hash"),
+            F.col("k.host").alias("host"),
+            F.col("k.path").alias("path"),
+            F.col("k.depth").alias("depth"),
+            F.col("k.priority").alias("priority"),
+            F.col("k.__disc_seq").alias("__disc_seq"),
+            F.col("k.__disc_pos").alias("__disc_pos"),
+        )
+
     def _expand(self, fetched_ok: DataFrame, prefix: str | None) -> DataFrame:
         """Discovered-link expansion with all reference filters applied
         (F1 binary, F4 prefix, F5 same-domain, F6 defrag, F7 resolve,
@@ -259,23 +344,7 @@ class CrawlEngine:
         resolved = links.withColumn(
             "next_url", canonical_url(resolve_href(F.col("base_url"), F.col("href")))
         )
-        resolved = resolved.where(
-            F.col("next_url").isNotNull() & (F.col("next_url") != "")
-        ).where(~is_binary_url(F.col("next_url")))
-        if self.link_filter is not None:
-            resolved = resolved.where(self.link_filter(F.col("next_url")))
-
-        if prefix is not None:
-            target_domain = urlparse(prefix).netloc
-            norm_prefix = py_comparison_normalize(prefix)
-            resolved = resolved.where(
-                (url_host(F.col("next_url")) == F.lit(target_domain))
-                & comparison_normalize(F.col("next_url")).startswith(F.lit(norm_prefix))
-            )
-        elif self.allowed_host_suffix:
-            resolved = resolved.where(
-                url_host(F.col("next_url")).endswith(F.lit(self.allowed_host_suffix))
-            )
+        resolved = self._gate_next_urls(resolved, prefix)
 
         # First-discoverer dedup: min (parent_seq, link_pos) per URL; depth/
         # priority inherited from that discoverer (deterministic).
@@ -565,6 +634,37 @@ class CrawlEngine:
                 denied = popped.limit(0)
                 allowed = popped
 
+            # 3xx hop: redirect sources are consumed without a fetch; their
+            # targets re-enter the frontier at the same depth (see __init__
+            # docs). Join shape mirrors _fetch_batch: the redirect table is
+            # corpus-sized at web scale (~10^8 rows of a 10^10 crawl), so
+            # the BATCH broadcasts into its scan — never the reverse — and
+            # the batch-bounded match set broadcasts back for the anti-join.
+            redirect_rows = None
+            n_redirect_src = 0
+            if self.redirects is not None:
+                obs_red = Observation(f"redir_epoch_{epoch}")
+                red_src = (
+                    self.redirects.join(
+                        F.broadcast(
+                            allowed.select(
+                                "canonical_url", "depth", "priority", "seq"
+                            )
+                        ),
+                        F.col("from_url") == F.col("canonical_url"),
+                        "inner",
+                    )
+                    .observe(obs_red, F.count(F.lit(1)).alias("n"))
+                    .localCheckpoint(eager=True, storageLevel=_SER_LEVEL)
+                )
+                n_redirect_src = int(obs_red.get["n"])
+                allowed = allowed.join(
+                    F.broadcast(red_src.select("canonical_url")),
+                    "canonical_url",
+                    "left_anti",
+                )
+                redirect_rows = self._redirect_targets(red_src, prefix)
+
             # S1/S2: fetch. D6 in-flight metrics: an Observation on the
             # fetch stage (reference heartbeat/report_progress,
             # src/crawl4ai_mcp.py:541-559,789-797) — CollectMetrics
@@ -588,7 +688,7 @@ class CrawlEngine:
                 "fetch_attempted": n_allowed,
                 "fetch_succeeded": n_fetched_ok,
             }
-            n_denied = n_popped - n_allowed
+            n_denied = n_popped - n_allowed - n_redirect_src
             fetched_ok = fetch.where(F.col("success"))
             fetched_parts.append(
                 fetched_ok.select(
@@ -607,6 +707,14 @@ class CrawlEngine:
             # F1-F8 + J2 expansion; links from the last depth level are never
             # schedulable (reference loop ends first), so prune them here.
             discovered = self._expand(fetched_ok, prefix)
+            if redirect_rows is not None:
+                # a URL both linked-to and redirected-to this epoch must
+                # keep ONE discoverer (the _expand-internal rule, applied
+                # across the union; redirect pos -1 beats its parent's
+                # links)
+                discovered = self._first_discoverer(
+                    discovered.unionByName(redirect_rows)
+                )
             discovered = discovered.where(F.col("depth") <= max_depth - 1)
             discovered = anti_join_seen(discovered, url_seen, None)  # J2 exact
             obs_disc = Observation(f"disc_epoch_{epoch}")
@@ -806,3 +914,71 @@ def crawl_report(
             ).alias("partial_failures")
         )
     return one.select(F.to_json(F.struct(*fields)).alias("report"))
+
+
+def py_crawl_with_redirects(
+    n: int,
+    seed_ids,
+    max_depth: int,
+    redirect_of,
+    respect_robots: bool = True,
+) -> dict[str, int]:
+    """Sequential twin of CrawlEngine.run(politeness=False,
+    redirects=...) — url -> schedule depth, replicating the engine's
+    first-discoverer and seq-assignment rules exactly (the DFS-twin
+    precedent: epoch-bounded redirect semantics are not a min-over-paths
+    closure, so the oracle injects this twin's output as literals).
+
+    ``redirect_of(i) -> target id | None`` is the redirect map as a
+    closed form; redirect sources are consumed WITHOUT a fetch (before
+    any status/failure consideration), their targets re-enter at the
+    same depth ordered before the source page's links (pos -1)."""
+    from ..sources.corpus import py_graph
+
+    graph = py_graph(n)
+    url_to_id = {v["url"]: i for i, v in graph.items()}
+
+    frontier: dict[str, tuple[int, int, int]] = {}
+    for k, s in enumerate(seed_ids):
+        if s < n:
+            frontier[graph[s]["url"]] = (0, 0, k)
+    seq_offset = max((v[2] for v in frontier.values()), default=-1) + 1
+    visited: dict[str, int] = {}
+
+    for _epoch in range(max_depth):
+        to_crawl = {u: v for u, v in frontier.items() if u not in visited}
+        if not to_crawl:
+            break
+        for u, (d, _p, _q) in to_crawl.items():
+            visited[u] = d
+        cands: list[tuple[int, int, str, int, int]] = []
+        for u, (d, p, q) in to_crawl.items():
+            i = url_to_id.get(u)
+            if i is None:
+                continue
+            node = graph[i]
+            if respect_robots and node["robots_denied"]:
+                continue
+            r = redirect_of(i)
+            if r is not None:
+                cands.append((q, -1, graph[r % n]["url"], d, p))
+                continue  # consumed without fetch
+            if node["status"] != 200:
+                continue
+            for pos, t in enumerate(node["targets"]):
+                cands.append((q, pos, graph[t]["url"], d + 1, p))
+        best: dict[str, tuple[int, int, int, int]] = {}
+        for q, pos, tu, d, p in cands:
+            key = (q, pos, d, p)
+            if tu not in best or key < best[tu]:
+                best[tu] = key
+        nf: dict[str, tuple[int, int, int]] = {}
+        for u, (q, pos, d, p) in sorted(
+            best.items(), key=lambda kv: (kv[1][0], kv[1][1])
+        ):
+            if d > max_depth - 1 or u in visited:
+                continue
+            nf[u] = (d, p, seq_offset)
+            seq_offset += 1
+        frontier = nf
+    return visited

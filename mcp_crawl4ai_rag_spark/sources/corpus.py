@@ -679,3 +679,31 @@ def gen_warc_blobs(
         return pd.DataFrame({"warc_file": [fname], "data": [data]})
 
     return pages.groupBy("blob_id").applyInPandas(render, out_schema)
+
+
+# Redirect map closed form: url(i) 301s to url((i*REDIR_MULT + REDIR_ADD)
+# % n) when i % REDIR_MOD == REDIR_RESIDUE — dense enough that a BFS from
+# the seeds hits redirect sources within CRAWL_DEPTH levels (pinned
+# non-vacuous in tests)
+REDIR_MOD = 5
+REDIR_RESIDUE = 2
+REDIR_MULT = 7
+REDIR_ADD = 3
+
+
+def redirect_of(i: int, n: int) -> int | None:
+    """Python twin of the redirect closed form (None = no redirect)."""
+    if i % REDIR_MOD == REDIR_RESIDUE:
+        return (i * REDIR_MULT + REDIR_ADD) % n
+    return None
+
+
+def gen_redirects(spark: SparkSession, n: int, partitions: int = 16) -> DataFrame:
+    """(from_url, to_url) redirect table over the synthetic corpus —
+    feed to ``CrawlEngine(redirects=...)``."""
+    i = F.col("id")
+    src = spark.range(0, n, 1, partitions).where(i % REDIR_MOD == REDIR_RESIDUE)
+    return src.select(
+        _url_expr(i).alias("from_url"),
+        _url_expr((i * REDIR_MULT + F.lit(REDIR_ADD)) % F.lit(n)).alias("to_url"),
+    )

@@ -857,3 +857,104 @@ def test_link_filter_hook_trap_guard(spark):
     seed_urls = {r["url"] for r in seeds.collect()}
     assert all("/private/" not in u or u in seed_urls for u in nseen)
     assert nseen < bseen
+
+
+def test_redirects_match_twin(spark):
+    """CrawlEngine(redirects=gen_redirects) visited set+depths == the
+    sequential twin py_crawl_with_redirects — same closed-form map, robots
+    respected; and the map is non-vacuous (redirects actually fired)."""
+    from mcp_crawl4ai_rag_spark.plans.crawl import (
+        CrawlEngine,
+        py_crawl_with_redirects,
+    )
+    from mcp_crawl4ai_rag_spark.sources.corpus import (
+        SEED_IDS,
+        gen_pages,
+        gen_redirects,
+        gen_robots,
+        gen_seeds,
+        redirect_of,
+    )
+
+    n, depth = 300, 4
+    res = CrawlEngine(
+        spark,
+        gen_pages(spark, n),
+        robots=gen_robots(spark),
+        allowed_host_suffix=".example.com",
+        redirects=gen_redirects(spark, n),
+    ).run(gen_seeds(spark, n), max_depth=depth)
+    got = {r["canonical_url"]: r["depth"] for r in res.url_seen.collect()}
+    want = py_crawl_with_redirects(
+        n, list(SEED_IDS), depth, lambda i: redirect_of(i, n)
+    )
+    assert got == want
+    # non-vacuous: the no-redirect crawl differs
+    base = CrawlEngine(
+        spark,
+        gen_pages(spark, n),
+        robots=gen_robots(spark),
+        allowed_host_suffix=".example.com",
+    ).run(gen_seeds(spark, n), max_depth=depth)
+    base_set = {r["canonical_url"] for r in base.url_seen.collect()}
+    assert set(got) != base_set
+
+
+def test_redirect_chain_loop_and_depth(spark):
+    """A 2-hop chain lands at the SAME depth across two epochs; a redirect
+    loop terminates via the visited set; the redirected-away source is
+    never fetched."""
+    from pyspark.sql import functions as F
+
+    from mcp_crawl4ai_rag_spark.plans.crawl import CrawlEngine
+
+    # tiny literal corpus: seed s links to a; a 301-> b 301-> c; x<->y loop
+    def page(url, links):
+        return (url, url.split("://")[1].split("/")[0], "/" + url.split("/", 3)[3],
+                "# page\n\nbody text here", links, [], 200, True)
+
+    pages = spark.createDataFrame(
+        [
+            page("https://h.example.com/s", ["https://h.example.com/a",
+                                             "https://h.example.com/x"]),
+            page("https://h.example.com/a", []),
+            page("https://h.example.com/b", []),
+            page("https://h.example.com/c", []),
+            page("https://h.example.com/x", []),
+            page("https://h.example.com/y", []),
+        ],
+        "url string, host string, path string, markdown string, "
+        "out_links array<string>, image_ids array<string>, "
+        "status int, success boolean",
+    )
+    redirects = spark.createDataFrame(
+        [
+            ("https://h.example.com/a", "https://h.example.com/b"),
+            ("https://h.example.com/b", "https://h.example.com/c"),
+            ("https://h.example.com/x", "https://h.example.com/y"),
+            ("https://h.example.com/y", "https://h.example.com/x"),
+        ],
+        "from_url string, to_url string",
+    )
+    seeds = spark.createDataFrame(
+        [("https://h.example.com/s", 0, 0, 0)],
+        "url string, priority int, depth int, seq long",
+    )
+    res = CrawlEngine(
+        spark, pages, allowed_host_suffix=".example.com", redirects=redirects
+    ).run(seeds, max_depth=4)
+    seen = {r["canonical_url"]: r["depth"] for r in res.url_seen.collect()}
+    # chain: a scheduled depth 1; b and c follow at the SAME depth 1
+    assert seen["https://h.example.com/a"] == 1
+    assert seen["https://h.example.com/b"] == 1
+    assert seen["https://h.example.com/c"] == 1
+    # loop: x and y each visited once, then the loop closes
+    assert seen["https://h.example.com/x"] == 1
+    assert seen["https://h.example.com/y"] == 1
+    fetched = {r["canonical_url"] for r in res.fetched.collect()}
+    # redirect sources are consumed without fetch; only terminal pages fetch
+    assert "https://h.example.com/a" not in fetched
+    assert "https://h.example.com/b" not in fetched
+    assert "https://h.example.com/c" in fetched
+    # lineage: redirect consumption is not misattributed to robots denials
+    assert sum(r["robots_denials"] for r in res.lineage.collect()) == 0

@@ -1080,6 +1080,35 @@ def main():
         checks,
     ))
 
+    # redirect hop: the redirect table is corpus-sized at web scale, so
+    # the popped BATCH must broadcast into its scan (the _fetch_batch
+    # shape) — never the reverse.
+    from mcp_crawl4ai_rag_spark.sources.corpus import gen_redirects
+
+    red_tbl = gen_redirects(spark, 100_000)
+    red_batch = spark.range(0, 64, 1, 2).select(
+        (F.col("id") * 5 + 2).alias("i")
+    ).select(
+        F.concat(F.lit("https://h1.example.com/p/"), F.col("i").cast("string")).alias("canonical_url"),
+        F.lit(0).alias("depth"), F.lit(0).alias("priority"), F.col("i").alias("seq"),
+    )
+    red_plan = formatted(
+        red_tbl.join(
+            F.broadcast(red_batch),
+            F.col("from_url") == F.col("canonical_url"),
+            "inner",
+        )
+    )
+    checks = [
+        ("BroadcastHashJoin", "batch broadcast; redirect table streams"),
+        ("!Exchange hashpartitioning", "the big redirect side never shuffles"),
+    ]
+    sections.append((
+        "Redirect hop (batch broadcast into the redirect-table scan)",
+        red_plan,
+        checks,
+    ))
+
     out = ["# Physical-plan audit (auto-generated by tools/explain_plans.py)",
            "", f"sf_dir: {sf_dir}", ""]
     n_fail = 0
