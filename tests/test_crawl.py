@@ -958,3 +958,16 @@ def test_redirect_chain_loop_and_depth(spark):
     assert "https://h.example.com/c" in fetched
     # lineage: redirect consumption is not misattributed to robots denials
     assert sum(r["robots_denials"] for r in res.lineage.collect()) == 0
+
+
+def test_redirect_twin_degenerates_to_reference_crawl():
+    """With an empty redirect map the redirect twin's visited set equals
+    the reference BFS oracle — the two sequential twins cannot drift
+    (pure Python, no Spark)."""
+    from mcp_crawl4ai_rag_spark.plans.crawl import py_crawl_with_redirects
+    from mcp_crawl4ai_rag_spark.sources.corpus import SEED_IDS
+
+    for n, depth in [(120, 3), (300, 4), (500, 5)]:
+        want, _fetched = reference_crawl(n, list(SEED_IDS), depth)
+        got = py_crawl_with_redirects(n, list(SEED_IDS), depth, lambda i: None)
+        assert got == want, (n, depth)

@@ -541,3 +541,28 @@ def test_robots_status_engine_closure(spark):
     assert len(fetched_hosts) > 1  # others crawled
     denials = sum(r["robots_denials"] for r in res.lineage.collect())
     assert denials > 0
+
+
+def test_property_wildcard_free_rules_equal_prefix_semantics():
+    """For rules with no '*' and no trailing '$', the wildcard gate's
+    per-rule match is exactly startswith — the subsumption law behind
+    robots_denied_wildcard_expr replacing the prefix gate."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mcp_crawl4ai_rag_spark.sources.robots import py_compile_robots_pattern
+
+    seg = st.text(alphabet="ab/.c-_%()[]{}+?^", min_size=0, max_size=12)
+
+    @given(rule=seg, path=seg)
+    @settings(max_examples=400, deadline=None)
+    def run(rule, path):
+        if rule.endswith("$"):
+            rule = rule + "x"  # keep it wildcard-free in the trailing sense
+        rx, spec = py_compile_robots_pattern(rule)
+        assert spec == len(rule)
+        assert bool(re.search(rx, path)) == path.startswith(rule)
+
+    run()

@@ -736,3 +736,38 @@ def test_domain_grain_politeness_collapse(spark):
     budgets = compute_budgets(domains.distinct(), None, None)
     rows = {r["host"]: r["budget"] for r in budgets.collect()}
     assert set(rows) == {"example.com", "x.co.uk"}
+
+
+def test_property_new_kernels_total_and_domain_idempotent():
+    """Totality of the new py twins over arbitrary URL-ish text, and
+    eTLD+1 idempotence: the registrable domain of a registrable domain is
+    itself."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mcp_crawl4ai_rag_spark.functions.urls import (
+        py_is_crawl_trap,
+        py_max_segment_run,
+        py_registrable_domain,
+        py_url_template,
+    )
+
+    urlish = st.text(alphabet="ab09./:?&=#-_", max_size=40)
+    hostish = st.text(alphabet="ab09.-", min_size=1, max_size=30)
+
+    @given(u=urlish)
+    @settings(max_examples=400, deadline=None)
+    def run_total(u):
+        url = "https://" + u
+        assert isinstance(py_is_crawl_trap(url), bool)
+        assert py_max_segment_run(url) >= 0
+        assert isinstance(py_url_template(url), str)
+
+    @given(h=hostish)
+    @settings(max_examples=400, deadline=None)
+    def run_idem(h):
+        d = py_registrable_domain(h)
+        assert py_registrable_domain(d) == d
+
+    run_total()
+    run_idem()

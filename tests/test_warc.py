@@ -167,3 +167,51 @@ def test_warc_to_markdown_composition(spark):
     assert len(via_warc) == len(direct)
     for r in via_warc:
         assert direct[r["url"]] == r["markdown"]
+
+
+def test_property_warc_roundtrip_arbitrary_bodies():
+    """Render -> parse is the identity on response records for arbitrary
+    bodies (including CRLF runs, WARC-header lookalikes, unicode), with
+    noise records interleaved and optional gzip."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    body = st.text(
+        alphabet=st.sampled_from(list("abc\r\n:/ WARC10é€")), max_size=60
+    )
+    cases = st.lists(
+        st.tuples(body, st.sampled_from([200, 404, 429]), st.booleans()),
+        min_size=0,
+        max_size=6,
+    )
+
+    @given(cases=cases, gz=st.booleans())
+    @settings(max_examples=200, deadline=None)
+    def run(cases, gz):
+        parts = []
+        want = []
+        for k, (b, status, with_req) in enumerate(cases):
+            url = f"https://e.com/p{k}"
+            if with_req:
+                parts.append(
+                    render_warc_record(
+                        "request",
+                        url,
+                        b"GET / HTTP/1.1\r\n\r\n",
+                        content_type="application/http; msgtype=request",
+                    )
+                )
+            parts.append(
+                render_warc_record(
+                    "response", url, render_http_response(b, status=status),
+                    record_id=f"r{k}",
+                )
+            )
+            want.append((url, status, b))
+        blob = b"".join(parts)
+        if gz:
+            blob = gzip.compress(blob, mtime=0)
+        got = [(u, s, bod) for u, s, _ct, bod in py_parse_warc(blob)]
+        assert got == want
+
+    run()
