@@ -296,13 +296,20 @@ class CrawlEngine:
             F.col("seq").alias("parent_seq"),
         )
         rt = self._gate_next_urls(rt, prefix)
+        # best-first consistency: a scored engine scores the TARGET like
+        # any discovered URL (_expand's rule); otherwise inherit the source
+        prio = (
+            self.url_scorer(F.col("next_url")).cast("int")
+            if self.url_scorer is not None
+            else F.col("parent_priority").cast("int")
+        )
         return rt.select(
             F.col("next_url").alias("canonical_url"),
             url_hash(F.col("next_url")).alias("url_hash"),
             url_host(F.col("next_url")).alias("host"),
             url_path(F.col("next_url")).alias("path"),
             F.col("parent_depth").cast("int").alias("depth"),
-            F.col("parent_priority").cast("int").alias("priority"),
+            prio.alias("priority"),
             F.col("parent_seq").alias("__disc_seq"),
             F.lit(-1).alias("__disc_pos"),
         )
