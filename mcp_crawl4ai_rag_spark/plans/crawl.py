@@ -58,6 +58,7 @@ from ..functions.urls import (
     url_hash,
     url_host,
     url_path,
+    url_template,
 )
 from ..operators.politeness import (
     attach_budgets,
@@ -134,6 +135,7 @@ class CrawlEngine:
         url_scorer=None,
         link_filter=None,
         redirects=None,
+        template_guard_cap=None,
     ):
         self.spark = spark
         self.pages = pages
@@ -176,6 +178,18 @@ class CrawlEngine:
         # (a URL has one Location header); duplicates would overcount
         # lineage. ``None`` (default) = behavior unchanged.
         self.redirects = redirects
+        # Dynamic trap-family guard (the IN-CRAWL seat of operators/
+        # politeness.template_explosion): with ``template_guard_cap=N``,
+        # per-(host,template) scheduled counts are folded INCREMENTALLY
+        # from each popped batch (the host_counts pattern — a
+        # |families|-row table, never a url_seen re-aggregation), and
+        # discovered URLs whose family already exceeds N are dropped
+        # before they enter the frontier (broadcast LEFT ANTI on the
+        # family-bounded flagged set). Families explode DURING a crawl —
+        # a static link_filter can't see them; this guard can. On resume
+        # the counter is rebuilt once from the checkpointed url_seen.
+        # ``None`` (default) = behavior unchanged.
+        self.template_guard_cap = template_guard_cap
         # "twophase" (default): salted two-phase window pop — the measured
         # local/wall-clock winner (interleaved paired A/B, BENCH/
         # bench_r3_ab_pairs_postfix.json: median twophase/threshold 0.51)
@@ -500,6 +514,16 @@ class CrawlEngine:
                 host_counts = spark.createDataFrame(
                     [], "host string, scheduled long"
                 )
+        tpl_counts = None  # (template, n) — only when template-guarded
+        if self.template_guard_cap is not None:
+            if _resume_state is not None:
+                tpl_counts = url_seen.groupBy(
+                    url_template(F.col("canonical_url")).alias("template")
+                ).agg(F.count(F.lit(1)).alias("n")).localCheckpoint(
+                    eager=True, storageLevel=_SER_LEVEL
+                )
+            else:
+                tpl_counts = spark.createDataFrame([], "template string, n long")
         prev_popped = None  # quota no-progress detection
 
         for epoch in range(start_epoch, limit):
@@ -609,6 +633,25 @@ class CrawlEngine:
                             F.coalesce(F.col("scheduled"), F.lit(0))
                             + F.coalesce(F.col("__d"), F.lit(0))
                         ).alias("scheduled"),
+                    )
+                    .localCheckpoint(eager=True, storageLevel=_SER_LEVEL)
+                )
+
+            # trap-family accounting: fold this batch's per-family counts
+            # into the |families|-row counter (incremental, like
+            # host_counts)
+            if self.template_guard_cap is not None and n_popped:
+                tdelta = popped.groupBy(
+                    url_template(F.col("canonical_url")).alias("template")
+                ).agg(F.count(F.lit(1)).alias("__d"))
+                tpl_counts = (
+                    tpl_counts.join(tdelta, "template", "full")
+                    .select(
+                        "template",
+                        (
+                            F.coalesce(F.col("n"), F.lit(0))
+                            + F.coalesce(F.col("__d"), F.lit(0))
+                        ).alias("n"),
                     )
                     .localCheckpoint(eager=True, storageLevel=_SER_LEVEL)
                 )
@@ -723,6 +766,24 @@ class CrawlEngine:
                     discovered.unionByName(redirect_rows)
                 )
             discovered = discovered.where(F.col("depth") <= max_depth - 1)
+            # dynamic trap-family guard: discoveries whose family already
+            # exceeded the cap never enter the frontier (flagged set is
+            # family-bounded — broadcast anti-join, wide rows don't move)
+            if self.template_guard_cap is not None:
+                flagged = tpl_counts.where(
+                    F.col("n") > F.lit(int(self.template_guard_cap))
+                ).select("template")
+                discovered = (
+                    discovered.withColumn(
+                        "__tpl", url_template(F.col("canonical_url"))
+                    )
+                    .join(
+                        F.broadcast(flagged),
+                        F.col("__tpl") == F.col("template"),
+                        "left_anti",
+                    )
+                    .drop("__tpl")
+                )
             discovered = anti_join_seen(discovered, url_seen, None)  # J2 exact
             obs_disc = Observation(f"disc_epoch_{epoch}")
             discovered = discovered.observe(

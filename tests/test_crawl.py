@@ -971,3 +971,79 @@ def test_redirect_twin_degenerates_to_reference_crawl():
         want, _fetched = reference_crawl(n, list(SEED_IDS), depth)
         got = py_crawl_with_redirects(n, list(SEED_IDS), depth, lambda i: None)
         assert got == want, (n, depth)
+
+
+def test_template_guard_cap_stops_mill_midcrawl(spark):
+    """The in-crawl trap-family guard: a session-id mill that explodes
+    DURING the crawl is cut off once its family count passes the cap,
+    while the benign chain keeps crawling; a huge cap is a no-op."""
+    from pyspark.sql import functions as F
+
+    from mcp_crawl4ai_rag_spark.plans.crawl import CrawlEngine
+
+    # mill: /sess/<hex>/view pages, each linking 2 more mill pages;
+    # benign: /docs/a -> /docs/b -> /docs/c chain
+    def hexid(i):
+        return f"{0xA0000000 + i:08x}"
+
+    rows = []
+
+    def page(url, links):
+        rows.append(
+            (url, "h.example.com", "/" + url.split("/", 3)[3],
+             "# page\n\nbody text here", links, [], 200, True)
+        )
+
+    for i in range(40):
+        page(
+            f"https://h.example.com/sess/{hexid(i)}/view",
+            [
+                f"https://h.example.com/sess/{hexid(2 * i + 40)}/view",
+                f"https://h.example.com/sess/{hexid(2 * i + 41)}/view",
+            ],
+        )
+    for i in range(40, 200):
+        page(f"https://h.example.com/sess/{hexid(i)}/view", [])
+    page("https://h.example.com/docs/a", ["https://h.example.com/docs/b"])
+    page("https://h.example.com/docs/b", ["https://h.example.com/docs/c"])
+    page("https://h.example.com/docs/c", [])
+    page(
+        "https://h.example.com/start",
+        ["https://h.example.com/docs/a",
+         f"https://h.example.com/sess/{hexid(0)}/view",
+         f"https://h.example.com/sess/{hexid(1)}/view"],
+    )
+    pages = spark.createDataFrame(
+        rows,
+        "url string, host string, path string, markdown string, "
+        "out_links array<string>, image_ids array<string>, "
+        "status int, success boolean",
+    )
+    seeds = spark.createDataFrame(
+        [("https://h.example.com/start", 0, 0, 0)],
+        "url string, priority int, depth int, seq long",
+    )
+
+    capped = CrawlEngine(
+        spark, pages, allowed_host_suffix=".example.com",
+        template_guard_cap=2,
+    ).run(seeds, max_depth=5)
+    seen = [r["canonical_url"] for r in capped.url_seen.collect()]
+    mill_seen = [u for u in seen if "/sess/" in u]
+    # the family closes once its SCHEDULED count exceeds 2: after the two
+    # depth-1 mill pages pop the count is exactly 2 (not >2), so their
+    # children still enter; the next epoch pops those 4 (count 6 > 2) and
+    # every later discovery in the family is guarded off
+    assert len(mill_seen) < 12, mill_seen
+    assert "https://h.example.com/docs/c" in seen  # benign chain unharmed
+
+    uncapped = CrawlEngine(
+        spark, pages, allowed_host_suffix=".example.com",
+        template_guard_cap=10_000,
+    ).run(seeds, max_depth=5)
+    base = CrawlEngine(
+        spark, pages, allowed_host_suffix=".example.com",
+    ).run(seeds, max_depth=5)
+    assert {
+        (r["canonical_url"], r["seq"]) for r in uncapped.url_seen.collect()
+    } == {(r["canonical_url"], r["seq"]) for r in base.url_seen.collect()}
