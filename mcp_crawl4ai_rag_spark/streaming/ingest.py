@@ -300,3 +300,32 @@ def change_gate_stream(
         )
         .drop("__prev_fp", "__fp")
     )
+
+
+WARC_STREAM_SCHEMA = "warc_file string, data binary"
+
+
+def stream_warc_blobs(
+    spark: SparkSession, dir_path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming source over an append-only directory of WARC-blob parquet
+    files — the archive-ingestion twin of :func:`stream_image_results`.
+    At web scale new WARC segments land continuously (Common Crawl
+    publishes in monthly waves, a live crawler in minutes); a file-source
+    stream turns the batch parse into incremental ingestion with no code
+    change to the parser."""
+    reader = spark.readStream.schema(WARC_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(dir_path)
+
+
+def parse_warc_stream(blobs: DataFrame) -> DataFrame:
+    """Content-length-framed WARC parse on the stream: the batch
+    sources/warc.parse_warc mapInPandas kernel applied verbatim — a
+    stateless Arrow transform is streaming-safe, so each arriving blob
+    fans out to its response rows incrementally (the verify_image_stream
+    precedent)."""
+    from ..sources.warc import parse_warc
+
+    return parse_warc(blobs)

@@ -424,3 +424,71 @@ def test_verify_image_stream_forwards_psnr_threshold(spark):
     ) as vi:
         verify_image_stream(imgs, min_psnr_db=33.0)
         vi.assert_called_once_with(imgs, min_psnr_db=33.0)
+
+
+def test_warc_stream_parses_incrementally(spark, tmp_path):
+    """Archive blobs arriving as two file batches parse through the real
+    streaming engine into exactly the batch parse's rows — the Common
+    Crawl incremental-ingestion shape (markdown extraction composes on
+    the stream too: stateless Arrow transforms chain)."""
+    from pyspark.sql import functions as F
+
+    from mcp_crawl4ai_rag_spark.functions.html import extract_markdown
+    from mcp_crawl4ai_rag_spark.sources.corpus import WARC_404_MOD, gen_warc_blobs
+    from mcp_crawl4ai_rag_spark.sources.warc import parse_warc
+    from mcp_crawl4ai_rag_spark.streaming.ingest import (
+        parse_warc_stream,
+        stream_warc_blobs,
+    )
+
+    n = 80
+    blobs = gen_warc_blobs(spark, n, records_per_blob=20)  # 4 blobs
+    src = str(tmp_path / "warcsrc")
+    out = str(tmp_path / "warcsink")
+    ckpt = str(tmp_path / "warcckpt")
+    # two arrival waves: blobs 0-1 then 2-3
+    blobs.where(F.col("warc_file") <= "crawl-000001.warc.gz").write.parquet(
+        src + "/b0"
+    )
+
+    def run_once():
+        q = (
+            extract_markdown(
+                parse_warc_stream(
+                    stream_warc_blobs(spark, src + "/*")
+                ).where(F.col("status") == 200),
+                "html",
+                "markdown",
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = spark.read.parquet(out).count()
+    assert first == sum(
+        1 for i in range(40) if i % WARC_404_MOD != 0
+    )
+    blobs.where(F.col("warc_file") > "crawl-000001.warc.gz").write.parquet(
+        src + "/b1"
+    )
+    run_once()
+    got = spark.read.parquet(out)
+    want = (
+        extract_markdown(
+            parse_warc(gen_warc_blobs(spark, n, records_per_blob=20)).where(
+                F.col("status") == 200
+            ),
+            "html",
+            "markdown",
+        )
+        .select("url", "markdown")
+    )
+    g = {(r["url"], r["markdown"]) for r in got.select("url", "markdown").collect()}
+    w = {(r["url"], r["markdown"]) for r in want.collect()}
+    assert g == w and len(g) == sum(1 for i in range(n) if i % WARC_404_MOD != 0)
