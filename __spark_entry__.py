@@ -670,6 +670,7 @@ _WILDCARD_ROBOTS_BODY = (
     "Disallow: /p/*4$\n"
     "Allow: /p/*44$\n"
     "Disallow: /p/1*3\n"
+    "Disallow: /p/*?sessionid=*\n"
 )
 
 
@@ -694,12 +695,20 @@ def q_robots_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pats = compile_rule_patterns(parse_robots_rules(bodies)).drop("host")
     n = _lineitem_count(spark, sf_dir)
+    # the RFC match target is path INCLUDING query — every 7th non-private
+    # id carries a session-id query so the '/*?sessionid=*' rule (the
+    # canonical real-world wildcard) is exercised
+    ids = F.col("id").cast("string")
     paths = spark.range(0, n, 1, 16).select(
         F.when(
             F.col("id") % 3 == 0,
-            F.concat(F.lit("/private/p/"), F.col("id").cast("string")),
+            F.concat(F.lit("/private/p/"), ids),
         )
-        .otherwise(F.concat(F.lit("/p/"), F.col("id").cast("string")))
+        .when(
+            F.col("id") % 7 == 1,
+            F.concat(F.lit("/p/"), ids, F.lit("?sessionid="), ids),
+        )
+        .otherwise(F.concat(F.lit("/p/"), ids))
         .alias("path")
     )
     return paths.crossJoin(F.broadcast(pats)).select(
@@ -3866,15 +3875,23 @@ FROM p
     # rfc_wildcard leg: the '*'/'$' rule set of _WILDCARD_ROBOTS_BODY
     # restated closed-form on the id that built each path (never a SQL
     # regex engine — the oracle re-derives the MATCH SETS from the path
-    # formula): '/private' (spec 8) ⇔ id%3=0; '/p/*4$' (6) ⇔ non-private
-    # and id ends in 4; '/p/1*3' (6) ⇔ non-private, id starts with '1'
-    # and has a '3' after it; Allow '/p/*44$' (7) ⇔ id ends in 44.
-    # Denied iff max disallow specificity > max allow specificity.
+    # formula). The match TARGET is path+query; query rows (id%3<>0,
+    # id%7=1) append '?sessionid=<id>'. Per rule:
+    # '/private' (spec 8) ⇔ id%3=0; '/p/*4$' (6) ⇔ non-private and the
+    # target ends in '4' — for query rows sessionid=<id> also ends with
+    # the id, so the condition is id%10=4 in BOTH cases; '/p/1*3' (6) ⇔
+    # non-private, id starts '1' and a '3' follows ('sessionid' has no
+    # '3' and the second id copy adds nothing new when id[0]='1');
+    # '/p/*?sessionid=*' (16) ⇔ the query rows — the rule a path-only
+    # match could never fire; Allow '/p/*44$' (7) ⇔ id%100=44 (loses to
+    # the sessionid rule's 16 octets on query rows — precedence
+    # exercised). Denied iff max disallow spec > max allow spec.
     wc = f"""
 WITH p AS (
   SELECT id,
          CAST(id AS VARCHAR) AS ids,
          CASE WHEN id % 3 = 0 THEN '/private/p/' || id
+              WHEN id % 7 = 1 THEN '/p/' || id || '?sessionid=' || id
               ELSE '/p/' || id END AS path
   FROM (SELECT unnest(generate_series(0, {N_SQL} - 1)) AS id)
 )
@@ -3884,7 +3901,8 @@ SELECT path AS host,
                   CASE WHEN id % 3 <> 0 AND id % 10 = 4 THEN 6 ELSE -1 END,
                   CASE WHEN id % 3 <> 0 AND substr(ids, 1, 1) = '1'
                             AND strpos(substr(ids, 2), '3') > 0
-                       THEN 6 ELSE -1 END)
+                       THEN 6 ELSE -1 END,
+                  CASE WHEN id % 3 <> 0 AND id % 7 = 1 THEN 16 ELSE -1 END)
          >
          (CASE WHEN id % 3 <> 0 AND id % 100 = 44 THEN 7 ELSE -1 END)
        THEN 1 ELSE 0 END AS BIGINT) AS value

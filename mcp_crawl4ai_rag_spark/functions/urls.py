@@ -608,6 +608,25 @@ def max_segment_run(url: Column | str) -> Column:
     return state["best"]
 
 
+def url_path_query(url: Column | str) -> Column:
+    """Path plus optional '?query' of a URL — the RFC 9309 match target
+    (robots rules match against the path INCLUDING the query string:
+    '/*.php' matches '/index.php?parameters'); fragment excluded."""
+    c = F.col(url) if isinstance(url, str) else url
+    q = F.regexp_extract(c, _QUERY_RE, 1)
+    return F.concat(
+        url_path(c),
+        F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+    )
+
+
+def py_url_path_query(url: str) -> str:
+    """Python twin of url_path_query."""
+    p = _py_url_path(url)
+    q = _py_url_query(url)
+    return p + (f"?{q}" if q else "")
+
+
 def query_param_count(url: Column | str) -> Column:
     """Number of non-empty '&'-separated query parameters (0 if no query)."""
     c = F.col(url) if isinstance(url, str) else url
@@ -653,8 +672,13 @@ _MULTI_LABEL_SUFFIXES = (
 
 def registrable_domain(host: Column | str) -> Column:
     """eTLD+1 of a hostname column — one codegen expression (split +
-    slice + when-chain over the built-in suffix set); lowercases first."""
-    c = F.lower(F.col(host) if isinstance(host, str) else host)
+    slice + when-chain over the built-in suffix set); lowercases first
+    and strips a trailing-dot FQDN root ('example.com.' is the same host
+    as 'example.com'; without the strip every .com FQDN would collapse
+    into one 'com.' politeness bucket)."""
+    c = F.regexp_replace(
+        F.lower(F.col(host) if isinstance(host, str) else host), r"\.+$", ""
+    )
     labels = F.split(c, r"\.")
     n = F.size(labels)
     last2 = F.array_join(F.slice(labels, -2, 2), ".")
@@ -674,7 +698,7 @@ def py_registrable_domain(host: str) -> str:
     """Python twin of registrable_domain."""
     import re as _re
 
-    h = host.lower()
+    h = host.lower().rstrip(".")
     labels = h.split(".")
     if _re.fullmatch(r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+", h) or len(labels) <= 2:
         return h
@@ -728,11 +752,8 @@ def url_template(url: Column | str) -> Column:
 
 
 def py_url_template(url: str) -> str:
-    """Python twin of url_template."""
+    """Python twin of url_template (kernel-faithful extraction)."""
     import re as _re
-    from urllib.parse import urlsplit
-
-    p = urlsplit(url)
 
     def classify(s: str) -> str:
         if _re.fullmatch(r"[0-9]+", s):
@@ -745,21 +766,45 @@ def py_url_template(url: str) -> str:
             return "S"
         return s.lower()
 
-    segs = [classify(s) for s in p.path.split("/") if s]
-    names = sorted(
-        seg.split("=", 1)[0] for seg in p.query.split("&") if seg
-    ) if p.query else []
-    out = p.netloc.lower() + "/" + "/".join(segs)
+    segs = [classify(s) for s in _py_url_path(url).split("/") if s]
+    q = _py_url_query(url)
+    names = sorted(seg.split("=", 1)[0] for seg in q.split("&") if seg) if q else []
+    out = _py_url_host(url).lower() + "/" + "/".join(segs)
     if names:
         out += "?" + "&".join(names)
     return out
 
 
-def py_max_segment_run(url: str) -> int:
-    """Python twin of max_segment_run."""
-    from urllib.parse import urlsplit
+# Kernel-faithful scalar extraction: the Catalyst kernels use the same
+# anchored regexes (url_path/url_host require 'scheme://' and yield ''
+# otherwise; the query regex works scheme-less) — the twins MUST mirror
+# that, not urlsplit, or twin and column verdicts diverge on relative
+# input (e.g. '/a/a/a' has urlsplit path '/a/a/a' but kernel path '').
+import re as _re_mod
 
-    segs = [s for s in urlsplit(url).path.split("/") if s]
+_PY_PATH_RE = _re_mod.compile(_PATH_RE)
+_PY_QUERY_RE = _re_mod.compile(_QUERY_RE)
+_PY_NETLOC_RE = _re_mod.compile(_NETLOC_RE)
+
+
+def _py_url_path(url: str) -> str:
+    m = _PY_PATH_RE.match(url)
+    return m.group(1) if m else ""
+
+
+def _py_url_query(url: str) -> str:
+    m = _PY_QUERY_RE.match(url)
+    return m.group(1) if m else ""
+
+
+def _py_url_host(url: str) -> str:
+    m = _PY_NETLOC_RE.match(url)
+    return m.group(1) if m else ""
+
+
+def py_max_segment_run(url: str) -> int:
+    """Python twin of max_segment_run (kernel-faithful path extraction)."""
+    segs = [s for s in _py_url_path(url).split("/") if s]
     best = run = 0
     prev = None
     for s in segs:
@@ -776,12 +821,10 @@ def py_is_crawl_trap(
     max_query_params: int = TRAP_MAX_QUERY_PARAMS,
     max_url_len: int = TRAP_MAX_URL_LEN,
 ) -> bool:
-    """Python twin of is_crawl_trap."""
-    from urllib.parse import urlsplit
-
-    p = urlsplit(url)
-    segs = [s for s in p.path.split("/") if s]
-    n_params = len([s for s in p.query.split("&") if s]) if p.query else 0
+    """Python twin of is_crawl_trap (kernel-faithful extraction)."""
+    segs = [s for s in _py_url_path(url).split("/") if s]
+    q = _py_url_query(url)
+    n_params = len([s for s in q.split("&") if s]) if q else 0
     return (
         py_max_segment_run(url) > max_seg_run
         or len(segs) > max_segments

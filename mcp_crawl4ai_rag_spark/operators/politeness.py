@@ -330,22 +330,22 @@ def py_robots_denied_rfc(
     return dis > alw
 
 
-def _longest_pattern_match_len(pats_col: str) -> "F.Column":
-    """Specificity of the most specific wildcard rule matching ``path``;
+def _longest_pattern_match_len(pats_col: str, target: "F.Column") -> "F.Column":
+    """Specificity of the most specific wildcard rule matching ``target``;
     -1 when none match. ``pats_col`` holds (re, len) structs pre-compiled
     by sources/robots.compile_rule_patterns — the per-URL work is regex
     matching only, still pure codegen (regexp_like inside an array
     filter), no Python."""
     matched = F.filter(
         F.coalesce(F.col(pats_col), F.array()),
-        lambda p: F.regexp_like(F.col("path"), p["re"]),
+        lambda p: F.regexp_like(target, p["re"]),
     )
     return F.coalesce(
         F.array_max(F.transform(matched, lambda p: p["len"])), F.lit(-1)
     )
 
 
-def robots_denied_wildcard_expr():
+def robots_denied_wildcard_expr(target: "F.Column | None" = None):
     """RFC 9309 section 2.2.3 wildcard rules ('*' any-sequence, trailing
     '$' end-anchor) under the section 2.2.2 longest-match precedence:
     among all matching rules the most octets govern, an Allow/Disallow
@@ -354,10 +354,20 @@ def robots_denied_wildcard_expr():
     robots_denied_rfc_expr on wildcard-free tables (a prefix rule
     compiles to its anchored-prefix regex with identical specificity).
     The crawl engine auto-selects this gate when its robots table
-    carries ``disallow_pats``."""
-    return _longest_pattern_match_len("disallow_pats") > _longest_pattern_match_len(
-        "allow_pats"
-    )
+    carries ``disallow_pats``.
+
+    ``target`` is the RFC match target: the path INCLUDING the query
+    string ('/*.php' matches '/index.php?parameters'; a primary use of
+    '*' rules is query patterns like '/*?sessionid=*', which a
+    path-only match could never deny). Defaults to ``F.col("path")``
+    for frames that only carry a path; pass
+    ``functions/urls.url_path_query(F.col("canonical_url"))`` when the
+    full URL is available — the crawl engine does."""
+    if target is None:
+        target = F.col("path")
+    return _longest_pattern_match_len(
+        "disallow_pats", target
+    ) > _longest_pattern_match_len("allow_pats", target)
 
 
 def py_robots_denied_wildcard(
@@ -468,18 +478,17 @@ def template_explosion(
         if max_urls_per_template is None
         else max_urls_per_template
     )
-    from ..functions.urls import url_host
-
+    # the template string already BEGINS with the lowercased host
+    # (url_template concats it first), so grouping by template alone is
+    # the same partition with one less derived key in the shuffle; the
+    # host output column is sliced back off the template for callers
     agg = (
-        urls.select(
-            F.lower(url_host(F.col(url_col))).alias("host"),
-            url_template(F.col(url_col)).alias("template"),
-        )
-        .groupBy("host", "template")
+        urls.select(url_template(F.col(url_col)).alias("template"))
+        .groupBy("template")
         .agg(F.count("*").alias("n_urls"))
     )
     return agg.select(
-        "host",
+        F.substring_index(F.col("template"), "/", 1).alias("host"),
         "template",
         "n_urls",
         (F.col("n_urls") > F.lit(cap)).alias("exploded"),

@@ -58,9 +58,11 @@ from ..functions.urls import (
     url_hash,
     url_host,
     url_path,
+    url_path_query,
     url_template,
 )
 from ..operators.politeness import (
+    apply_template_guard,
     attach_budgets,
     pop_per_host,
     pop_per_host_threshold,
@@ -174,10 +176,19 @@ class CrawlEngine:
         # page's out-links (link_pos -1: the hop precedes parsing).
         # Targets pass the same binary/boundary/link_filter gates as
         # discovered links; chains follow across epochs; loops terminate
-        # via the visited set. The table must carry ONE row per from_url
-        # (a URL has one Location header); duplicates would overcount
-        # lineage. ``None`` (default) = behavior unchanged.
-        self.redirects = redirects
+        # via the visited set. A URL has ONE Location header, so the map
+        # is deduped to min(to_url) per from_url here — duplicate rows
+        # (e.g. a fetch log where a Location changed between
+        # observations) would otherwise undercount lineage denials and
+        # leave the kept target to a struct-min tiebreak. Callers with a
+        # known-unique table at 10^10 scale should pre-dedup and the
+        # aggregation collapses to a cheap pass-through of unique keys.
+        # ``None`` (default) = behavior unchanged.
+        self.redirects = (
+            redirects.groupBy("from_url").agg(F.min("to_url").alias("to_url"))
+            if redirects is not None
+            else None
+        )
         # Dynamic trap-family guard (the IN-CRAWL seat of operators/
         # politeness.template_explosion): with ``template_guard_cap=N``,
         # per-(host,template) scheduled counts are folded INCREMENTALLY
@@ -673,7 +684,11 @@ class CrawlEngine:
                 # deny-only prefix gate (strictly more conservative)
                 # otherwise
                 if "disallow_pats" in self.robots.columns:
-                    deny = robots_denied_wildcard_expr()
+                    # RFC match target = path + query (a path-only match
+                    # can never deny '/*?sessionid=*'-style rules)
+                    deny = robots_denied_wildcard_expr(
+                        url_path_query(F.col("canonical_url"))
+                    )
                 elif "allow_prefixes" in self.robots.columns:
                     deny = robots_denied_rfc_expr()
                 else:
@@ -767,22 +782,19 @@ class CrawlEngine:
                 )
             discovered = discovered.where(F.col("depth") <= max_depth - 1)
             # dynamic trap-family guard: discoveries whose family already
-            # exceeded the cap never enter the frontier (flagged set is
-            # family-bounded — broadcast anti-join, wide rows don't move)
+            # exceeded the cap never enter the frontier — ONE guard
+            # definition (operators/politeness.apply_template_guard; the
+            # flagged set is family-bounded, broadcast anti-join, wide
+            # rows don't move)
             if self.template_guard_cap is not None:
-                flagged = tpl_counts.where(
-                    F.col("n") > F.lit(int(self.template_guard_cap))
-                ).select("template")
-                discovered = (
-                    discovered.withColumn(
-                        "__tpl", url_template(F.col("canonical_url"))
-                    )
-                    .join(
-                        F.broadcast(flagged),
-                        F.col("__tpl") == F.col("template"),
-                        "left_anti",
-                    )
-                    .drop("__tpl")
+                discovered = apply_template_guard(
+                    discovered,
+                    tpl_counts.select(
+                        "template",
+                        (
+                            F.col("n") > F.lit(int(self.template_guard_cap))
+                        ).alias("exploded"),
+                    ),
                 )
             discovered = anti_join_seen(discovered, url_seen, None)  # J2 exact
             obs_disc = Observation(f"disc_epoch_{epoch}")

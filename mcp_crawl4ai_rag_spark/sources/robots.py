@@ -310,15 +310,30 @@ def py_robots_status_rules(
     return ["/"], [], None  # unreachable/5xx/3xx-terminal: full disallow
 
 
-def robots_table_from_fetch(
-    fetched: DataFrame, agent: str = "*", with_allow: bool = False
-) -> DataFrame:
+FETCH_RULES_SCHEMA = (
+    "host string, disallow_prefixes array<string>,"
+    " allow_prefixes array<string>,"
+    " disallow_pats array<struct<re: string, len: int>>,"
+    " allow_pats array<struct<re: string, len: int>>,"
+    " crawl_delay double"
+)
+
+
+def robots_table_from_fetch(fetched: DataFrame, agent: str = "*") -> DataFrame:
     """(host, status int, body string) → the engine's robots table with the
     RFC 9309 section 2.3.1 status semantics applied per host. One
-    Arrow-batched stage; output schema matches parse_robots_bodies
-    (deny-only) or parse_robots_rules (``with_allow=True``), so the result
-    drops into ``CrawlEngine(robots=...)`` unchanged and hosts whose
-    robots fetch 5xx'd are fully closed until a later fetch succeeds."""
+    Arrow-batched stage.
+
+    The output carries BOTH the raw prefix rules (for introspection and
+    the crawl_delay/budget dims) and the compiled ``disallow_pats`` /
+    ``allow_pats`` wildcard patterns, so ``CrawlEngine(robots=...)``
+    auto-selects the wildcard gate. This is load-bearing, not optional:
+    real robots bodies carry '*'/'$' rules ('Disallow: /*?sessionid=*'),
+    and feeding them into a prefix gate makes them dead letters — a
+    'Disallow: /*' site would be crawled end to end because no path
+    starts with the literal '/*'. The 5xx full-disallow sentinel '/'
+    compiles to '^/' (matches every path) and 4xx yields no rules, so
+    the status semantics survive compilation exactly."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -328,16 +343,24 @@ def robots_table_from_fetch(
             ):
                 st = None if pd.isna(status) else int(status)
                 dis, alw, delay = py_robots_status_rules(st, body, agent)
-                if with_allow:
-                    rows.append((host, dis, alw, delay))
-                else:
-                    rows.append((host, dis, delay))
-            cols = (
-                ["host", "disallow_prefixes", "allow_prefixes", "crawl_delay"]
-                if with_allow
-                else ["host", "disallow_prefixes", "crawl_delay"]
+                rows.append(
+                    (
+                        host,
+                        dis,
+                        alw,
+                        [py_compile_robots_pattern(r) for r in dis],
+                        [py_compile_robots_pattern(r) for r in alw],
+                        delay,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "host", "disallow_prefixes", "allow_prefixes",
+                    "disallow_pats", "allow_pats", "crawl_delay",
+                ],
             )
-            yield pd.DataFrame(rows, columns=cols)
 
-    schema = RULES_SCHEMA if with_allow else ROBOTS_SCHEMA
-    return fetched.select("host", "status", "body").mapInPandas(gen, schema=schema)
+    return fetched.select("host", "status", "body").mapInPandas(
+        gen, schema=FETCH_RULES_SCHEMA
+    )

@@ -566,3 +566,79 @@ def test_property_wildcard_free_rules_equal_prefix_semantics():
         assert bool(re.search(rx, path)) == path.startswith(rule)
 
     run()
+
+
+def test_wildcard_query_rules_and_match_target(spark):
+    """'Disallow: /*?sessionid=*' — the canonical real-world wildcard —
+    denies query-bearing URLs: the match target is path INCLUDING query
+    (RFC 9309 family semantics: '/*.php' matches '/index.php?params')."""
+    from pyspark.sql import functions as F
+
+    from mcp_crawl4ai_rag_spark.functions.urls import (
+        py_url_path_query,
+        url_path_query,
+    )
+    from mcp_crawl4ai_rag_spark.operators.politeness import (
+        py_robots_denied_wildcard,
+        robots_denied_wildcard_expr,
+    )
+    from mcp_crawl4ai_rag_spark.sources.robots import (
+        compile_rule_patterns,
+        parse_robots_rules,
+    )
+
+    body = "User-agent: *\nDisallow: /*?sessionid=*\nDisallow: /*.php$\n"
+    bodies = spark.createDataFrame(
+        [("h.example.com", body)], "host string, body string"
+    )
+    pats = compile_rule_patterns(parse_robots_rules(bodies)).drop("host")
+    urls = [
+        ("https://h.example.com/x?sessionid=abc", True),
+        ("https://h.example.com/x?other=1", False),
+        ("https://h.example.com/x", False),
+        ("https://h.example.com/index.php", True),
+        ("https://h.example.com/index.php?parameters", False),  # '$' anchors
+        # '?sessionid=' is a LITERAL octet sequence: '&sessionid=' does
+        # not match it (a site closing both writes '/*sessionid=*')
+        ("https://h.example.com/a/b?q=1&sessionid=2", False),
+        ("https://h.example.com/a/b?sessionid=2&q=1", True),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in urls], "canonical_url string")
+    rows = df.crossJoin(F.broadcast(pats)).select(
+        "canonical_url",
+        url_path_query(F.col("canonical_url")).alias("tgt"),
+        robots_denied_wildcard_expr(
+            url_path_query(F.col("canonical_url"))
+        ).alias("denied"),
+    ).collect()
+    want = dict(urls)
+    dis = ["/*?sessionid=*", "/*.php$"]
+    for r in rows:
+        assert r["denied"] == want[r["canonical_url"]], r["canonical_url"]
+        assert r["tgt"] == py_url_path_query(r["canonical_url"])
+        assert r["denied"] == py_robots_denied_wildcard(r["tgt"], dis, [])
+
+
+def test_fetch_table_wildcards_are_not_dead_letters(spark):
+    """robots_table_from_fetch compiles patterns, so 'Disallow: /*' fully
+    closes a site through the engine (a prefix gate would treat '/*' as a
+    dead letter and crawl everything)."""
+    from mcp_crawl4ai_rag_spark.plans.crawl import CrawlEngine
+    from mcp_crawl4ai_rag_spark.sources.corpus import N_HOSTS, gen_pages, gen_seeds
+    from mcp_crawl4ai_rag_spark.sources.robots import robots_table_from_fetch
+
+    n = 300
+    body = "User-agent: *\nDisallow: /*\n"
+    fetched = spark.createDataFrame(
+        [(f"h{h}.example.com", 200, body) for h in range(N_HOSTS)],
+        "host string, status int, body string",
+    )
+    robots = robots_table_from_fetch(fetched)
+    assert "disallow_pats" in robots.columns
+    res = CrawlEngine(
+        spark, gen_pages(spark, n), robots=robots,
+        allowed_host_suffix=".example.com",
+    ).run(gen_seeds(spark, n), max_depth=3)
+    assert res.fetched.count() == 0  # everything denied
+    denials = sum(r["robots_denials"] for r in res.lineage.collect())
+    assert denials > 0

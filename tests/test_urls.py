@@ -500,6 +500,12 @@ TRAP_URLS = [
     "https://example.com",
     "https://example.com/p/1",
     "https://h0.example.com/private/p/41",
+    # scheme-less / relative: kernel path extraction yields '' (no
+    # 'scheme://'), so path-based signals are 0 — the twins must agree
+    "/a/a/a/a",
+    "example.com/a/a/a/a",
+    "/p?%s" % "&".join(f"q{i}=1" for i in range(11)),
+    "//example.com/x/x/x/x",
 ]
 
 
