@@ -1012,6 +1012,9 @@ def q_sitemap_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     'priority' (r4) — the ``<priority>`` owner hint (sources/sitemap.
     sitemap_priority_milli): inverted fixed-point milli so priority 1.0
     pops first under the ascending order; val carries it.
+    'changefreq' (r4) — the ``<changefreq>`` recrawl-interval hint
+    (sources/sitemap.changefreq_interval_hours, dup-min aggregate);
+    val carries the hours. The sitemaps.org field trio is complete.
     Schema (mode, canonical_url, val)."""
     n = _lineitem_count(spark, sf_dir)
     # materialize: the per-level expansion joins would regenerate the
@@ -1035,7 +1038,12 @@ def q_sitemap_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = q_sitemap_priority(spark, sf_dir).select(
         F.lit("priority").alias("mode"), "canonical_url", "val"
     )
-    return ex.unionByName(disc).unionByName(lm).unionByName(pr)
+    cf = q_sitemap_changefreq(spark, sf_dir).select(
+        F.lit("changefreq").alias("mode"), "canonical_url", "val"
+    )
+    return (
+        ex.unionByName(disc).unionByName(lm).unionByName(pr).unionByName(cf)
+    )
 
 
 _LASTMOD_NOW = "2026-03-01"
@@ -1071,6 +1079,21 @@ def q_sitemap_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("url").alias("canonical_url"),
         sitemap_priority_milli("priority").cast("long").alias("val"),
+    )
+
+
+def q_sitemap_changefreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone changefreq leg (bench cell): host 1's sitemap tree
+    expanded WITH the <changefreq> hint mapped to recrawl-interval hours
+    (dup-min aggregate — the most frequent claim wins)."""
+    n = _lineitem_count(spark, sf_dir)
+    sitemaps = materialized_sitemaps(spark, n)
+    return expand_sitemaps(
+        spark, sitemaps, ["https://h1.example.com/sitemap_index.xml"],
+        with_changefreq=True,
+    ).select(
+        F.col("url").alias("canonical_url"),
+        F.col("changefreq_hours").cast("long").alias("val"),
     )
 
 
@@ -4125,6 +4148,17 @@ SELECT {C.oracle_url_sql('i')} AS canonical_url,
 FROM (SELECT unnest(generate_series(0, {N_SQL} - 1)) AS i)
 WHERE i % {C.HOT_HOST_MOD} <> 0 AND i % {C.N_HOSTS} = 1
 """
+    # changefreq leg: same host-1 page set; <changefreq> cycles the
+    # sitemaps.org vocabulary by i%7 (gen_sitemaps closed form), mapped
+    # to recrawl-interval hours
+    changefreq = f"""
+SELECT {C.oracle_url_sql('i')} AS canonical_url,
+       CAST(CASE i % 7 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 24
+                       WHEN 3 THEN 168 WHEN 4 THEN 720 WHEN 5 THEN 8760
+                       ELSE 87600 END AS BIGINT) AS val
+FROM (SELECT unnest(generate_series(0, {N_SQL} - 1)) AS i)
+WHERE i % {C.HOT_HOST_MOD} <> 0 AND i % {C.N_HOSTS} = 1
+"""
     return (
         _tagged(expand, "'expand' AS mode, canonical_url, CAST(NULL AS BIGINT) AS val")
         + "\nUNION ALL\n"
@@ -4133,6 +4167,8 @@ WHERE i % {C.HOT_HOST_MOD} <> 0 AND i % {C.N_HOSTS} = 1
         + _tagged(lastmod, "'lastmod' AS mode, canonical_url, val")
         + "\nUNION ALL\n"
         + _tagged(priority, "'priority' AS mode, canonical_url, val")
+        + "\nUNION ALL\n"
+        + _tagged(changefreq, "'changefreq' AS mode, canonical_url, val")
     )
 
 

@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "robots_discovery",
     "sitemap_lastmod",
     "sitemap_priority",
+    "sitemap_changefreq",
     "politeness_drain",
     "drain_capped",
     "drain_host_quota",

@@ -400,13 +400,19 @@ def gen_sitemaps(spark: SparkSession, n: int, partitions: int = 32) -> DataFrame
     priority = F.when(i % 11 == 10, F.lit("1.0")).otherwise(
         F.concat(F.lit("0."), (i % 11).cast("string"))
     )
+    # deterministic <changefreq>: i%7 cycles the full sitemaps.org
+    # vocabulary — the closed form the changefreq gate leg re-derives
+    changefreq = F.element_at(
+        F.array(*[F.lit(v) for v in CHANGEFREQ_VALUES]), (i % 7 + 1).cast("int")
+    )
     entries = spark.range(0, n, 1, partitions).select(
         host.alias("h"),
         (i % SITEMAPS_PER_HOST).alias("k"),
         i.alias("id"),
         F.concat(
             F.lit("<url><loc>"), _url_expr(i), F.lit("</loc><lastmod>"),
-            lastmod, F.lit("</lastmod><priority>"), priority,
+            lastmod, F.lit("</lastmod><changefreq>"), changefreq,
+            F.lit("</changefreq><priority>"), priority,
             F.lit("</priority></url>"),
         ).alias("e"),
     )
@@ -679,6 +685,13 @@ def gen_warc_blobs(
         return pd.DataFrame({"warc_file": [fname], "data": [data]})
 
     return pages.groupBy("blob_id").applyInPandas(render, out_schema)
+
+
+# sitemaps.org <changefreq> vocabulary, in the i%7 cycle order gen_sitemaps
+# emits (the closed form the changefreq gate leg re-derives)
+CHANGEFREQ_VALUES = (
+    "always", "hourly", "daily", "weekly", "monthly", "yearly", "never",
+)
 
 
 # Redirect map closed form: url(i) 301s to url((i*REDIR_MULT + REDIR_ADD)

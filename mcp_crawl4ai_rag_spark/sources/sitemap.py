@@ -30,7 +30,7 @@ from ..config import SITEMAP_MAX_DEPTH
 
 ENTRY_SCHEMA = (
     "sitemap_url string, kind string, loc string, lastmod string,"
-    " priority string"
+    " priority string, changefreq string"
 )
 
 
@@ -56,6 +56,7 @@ def parse_sitemap_bodies(fetched: DataFrame) -> DataFrame:
                     loc = None
                     lastmod = None
                     prio = None
+                    cfreq = None
                     for sub in child:
                         stag = sub.tag.rsplit("}", 1)[-1]
                         if stag == "loc" and loc is None:
@@ -64,6 +65,8 @@ def parse_sitemap_bodies(fetched: DataFrame) -> DataFrame:
                             lastmod = sub
                         elif stag == "priority" and prio is None:
                             prio = sub
+                        elif stag == "changefreq" and cfreq is None:
+                            cfreq = sub
                     if loc is not None and loc.text:
                         rows.append((
                             url,
@@ -71,10 +74,14 @@ def parse_sitemap_bodies(fetched: DataFrame) -> DataFrame:
                             loc.text.strip(),
                             lastmod.text.strip() if lastmod is not None and lastmod.text else None,
                             prio.text.strip() if prio is not None and prio.text else None,
+                            cfreq.text.strip().lower() if cfreq is not None and cfreq.text else None,
                         ))
             yield pd.DataFrame(
                 rows,
-                columns=["sitemap_url", "kind", "loc", "lastmod", "priority"],
+                columns=[
+                    "sitemap_url", "kind", "loc", "lastmod", "priority",
+                    "changefreq",
+                ],
             )
 
     return fetched.select("url", "body").mapInPandas(gen, schema=ENTRY_SCHEMA)
@@ -87,6 +94,7 @@ def expand_sitemaps(
     max_depth: int = SITEMAP_MAX_DEPTH,
     with_lastmod: bool = False,
     with_priority: bool = False,
+    with_changefreq: bool = False,
 ) -> DataFrame:
     """Recursively expand sitemap URLs to the distinct page-URL set.
 
@@ -108,6 +116,13 @@ def expand_sitemaps(
     duplicated URL keeps its max priority (the strongest claim). Feed
     through ``sitemap_priority_milli`` into the frontier's priority
     column.
+
+    ``with_changefreq=True`` returns ``changefreq_hours`` — the
+    ``<changefreq>`` vocabulary mapped to a recrawl interval
+    (``changefreq_interval_hours``); a duplicated URL keeps its MOST
+    FREQUENT claim (min interval, the conservative recrawl posture).
+    Feed into plans/rag.recrawl_schedule as the owner-declared prior
+    alongside the observed change rate.
     """
     pending = spark.createDataFrame(
         [(u,) for u in seed_sitemap_urls], "url string"
@@ -123,6 +138,8 @@ def expand_sitemaps(
             page_cols.append("lastmod")
         if with_priority:
             page_cols.append("priority")
+        if with_changefreq:
+            page_cols.append("changefreq")
         page_parts.append(
             entries.where(F.col("kind") == "url").select(*[F.col(c) for c in page_cols])
         )
@@ -140,6 +157,8 @@ def expand_sitemaps(
             empty_schema += ", lastmod string"
         if with_priority:
             empty_schema += ", priority string"
+        if with_changefreq:
+            empty_schema += ", changefreq string"
         out = spark.createDataFrame([], empty_schema)
     else:
         out = page_parts[0]
@@ -156,6 +175,15 @@ def expand_sitemaps(
         # try_cast: ANSI mode makes a plain cast THROW on 'junk' values
         aggs.append(
             F.max(F.col("priority").try_cast("double")).alias("priority")
+        )
+    if with_changefreq:
+        # duplicate URLs keep the MOST FREQUENT claim (min interval) —
+        # the conservative recrawl posture; aggregate over the mapped
+        # interval, not the string (alphabetical order is meaningless)
+        aggs.append(
+            F.min(changefreq_interval_hours("changefreq")).alias(
+                "changefreq_hours"
+            )
         )
     if aggs:
         return out.groupBy(F.col("loc").alias("url")).agg(*aggs)
@@ -181,6 +209,49 @@ def lastmod_age_priority(lastmod, now_date: str, default_days: int = 365):
         .otherwise(F.greatest(F.lit(0), F.least(F.lit(3650), age)))
         .cast("int")
     )
+
+
+# sitemaps.org <changefreq> vocabulary -> recrawl interval in HOURS
+# ('always' = recheck every visit -> 0; 'never' = park it -> 10 years).
+# Unknown/missing values take the monthly default — the spec says the
+# field is a hint, and monthly is the conservative middle.
+CHANGEFREQ_HOURS = {
+    "always": 0,
+    "hourly": 1,
+    "daily": 24,
+    "weekly": 168,
+    "monthly": 720,
+    "yearly": 8760,
+    "never": 87600,
+}
+CHANGEFREQ_DEFAULT_HOURS = 720
+
+
+def changefreq_interval_hours(changefreq, default_hours: int = CHANGEFREQ_DEFAULT_HOURS):
+    """Recrawl-interval hours from a sitemap ``<changefreq>`` value —
+    case-insensitive vocabulary lookup with an explicit missing/unknown
+    default branch (the greatest/least NULL trap does not bite a CASE
+    chain, but the default must still be explicit so junk values don't
+    fall through to NULL)."""
+    c = F.col(changefreq) if isinstance(changefreq, str) else changefreq
+    lc = F.lower(c)
+    expr = None
+    for k, v in CHANGEFREQ_HOURS.items():
+        expr = (
+            F.when(lc == k, F.lit(v))
+            if expr is None
+            else expr.when(lc == k, F.lit(v))
+        )
+    return expr.otherwise(F.lit(int(default_hours))).cast("int")
+
+
+def py_changefreq_interval_hours(
+    changefreq: str | None, default_hours: int = CHANGEFREQ_DEFAULT_HOURS
+) -> int:
+    """Python twin of changefreq_interval_hours."""
+    if changefreq is None:
+        return default_hours
+    return CHANGEFREQ_HOURS.get(changefreq.lower(), default_hours)
 
 
 def sitemap_priority_milli(priority, default_milli: int = 500):

@@ -258,3 +258,74 @@ def test_priority_expansion_dup_max_and_ordering(spark):
         if host_of(i) == 1
     }
     assert rows == expect
+
+
+def test_changefreq_parse_map_and_dup_min(spark):
+    """<changefreq> parses case-insensitively, maps to recrawl-interval
+    hours with junk/missing defaulting to monthly, and duplicate URLs keep
+    the MOST FREQUENT claim (min interval)."""
+    from mcp_crawl4ai_rag_spark.sources.sitemap import (
+        expand_sitemaps,
+        py_changefreq_interval_hours,
+    )
+
+    assert py_changefreq_interval_hours("always") == 0
+    assert py_changefreq_interval_hours("HOURLY") == 1
+    assert py_changefreq_interval_hours("daily") == 24
+    assert py_changefreq_interval_hours("never") == 87600
+    assert py_changefreq_interval_hours("junk") == 720
+    assert py_changefreq_interval_hours(None) == 720
+
+    xml = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc>https://e.com/a</loc><changefreq>yearly</changefreq></url>"
+        "<url><loc>https://e.com/a</loc><changefreq>Daily</changefreq></url>"
+        "<url><loc>https://e.com/b</loc></url>"
+        "<url><loc>https://e.com/c</loc><changefreq>bogus</changefreq></url>"
+        "</urlset>"
+    ).encode()
+    df = spark.createDataFrame(
+        [("https://e.com/s.xml", xml)], "url string, body binary"
+    )
+    rows = {
+        r["url"]: r["changefreq_hours"]
+        for r in expand_sitemaps(
+            spark, df, ["https://e.com/s.xml"], with_changefreq=True
+        ).collect()
+    }
+    assert rows == {
+        "https://e.com/a": 24,   # daily beats yearly (min interval)
+        "https://e.com/b": 720,  # missing -> monthly default
+        "https://e.com/c": 720,  # junk -> monthly default
+    }
+
+
+def test_changefreq_corpus_cycle(spark):
+    """Corpus expansion yields the closed-form i%7 vocabulary cycle."""
+    from mcp_crawl4ai_rag_spark.sources.corpus import (
+        CHANGEFREQ_VALUES,
+        gen_sitemaps,
+        host_of,
+        url_of,
+    )
+    from mcp_crawl4ai_rag_spark.sources.sitemap import (
+        CHANGEFREQ_HOURS,
+        expand_sitemaps,
+    )
+
+    n = 200
+    got = {
+        r["url"]: r["changefreq_hours"]
+        for r in expand_sitemaps(
+            spark,
+            gen_sitemaps(spark, n),
+            ["https://h1.example.com/sitemap_index.xml"],
+            with_changefreq=True,
+        ).collect()
+    }
+    want = {
+        url_of(i): CHANGEFREQ_HOURS[CHANGEFREQ_VALUES[i % 7]]
+        for i in range(n)
+        if host_of(i) == 1
+    }
+    assert got == want
