@@ -334,6 +334,10 @@ def q_crawl_bfs_visited(spark: SparkSession, sf_dir: str) -> DataFrame:
     depth; oracle replays the sequential twin (py_crawl_with_redirects,
     literal injection — epoch-bounded redirect semantics are not a
     min-over-paths closure, the DFS-leg precedent).
+    'stored' (r5) — the SAME crawl popping from a PERSISTED host-bucketed
+    frontier table each epoch via the threshold pop (the 10^10 cluster
+    shape executed; q_crawl_stored) — shares the 'bfs' closed-form
+    oracle because the stored run is bit-identical by design.
     Schema (mode, canonical_url, val)."""
     res = _crawl(spark, sf_dir)
     bfs = res.url_seen.select(
@@ -349,7 +353,10 @@ def q_crawl_bfs_visited(spark: SparkSession, sf_dir: str) -> DataFrame:
     red = q_crawl_redirects(spark, sf_dir).select(
         F.lit("redirect").alias("mode"), "canonical_url", "val"
     )
-    return bfs.unionByName(dfs).unionByName(red)
+    stored = q_crawl_stored(spark, sf_dir).select(
+        F.lit("stored").alias("mode"), "canonical_url", "val"
+    )
+    return bfs.unionByName(dfs).unionByName(red).unionByName(stored)
 
 
 def q_crawl_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -366,6 +373,35 @@ def q_crawl_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
         use_bloom=True,
         redirects=gen_redirects(spark, n),
     ).run(gen_seeds(spark, n), max_depth=CRAWL_DEPTH)
+    return res.url_seen.select(
+        "canonical_url", F.col("depth").cast("long").alias("val")
+    )
+
+
+def q_crawl_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone stored-frontier leg (bench cell): the SAME BFS crawl run
+    the 10^10 cluster way — politeness pop active, ``pop_impl="threshold"``,
+    and the frontier PERSISTED each epoch as a host-bucketed parquet table
+    that the next epoch pops FROM (plans/crawl.CrawlEngine
+    frontier_store_dir; the 'Iceberg scan = free materialization' claim,
+    executed end-to-end). Budgets are attached per host but non-binding
+    (epoch_seconds huge), so the visited set and depths are bit-identical
+    to the in-memory 'bfs' leg and share its closed-form oracle; the
+    BINDING-budget stored case is politeness_drain's 'stored' leg."""
+    import os
+
+    n = _lineitem_count(spark, sf_dir)
+    store = f"/tmp/sg_frontier_store_bfs_{os.path.basename(sf_dir.rstrip('/'))}"
+    res = CrawlEngine(
+        spark,
+        materialized_pages(spark, n),
+        gen_robots(spark),
+        allowed_host_suffix=".example.com",
+        use_bloom=True,
+        pop_impl="threshold",
+        frontier_store_dir=store,
+        epoch_seconds=1e9,
+    ).run(gen_seeds(spark, n), max_depth=CRAWL_DEPTH, politeness=True)
     return res.url_seen.select(
         "canonical_url", F.col("depth").cast("long").alias("val")
     )
@@ -441,6 +477,11 @@ def q_politeness_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     remaining quota, so epoch 0 takes exactly each host's first 200 by
     seq and the run ends on the first no-progress epoch — closed-form:
     per-host rank < 200, all epoch_seen=0.
+    'stored' (r5) — the 'drain' leg run the 10^10 cluster way: BINDING
+    budgets, ``pop_impl="threshold"``, frontier persisted per epoch as a
+    host-bucketed parquet table the next epoch pops FROM
+    (q_drain_stored); deferred hot-host overflow provably survives the
+    store/scan round-trip — same closed-form oracle as 'drain'.
     Schema (mode, canonical_url, epoch_seen)."""
     seeds = spark.range(0, _DRAIN_M, 1, 16).select(
         C._url_expr(F.col("id")).alias("url"),
@@ -465,7 +506,10 @@ def q_politeness_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     quota = q_drain_host_quota(spark, sf_dir).select(
         F.lit("host_quota").alias("mode"), "canonical_url", "epoch_seen"
     )
-    return drain.unionByName(capped).unionByName(quota)
+    stored = q_drain_stored(spark, sf_dir).select(
+        F.lit("stored").alias("mode"), "canonical_url", "epoch_seen"
+    )
+    return drain.unionByName(capped).unionByName(quota).unionByName(stored)
 
 
 def q_drain_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -486,6 +530,34 @@ def q_drain_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = engine.run(
         seeds, max_depth=1, politeness=True, max_epochs=4, max_pages=_DRAIN_CAP
     )
+    return res.url_seen.select(
+        "canonical_url", F.col("epoch_seen").cast("long").alias("epoch_seen")
+    )
+
+
+def q_drain_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone bench cell for politeness_drain's 'stored' leg: the
+    budgeted multi-epoch drain with the frontier persisted per epoch as a
+    host-bucketed parquet table and popped from it via the threshold pop
+    (binding budgets — the hot host's 300-row overflow is deferred INTO
+    the stored table at epoch 0 and popped back OUT of its scan at epoch
+    1). Bit-identical to the in-memory 'drain' leg by design."""
+    import os
+
+    seeds = spark.range(0, _DRAIN_M, 1, 16).select(
+        C._url_expr(F.col("id")).alias("url"),
+        F.lit(0).alias("priority"),
+        F.lit(0).alias("depth"),
+        F.col("id").alias("seq"),
+    )
+    pages = materialized_pages(spark, _DRAIN_M)
+    store = f"/tmp/sg_frontier_store_drain_{os.path.basename(sf_dir.rstrip('/'))}"
+    engine = CrawlEngine(
+        spark, pages, robots=None, allowed_host_suffix=".example.com",
+        use_bloom=True, epoch_seconds=_DRAIN_EPOCH_SECONDS,
+        pop_impl="threshold", frontier_store_dir=store,
+    )
+    res = engine.run(seeds, max_depth=1, politeness=True, max_epochs=4)
     return res.url_seen.select(
         "canonical_url", F.col("epoch_seen").cast("long").alias("epoch_seen")
     )
@@ -3721,6 +3793,11 @@ GROUP BY 1
         + _tagged(_dfs_order_literals(), "'dfs' AS mode, canonical_url, val")
         + "\nUNION ALL\n"
         + _tagged(_redirect_visited_literals(), "'redirect' AS mode, canonical_url, val")
+        # stored-frontier leg: bit-identical to the in-memory BFS by
+        # design (threshold pop from a bucketed table, non-binding
+        # budgets), so it shares the BFS walk closed form
+        + "\nUNION ALL\n"
+        + _tagged(bfs, "'stored' AS mode, canonical_url, val")
     )
 
 
@@ -3826,6 +3903,10 @@ WHERE rk < {_HOST_QUOTA}
         + _tagged(capped, "'capped' AS mode, canonical_url, epoch_seen")
         + "\nUNION ALL\n"
         + _tagged(quota, "'host_quota' AS mode, canonical_url, epoch_seen")
+        # stored-frontier leg: bit-identical to the in-memory drain by
+        # design (threshold pop from the bucketed table, binding budgets)
+        + "\nUNION ALL\n"
+        + _tagged(drain, "'stored' AS mode, canonical_url, epoch_seen")
     )
 
 

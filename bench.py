@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "crawl_bfs_visited",
     "dfs_order",
     "crawl_redirects",
+    "crawl_stored",
     "smart_crawl_sitemap",
     "smart_crawl_webpage",
     "sitemap_expand",
@@ -59,6 +60,7 @@ BENCH_QUERIES = [
     "politeness_drain",
     "drain_capped",
     "drain_host_quota",
+    "drain_stored",
     "urlseen_antijoin",
     "urlseen_cuckoo",
     "url_kernels",

@@ -555,8 +555,12 @@ def with_link_counts(
 # The reference has no trap defense at all: crawl4ai's deep-crawl strategies
 # follow every in-boundary link (the reference consumes them verbatim,
 # src/crawl4ai_mcp.py:1022-1053), so an infinite calendar, a session-id
-# explosion, or a cyclic path ('/a/b/a/b/a/b/...') grows the frontier without
-# bound. At a 10^10-URL frontier these URL families are a dominant junk
+# explosion, or a cyclic path grows the frontier without bound. Division of
+# labor among the guards below: the Heritrix run rule catches SINGLE-segment
+# repetition ('/x/x/x'); an ALTERNATING cycle ('/a/b/a/b/...') has run 1 and
+# is caught by the segment-COUNT cap once the path exceeds TRAP_MAX_SEGMENTS
+# (so a period-2 cycle survives at most ~TRAP_MAX_SEGMENTS/2 junk
+# generations before the cap fires), with the URL-length cap as backstop. At a 10^10-URL frontier these URL families are a dominant junk
 # source, and every production crawler ships structural guards; the public
 # precedents are Heritrix's PathologicalPathDecideRule (same segment repeated
 # more than N times consecutively) and TooManyPathSegmentsDecideRule, plus
@@ -729,14 +733,18 @@ def url_template(url: Column | str) -> Column:
     query-parameter names. One Catalyst projection (split / transform /
     array_sort / concat) — zero shuffle, no Python."""
     c = F.col(url) if isinstance(url, str) else url
-    seg = lambda s: (  # noqa: E731 — inline classifier, used once
+    # classify the LOWERCASED segment: hex session ids arrive in either
+    # case ('DEADBEEF' is the same family as 'deadbeef'); classifying the
+    # raw segment would let uppercase-hex ids escape generalization and
+    # each become its own template, defeating the explosion guard
+    low = lambda s: (  # noqa: E731 — inline classifier, used once
         F.when(s.rlike(r"^[0-9]+$"), F.lit("N"))
         .when(s.rlike(r"^[0-9a-f]{8,}$"), F.lit("H"))
         .when(F.length(s) > 32, F.lit("L"))
         .when(s.rlike(r"[0-9]"), F.lit("S"))
-        .otherwise(F.lower(s))
+        .otherwise(s)
     )
-    segs = F.transform(path_segment_array(c), seg)
+    segs = F.transform(path_segment_array(c), lambda s: low(F.lower(s)))
     q = F.regexp_extract(c, _QUERY_RE, 1)
     names = F.array_sort(
         F.transform(
@@ -756,6 +764,7 @@ def py_url_template(url: str) -> str:
     import re as _re
 
     def classify(s: str) -> str:
+        s = s.lower()  # case-blind families, same as the Catalyst kernel
         if _re.fullmatch(r"[0-9]+", s):
             return "N"
         if _re.fullmatch(r"[0-9a-f]{8,}", s):
@@ -764,7 +773,7 @@ def py_url_template(url: str) -> str:
             return "L"
         if _re.search(r"[0-9]", s):
             return "S"
-        return s.lower()
+        return s
 
     segs = [classify(s) for s in _py_url_path(url).split("/") if s]
     q = _py_url_query(url)

@@ -138,6 +138,8 @@ class CrawlEngine:
         link_filter=None,
         redirects=None,
         template_guard_cap=None,
+        frontier_store_dir: str | None = None,
+        frontier_store_buckets: int = 16,
     ):
         self.spark = spark
         self.pages = pages
@@ -216,6 +218,35 @@ class CrawlEngine:
         if pop_impl not in ("twophase", "threshold"):
             raise ValueError(f"pop_impl must be twophase|threshold, got {pop_impl!r}")
         self.pop_impl = pop_impl
+        # STORED-FRONTIER mode (the 10^10 cluster shape, executed): with
+        # ``frontier_store_dir`` set, each epoch's frontier is persisted as
+        # a parquet table BUCKETED BY host (sorted by the pop order inside
+        # each bucket) and the epoch reads it back as a table scan. This is
+        # the deployment claim made concrete in-sandbox (Iceberg stands in
+        # as bucketed parquet, README Iceberg note):
+        #   * the threshold pop's dual read (narrow ranking branch + wide
+        #     filter branch) becomes two COLUMN-PRUNED scans of one table —
+        #     no localCheckpoint, no full-width materialization, no
+        #     recompute of the epoch lineage (pop_per_host_threshold's
+        #     ``materialize`` concern disappears: the table IS the
+        #     materialization);
+        #   * the scan's bucket layout (HashPartitioning on host) satisfies
+        #     every downstream clustering the pop needs — the per-(host,
+        #     lane) rank window, the per-host rank window, and the
+        #     threshold groupBy — so the entire pop runs with ZERO
+        #     exchanges (plan-pinned in tests/test_crawl.py).
+        # Output is bit-identical to the in-memory run (gate-checked:
+        # __spark_entry__ crawl_bfs_visited 'stored' + politeness_drain
+        # 'stored' legs share the in-memory legs' oracles).
+        self.frontier_store_dir = frontier_store_dir
+        self.frontier_store_buckets = frontier_store_buckets
+        if frontier_store_dir is not None:
+            import hashlib
+
+            self._store_prefix = (
+                "frontier_"
+                + hashlib.md5(frontier_store_dir.encode()).hexdigest()[:10]
+            )
 
     # -- frontier construction -------------------------------------------
 
@@ -256,6 +287,26 @@ class CrawlEngine:
             F.col("k.priority").alias("priority"),
             F.col("k.seq").alias("seq"),
         )
+
+    def _store_frontier(self, epoch: int, frontier: DataFrame) -> DataFrame:
+        """Persist the epoch's frontier as a host-bucketed, pop-order-sorted
+        parquet table and return the TABLE SCAN that replaces it. Bucketing
+        by host is what makes the stored pop exchange-free: the scan reports
+        HashPartitioning(host), which satisfies the clustering required by
+        both pop windows and the threshold groupBy."""
+        import os
+
+        name = f"{self._store_prefix}_ep{epoch}"
+        (
+            frontier.select(*_FRONTIER_COLS)
+            .write.format("parquet")
+            .bucketBy(self.frontier_store_buckets, "host")
+            .sortBy("depth", "priority", "seq")
+            .mode("overwrite")
+            .option("path", os.path.join(self.frontier_store_dir, f"ep{epoch}"))
+            .saveAsTable(name)
+        )
+        return self.spark.table(name)
 
     # -- fetch -------------------------------------------------------------
 
@@ -509,6 +560,11 @@ class CrawlEngine:
             frontier_count = row["n"]
             seen_count = 0
             backoff = None
+        if self.frontier_store_dir is not None:
+            # stored mode: the frontier popped in epoch E lives in table
+            # ..._ep{E}; the initial (seed or resumed) frontier is stored
+            # under the first epoch it will be popped in
+            frontier = self._store_frontier(start_epoch, frontier)
 
         fetched_parts: list[DataFrame] = []
         lineage_parts: list[DataFrame] = []
@@ -592,8 +648,16 @@ class CrawlEngine:
                 # shuffled BYTES (wide URL rows never enter an exchange)
                 # and is selected for stored-frontier / real-network runs.
                 if self.pop_impl == "threshold":
+                    # stored mode: the frontier is a bucketed table scan —
+                    # the dual read is two column-pruned scans, so the
+                    # explicit localCheckpoint materialization is skipped
+                    # (the "Iceberg scan = free materialization" claim,
+                    # now actually executed)
                     popped, deferred = pop_per_host_threshold(
-                        with_b, None, self.salt_lanes
+                        with_b,
+                        None,
+                        self.salt_lanes,
+                        materialize=self.frontier_store_dir is None,
                     )
                 else:
                     popped, deferred = pop_per_host(
@@ -819,11 +883,18 @@ class CrawlEngine:
                 next_union = deferred_obs.unionByName(discovered)
                 if cap_leftover is not None:
                     next_union = next_union.unionByName(cap_leftover)
-                frontier = (
-                    self._dedup_frontier(next_union)
-                    .observe(obs_fr, F.count(F.lit(1)).alias("n"))
-                    .localCheckpoint(eager=True, storageLevel=_SER_LEVEL)
+                fr_built = self._dedup_frontier(next_union).observe(
+                    obs_fr, F.count(F.lit(1)).alias("n")
                 )
+                if self.frontier_store_dir is not None:
+                    # stored mode: the table write IS the materialization
+                    # (observations fire during the write job) — no
+                    # full-width localCheckpoint anywhere in the epoch
+                    frontier = self._store_frontier(epoch + 1, fr_built)
+                else:
+                    frontier = fr_built.localCheckpoint(
+                        eager=True, storageLevel=_SER_LEVEL
+                    )
                 frontier_ckpted = True
                 n_deferred = int(obs_def.get["n"]) + n_cap_deferred
                 frontier_count = int(obs_fr.get["n"])
@@ -839,6 +910,9 @@ class CrawlEngine:
                     ).localCheckpoint(eager=True, storageLevel=_SER_LEVEL)
                     frontier_ckpted = True
                     frontier_count = frontier.count()
+                if self.frontier_store_dir is not None:
+                    frontier = self._store_frontier(epoch + 1, frontier)
+                    frontier_ckpted = True
 
             # S7: lineage metrics — all counts already known, no extra jobs
             n_dedup_hits = cand_count - (n_popped + n_deferred)

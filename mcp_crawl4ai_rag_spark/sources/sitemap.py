@@ -179,14 +179,28 @@ def expand_sitemaps(
     if with_changefreq:
         # duplicate URLs keep the MOST FREQUENT claim (min interval) —
         # the conservative recrawl posture; aggregate over the mapped
-        # interval, not the string (alphabetical order is meaningless)
+        # interval, not the string (alphabetical order is meaningless).
+        # Only EXPLICIT claims compete in the min (missing/unknown maps
+        # to NULL, which min ignores): with the default applied inside
+        # the aggregate, a URL listed once as 'yearly' and once with no
+        # tag would end at the monthly default — an absent hint must
+        # never override an explicit claim. Default applied after.
         aggs.append(
-            F.min(changefreq_interval_hours("changefreq")).alias(
+            F.min(changefreq_interval_hours_nullable("changefreq")).alias(
                 "changefreq_hours"
             )
         )
     if aggs:
-        return out.groupBy(F.col("loc").alias("url")).agg(*aggs)
+        agged = out.groupBy(F.col("loc").alias("url")).agg(*aggs)
+        if with_changefreq:
+            agged = agged.withColumn(
+                "changefreq_hours",
+                F.coalesce(
+                    F.col("changefreq_hours"),
+                    F.lit(CHANGEFREQ_DEFAULT_HOURS).cast("int"),
+                ),
+            )
+        return agged
     return out.select(F.col("loc").alias("url")).dropDuplicates(["url"])
 
 
@@ -243,6 +257,23 @@ def changefreq_interval_hours(changefreq, default_hours: int = CHANGEFREQ_DEFAUL
             else expr.when(lc == k, F.lit(v))
         )
     return expr.otherwise(F.lit(int(default_hours))).cast("int")
+
+
+def changefreq_interval_hours_nullable(changefreq):
+    """Aggregation-safe variant: NULL (not the default) for a missing or
+    unknown ``<changefreq>``, so only explicit claims compete inside a
+    min/max aggregate; callers apply ``CHANGEFREQ_DEFAULT_HOURS`` via
+    coalesce AFTER aggregating (see expand_sitemaps)."""
+    c = F.col(changefreq) if isinstance(changefreq, str) else changefreq
+    lc = F.lower(c)
+    expr = None
+    for k, v in CHANGEFREQ_HOURS.items():
+        expr = (
+            F.when(lc == k, F.lit(v))
+            if expr is None
+            else expr.when(lc == k, F.lit(v))
+        )
+    return expr.otherwise(F.lit(None)).cast("int")
 
 
 def py_changefreq_interval_hours(

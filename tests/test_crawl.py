@@ -1047,3 +1047,99 @@ def test_template_guard_cap_stops_mill_midcrawl(spark):
     assert {
         (r["canonical_url"], r["seq"]) for r in uncapped.url_seen.collect()
     } == {(r["canonical_url"], r["seq"]) for r in base.url_seen.collect()}
+
+
+def test_stored_frontier_engine_bit_identical(spark, corpus, tmp_path):
+    """The stored-frontier mode (frontier persisted per epoch as a
+    host-bucketed parquet table; threshold pop popping FROM the table) is
+    a pure physical choice: across a multi-epoch politeness crawl the
+    visited set, schedule epochs, seq order, and lineage counters are
+    bit-identical to the in-memory twophase run — the 10^10 cluster shape
+    (plans/crawl.py:214 claim) executed end-to-end."""
+    seeds = gen_seeds(spark, N)
+    robots = gen_robots(spark)
+    base = CrawlEngine(
+        spark, corpus, robots=robots, allowed_host_suffix=".example.com",
+        epoch_seconds=30.0, pop_impl="twophase",
+    ).run(seeds, max_depth=3, politeness=True)
+    stored = CrawlEngine(
+        spark, corpus, robots=robots, allowed_host_suffix=".example.com",
+        epoch_seconds=30.0, pop_impl="threshold",
+        frontier_store_dir=str(tmp_path / "frontier"),
+    ).run(seeds, max_depth=3, politeness=True)
+    assert stored.epochs_run >= 3, "the stored shape must span >=3 epochs"
+    key = lambda res: {  # noqa: E731
+        (r["canonical_url"], r["depth"], r["seq"], r["epoch_seen"])
+        for r in res.url_seen.collect()
+    }
+    assert key(stored) == key(base)
+    assert [tuple(r) for r in stored.lineage.orderBy("epoch").collect()] == [
+        tuple(r) for r in base.lineage.orderBy("epoch").collect()
+    ]
+    # the frontier tables actually exist on disk, one per popped epoch
+    eps = sorted(p.name for p in (tmp_path / "frontier").iterdir())
+    assert eps and eps[0] == "ep0" and len(eps) >= stored.epochs_run
+
+
+def test_stored_frontier_resume_identity(spark, corpus, tmp_path):
+    """Kill/resume over a stored-frontier politeness crawl: resuming from
+    the checkpoint reproduces the uninterrupted run bit-identically with
+    the store active on both sides."""
+    seeds = gen_seeds(spark, N)
+    robots = gen_robots(spark)
+
+    def eng(store, ckpt):
+        return CrawlEngine(
+            spark, corpus, robots=robots, allowed_host_suffix=".example.com",
+            epoch_seconds=30.0, pop_impl="threshold",
+            frontier_store_dir=str(tmp_path / store), checkpoint_dir=str(tmp_path / ckpt),
+        )
+
+    full = eng("f_full", "c_full").run(seeds, max_depth=3, politeness=True)
+    # killed run: stop after 2 epochs, then resume to completion
+    eng("f_kill", "c_kill").run(seeds, max_depth=3, politeness=True, max_epochs=2)
+    resumed = eng("f_kill", "c_kill").resume(max_epochs=full.epochs_run)
+    key = lambda res: {  # noqa: E731
+        (r["canonical_url"], r["depth"], r["seq"], r["epoch_seen"])
+        for r in res.url_seen.collect()
+    }
+    assert key(resumed) == key(full)
+
+
+def test_stored_frontier_threshold_pop_zero_exchange(spark, tmp_path):
+    """Popping from the stored host-bucketed frontier is EXCHANGE-FREE:
+    the scan's HashPartitioning(host) satisfies both pop windows and the
+    threshold groupBy, and the dual read is two column-pruned scans (the
+    narrow ranking branch never reads canonical_url/path). This is the
+    'Iceberg scan = free materialization' claim, plan-pinned."""
+    from mcp_crawl4ai_rag_spark.operators.politeness import (
+        pop_per_host_threshold,
+    )
+
+    fr = spark.range(0, 5000, 1, 8).select(
+        F.concat(F.lit("https://h"), F.col("id") % 7, F.lit(".example.com/p"), F.col("id")).alias("canonical_url"),
+        F.xxhash64(F.col("id")).alias("url_hash"),
+        F.concat(F.lit("h"), F.col("id") % 7).alias("host"),
+        F.concat(F.lit("/p"), F.col("id")).alias("path"),
+        F.lit(0).alias("depth"),
+        F.lit(0).alias("priority"),
+        F.col("id").alias("seq"),
+    )
+    eng = CrawlEngine(
+        spark, fr.limit(0), frontier_store_dir=str(tmp_path / "fr"),
+        pop_impl="threshold",
+    )
+    stored = eng._store_frontier(0, fr)
+    with_b = stored.withColumn("budget", F.lit(100))
+    popped, deferred = pop_per_host_threshold(with_b, None, materialize=False)
+    plan = popped._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan[:1500]
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert any("canonical_url" not in ln for ln in scans), scans
+    assert any("canonical_url" in ln for ln in scans), scans
+    # and the pop is still exact: per host (5000/7 rows each) the 100
+    # smallest (depth, priority, seq) pop
+    got = popped.groupBy("host").count().collect()
+    assert {r["count"] for r in got} == {100}
+    n_def = deferred.count()
+    assert n_def == 5000 - 700

@@ -300,6 +300,36 @@ def test_changefreq_parse_map_and_dup_min(spark):
     }
 
 
+def test_changefreq_explicit_claim_beats_absent_tag(spark):
+    """A URL duplicated with one explicit 'yearly' entry and one tag-less
+    entry keeps the explicit claim: the default competes AFTER the min,
+    never inside it (ADVICE r4 — the in-min default silently demoted
+    yearly/never to monthly)."""
+    from mcp_crawl4ai_rag_spark.sources.sitemap import expand_sitemaps
+
+    xml = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc>https://e.com/a</loc><changefreq>yearly</changefreq></url>"
+        "<url><loc>https://e.com/a</loc></url>"
+        "<url><loc>https://e.com/n</loc><changefreq>never</changefreq></url>"
+        "<url><loc>https://e.com/n</loc><changefreq>bogus</changefreq></url>"
+        "</urlset>"
+    ).encode()
+    df = spark.createDataFrame(
+        [("https://e.com/s.xml", xml)], "url string, body binary"
+    )
+    rows = {
+        r["url"]: r["changefreq_hours"]
+        for r in expand_sitemaps(
+            spark, df, ["https://e.com/s.xml"], with_changefreq=True
+        ).collect()
+    }
+    assert rows == {
+        "https://e.com/a": 8760,   # explicit yearly survives the dup
+        "https://e.com/n": 87600,  # explicit never survives junk twin
+    }
+
+
 def test_changefreq_corpus_cycle(spark):
     """Corpus expansion yields the closed-form i%7 vocabulary cycle."""
     from mcp_crawl4ai_rag_spark.sources.corpus import (

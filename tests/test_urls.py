@@ -614,6 +614,8 @@ def test_url_template_matches_twin(spark):
         "https://E.COM/Mixed/Case/PATH",
         "https://e.com/s17/item-4/x",
         "https://e.com/" + "q" * 40 + "/end",
+        "https://e.com/sess/DEADBEEF/view",
+        "https://e.com/sess/DeAdBeEfCaFe0123",
     ]
     df = spark.createDataFrame([(u,) for u in urls], "url string")
     rows = df.select("url", url_template(F.col("url")).alias("t")).collect()
@@ -634,6 +636,10 @@ def test_url_template_pinned_classes():
     assert py_url_template("https://e.com/s17/item-4") == "e.com/S/S"
     # 7-char hex is NOT H (min 8): digit-bearing -> S; pure alpha stays
     assert py_url_template("https://e.com/deadbe1/beta") == "e.com/S/beta"
+    # hex ids are case-blind (ADVICE r4): an UPPERCASE all-alpha hex
+    # segment generalizes to H like its lowercase twin — same family
+    assert py_url_template("https://e.com/s/DEADBEEF") == "e.com/s/H"
+    assert py_url_template("https://e.com/s/DeAdBeEfCaFe/x") == "e.com/s/H/x"
     # query values dropped, names sorted, duplicates kept; host lowercased
     assert (
         py_url_template("https://E.com/item?id=99&sort=asc&id=12")
