@@ -338,6 +338,8 @@ def q_crawl_bfs_visited(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier table each epoch via the threshold pop (the 10^10 cluster
     shape executed; q_crawl_stored) — shares the 'bfs' closed-form
     oracle because the stored run is bit-identical by design.
+    'hardened' (r5) — EVERY policy guard composed in one engine run over
+    the hazard corpus (q_crawl_hardened; twin-literal oracle).
     Schema (mode, canonical_url, val)."""
     res = _crawl(spark, sf_dir)
     bfs = res.url_seen.select(
@@ -356,7 +358,15 @@ def q_crawl_bfs_visited(spark: SparkSession, sf_dir: str) -> DataFrame:
     stored = q_crawl_stored(spark, sf_dir).select(
         F.lit("stored").alias("mode"), "canonical_url", "val"
     )
-    return bfs.unionByName(dfs).unionByName(red).unionByName(stored)
+    hardened = q_crawl_hardened(spark, sf_dir).select(
+        F.lit("hardened").alias("mode"), "canonical_url", "val"
+    )
+    return (
+        bfs.unionByName(dfs)
+        .unionByName(red)
+        .unionByName(stored)
+        .unionByName(hardened)
+    )
 
 
 def q_crawl_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -405,6 +415,92 @@ def q_crawl_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.url_seen.select(
         "canonical_url", F.col("depth").cast("long").alias("val")
     )
+
+
+def _hazard_m(n: int) -> int:
+    return max(300, min(n // 100, 3000))
+
+
+def q_crawl_hardened(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone composed-hardening leg (bench cell): ONE CrawlEngine run
+    with EVERY round-4 policy guard active — 301 redirects + crawl-trap
+    link_filter + in-crawl template guard + RFC 9309 wildcard robots
+    (path+query target, Allow override) + eTLD+1 politeness with
+    429-backoff + max_pages + threshold pop from a STORED bucketed
+    frontier — over the hazard corpus (sources/hazard.py) planting all
+    the hazards at once. val encodes the full ordering contract
+    ((seq*100 + epoch_seen)*100 + depth); oracle = the sequential twin
+    plans/crawl.py_crawl_hardened (literal injection — the composed
+    epoch-bounded semantics are not a SQL closure)."""
+    import os
+
+    from mcp_crawl4ai_rag_spark.functions.urls import is_crawl_trap
+    from mcp_crawl4ai_rag_spark.sources import hazard as HZ
+
+    m = _hazard_m(_lineitem_count(spark, sf_dir))
+    store = f"/tmp/sg_frontier_store_hzd_{os.path.basename(sf_dir.rstrip('/'))}"
+    res = CrawlEngine(
+        spark,
+        HZ.gen_hazard_pages(spark, m),
+        HZ.gen_hazard_robots(spark),
+        allowed_host_suffix=None,
+        use_bloom=True,
+        pop_impl="threshold",
+        politeness_grain="domain",
+        epoch_seconds=HZ.HAZ_EPOCH_SECONDS,
+        redirects=HZ.gen_hazard_redirects(spark, m),
+        link_filter=lambda u: ~is_crawl_trap(u),
+        template_guard_cap=HZ.HAZ_TEMPLATE_CAP,
+        frontier_store_dir=store,
+    ).run(
+        HZ.gen_hazard_seeds(spark),
+        max_depth=HZ.HAZ_MAX_DEPTH,
+        politeness=True,
+        max_epochs=HZ.HAZ_MAX_EPOCHS,
+        max_pages=HZ.HAZ_MAX_PAGES,
+    )
+    return res.url_seen.select(
+        "canonical_url",
+        (
+            (F.col("seq").cast("long") * 100 + F.col("epoch_seen")) * 100
+            + F.col("depth")
+        ).alias("val"),
+    )
+
+
+def _hardened_visited_literals() -> str:
+    """Oracle for the composed-hardening leg: replay the sequential twin
+    over the same hazard graph at the oracle SF and inject
+    (url, (seq*100+epoch)*100+depth) literals."""
+    import os
+
+    import duckdb
+
+    from mcp_crawl4ai_rag_spark.plans.crawl import py_crawl_hardened
+    from mcp_crawl4ai_rag_spark.sources import hazard as HZ
+
+    sf_dir = os.environ.get(_ORACLE_SF_DIR_ENV, _ORACLE_SF_DIR_DEFAULT)
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT count(*) FROM '{sf_dir}/lineitem.parquet'"
+    ).fetchone()[0]
+    con.close()
+    visited = py_crawl_hardened(
+        HZ.py_hazard_graph(_hazard_m(n)),
+        [HZ.hz_url(i) for i in range(HZ.HAZ_SEED_COUNT)],
+        max_depth=HZ.HAZ_MAX_DEPTH,
+        max_epochs=HZ.HAZ_MAX_EPOCHS,
+        epoch_seconds=HZ.HAZ_EPOCH_SECONDS,
+        max_pages=HZ.HAZ_MAX_PAGES,
+        template_guard_cap=HZ.HAZ_TEMPLATE_CAP,
+        robots_disallow=list(HZ.HAZ_ROBOTS_DISALLOW),
+        robots_allow=list(HZ.HAZ_ROBOTS_ALLOW),
+    )
+    vals = ",\n       ".join(
+        f"('{u}', CAST({(s * 100 + e) * 100 + d} AS BIGINT))"
+        for u, (d, e, s) in sorted(visited.items())
+    )
+    return f"SELECT * FROM (VALUES\n       {vals}) AS t(canonical_url, val)"
 
 
 def q_dfs_order(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3798,6 +3894,10 @@ GROUP BY 1
         # budgets), so it shares the BFS walk closed form
         + "\nUNION ALL\n"
         + _tagged(bfs, "'stored' AS mode, canonical_url, val")
+        # composed-hardening leg: every policy guard in one engine run,
+        # oracled by the sequential twin (py_crawl_hardened literals)
+        + "\nUNION ALL\n"
+        + _tagged(_hardened_visited_literals(), "'hardened' AS mode, canonical_url, val")
     )
 
 

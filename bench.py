@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "dfs_order",
     "crawl_redirects",
     "crawl_stored",
+    "crawl_hardened",
     "smart_crawl_sitemap",
     "smart_crawl_webpage",
     "sitemap_expand",

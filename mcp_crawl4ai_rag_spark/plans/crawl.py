@@ -54,6 +54,7 @@ from ..functions.urls import (
     comparison_normalize,
     is_binary_url,
     py_comparison_normalize,
+    registrable_domain,
     resolve_href,
     url_hash,
     url_host,
@@ -140,6 +141,7 @@ class CrawlEngine:
         template_guard_cap=None,
         frontier_store_dir: str | None = None,
         frontier_store_buckets: int = 16,
+        politeness_grain: str = "host",
     ):
         self.spark = spark
         self.pages = pages
@@ -240,6 +242,20 @@ class CrawlEngine:
         # 'stored' legs share the in-memory legs' oracles).
         self.frontier_store_dir = frontier_store_dir
         self.frontier_store_buckets = frontier_store_buckets
+        # Politeness GRAIN: "host" throttles per hostname (the reference's
+        # RateLimiter grain); "domain" throttles per registrable domain
+        # (eTLD+1 via functions/urls.registrable_domain) — the grain real
+        # crawlers run at, because 'a.example.com' and 'b.example.com' are
+        # one server farm and per-hostname budgets let a crawler hammer a
+        # domain N-subdomains fast. Implementation: the host column is
+        # MAPPED to its domain around the budget join + pop (and the
+        # backoff statuses fold at the same grain), then restored — robots
+        # gating, fetch, lineage, and url_seen stay hostname-grain.
+        if politeness_grain not in ("host", "domain"):
+            raise ValueError(
+                f"politeness_grain must be host|domain, got {politeness_grain!r}"
+            )
+        self.politeness_grain = politeness_grain
         if frontier_store_dir is not None:
             import hashlib
 
@@ -616,6 +632,15 @@ class CrawlEngine:
             # attach per-row via broadcast dims (attach_budgets): the old
             # distinct-hosts path shuffled the whole frontier per epoch.
             if politeness or max_pages_per_host is not None:
+                # eTLD+1 grain: budgets join + pop partition on the
+                # registrable domain; original hostname parked in a side
+                # column and restored after the pop (robots/fetch/lineage
+                # never see the mapped value)
+                domain_grain = politeness and self.politeness_grain == "domain"
+                if domain_grain:
+                    new_urls = new_urls.withColumn(
+                        "__host_hostgrain", F.col("host")
+                    ).withColumn("host", registrable_domain(F.col("host")))
                 if politeness:
                     with_b = attach_budgets(
                         new_urls,
@@ -663,6 +688,13 @@ class CrawlEngine:
                     popped, deferred = pop_per_host(
                         with_b, None, self.salt_lanes
                     )
+                if domain_grain:
+                    popped = popped.withColumn(
+                        "host", F.col("__host_hostgrain")
+                    ).drop("__host_hostgrain")
+                    deferred = deferred.withColumn(
+                        "host", F.col("__host_hostgrain")
+                    ).drop("__host_hostgrain")
             else:
                 popped, deferred = new_urls, new_urls.limit(0)
             # count rides the checkpoint materialization (no separate job)
@@ -826,11 +858,16 @@ class CrawlEngine:
                 )
             )
 
-            # politeness backoff signal for the next epoch
+            # politeness backoff signal for the next epoch (same grain as
+            # the budgets it feeds)
             if politeness:
                 statuses = fetch.select(
                     "host", F.coalesce(F.col("status"), F.lit(404)).alias("status")
                 )
+                if self.politeness_grain == "domain":
+                    statuses = statuses.withColumn(
+                        "host", registrable_domain(F.col("host"))
+                    )
                 backoff = update_backoff(statuses, backoff).localCheckpoint(eager=True, storageLevel=_SER_LEVEL)
 
             # F1-F8 + J2 expansion; links from the last depth level are never
@@ -1134,5 +1171,185 @@ def py_crawl_with_redirects(
                 continue
             nf[u] = (d, p, seq_offset)
             seq_offset += 1
+        frontier = nf
+    return visited
+
+
+def py_crawl_hardened(
+    graph: dict,
+    seed_urls: list[str],
+    *,
+    max_depth: int,
+    max_epochs: int,
+    epoch_seconds: float,
+    max_pages: int | None,
+    template_guard_cap: int | None,
+    robots_disallow: list[str],
+    robots_allow: list[str],
+) -> dict[str, tuple[int, int, int]]:
+    """Sequential twin of the FULLY-HARDENED CrawlEngine run — every
+    round-4 guard active in one schedule: eTLD+1 politeness budgets with
+    429-backoff, RFC 9309 wildcard robots (path+query target), redirect
+    hops (same depth, pos -1), crawl-trap link_filter, in-crawl template
+    guard (incremental per-epoch fold, one-epoch lag past the cap), and a
+    max_pages budget truncating in (depth, priority, seq) order.
+
+    ``graph``: url → {host, status, markdown, links, redirect} (the
+    sources/hazard.py shape). Returns url → (depth, epoch_seen, seq) —
+    the engine's full ordering contract, injected as oracle literals
+    (the py_crawl_with_redirects precedent: epoch-bounded composed
+    semantics are not a closed-form SQL recursion).
+
+    Engine lines replicated, in loop order (plans/crawl.py run()):
+    loop-top breaks; anti-join; domain-grain budget attach; per-domain
+    pop; max_pages truncation + cap_leftover; template fold; visited at
+    schedule time; robots gate; redirect consumption; fetch + statuses;
+    backoff update; link expansion + gates; first-discoverer; depth
+    filter; template guard; seq assignment; frontier dedup (min struct).
+    """
+    from math import floor
+
+    from ..config import POLITENESS_MAX_DELAY
+    from ..functions.urls import (
+        py_canonical_url,
+        py_is_binary_url,
+        py_is_crawl_trap,
+        py_registrable_domain,
+        py_resolve_href,
+        py_url_path_query,
+        py_url_template,
+    )
+    from ..operators.politeness import py_robots_denied_wildcard
+
+    def host_of(u: str) -> str:
+        n = graph.get(u)
+        if n is not None:
+            return n["host"]
+        return u.split("://", 1)[1].split("/", 1)[0].lower()
+
+    # frontier: url -> (depth, priority, seq)
+    frontier: dict[str, tuple[int, int, int]] = {}
+    for k, u in enumerate(seed_urls):
+        cu = py_canonical_url(u)
+        if not py_is_binary_url(cu):
+            frontier[cu] = (0, 0, k)
+    seq_offset = max((v[2] for v in frontier.values()), default=-1) + 1
+    visited: dict[str, tuple[int, int, int]] = {}
+    backoff: dict[str, int] = {}
+    tpl_counts: dict[str, int] = {}
+    seen_count = 0
+
+    for epoch in range(max_epochs):
+        if not frontier:
+            break
+        if max_pages is not None and seen_count >= max_pages:
+            break
+        new_urls = {u: v for u, v in frontier.items() if u not in visited}
+
+        # domain-grain budgets: delay = midpoint 2.0 * 2^level capped,
+        # budget = max(floor(E/delay), 1)  (attach_budgets + backoff)
+        def budget_of(dom: str) -> int:
+            delay = min(2.0 * (2.0 ** backoff.get(dom, 0)), POLITENESS_MAX_DELAY)
+            return max(int(floor(epoch_seconds / delay)), 1)
+
+        by_dom: dict[str, list[tuple[tuple[int, int, int], str]]] = {}
+        for u, (d, p, q) in new_urls.items():
+            by_dom.setdefault(py_registrable_domain(host_of(u)), []).append(
+                ((d, p, q), u)
+            )
+        popped: list[tuple[tuple[int, int, int], str]] = []
+        deferred: dict[str, tuple[int, int, int]] = {}
+        for dom, rows in by_dom.items():
+            rows.sort()
+            b = budget_of(dom)
+            popped.extend(rows[:b])
+            for key, u in rows[b:]:
+                deferred[u] = key
+
+        # max_pages: truncate the batch in (depth, priority, seq) order
+        if max_pages is not None and seen_count + len(popped) > max_pages:
+            popped.sort()
+            for key, u in popped[max_pages - seen_count:]:
+                deferred[u] = key
+            popped = popped[: max_pages - seen_count]
+        seen_count += len(popped)
+
+        # template fold (incremental, BEFORE this epoch's discoveries)
+        if template_guard_cap is not None:
+            for _key, u in popped:
+                t = py_url_template(u)
+                tpl_counts[t] = tpl_counts.get(t, 0) + 1
+
+        # visited at schedule time
+        for (d, _p, q), u in popped:
+            visited[u] = (d, epoch, q)
+
+        # robots gate (wildcard, path+query target), then redirects, fetch
+        cands: list[tuple[int, int, str, int, int]] = []
+        statuses: list[tuple[str, int]] = []
+        for (d, p, q), u in popped:
+            if py_robots_denied_wildcard(
+                py_url_path_query(u), list(robots_disallow), list(robots_allow)
+            ):
+                continue  # denied: consumed, no fetch, no status
+            node = graph.get(u)
+            if node is not None and node.get("redirect"):
+                # consumed without fetch; target re-enters at SAME depth,
+                # pos -1 — gated like any discovered link
+                cands.append((q, -1, py_canonical_url(node["redirect"]), d, p))
+                continue
+            statuses.append(
+                (py_registrable_domain(host_of(u)), node["status"] if node else 404)
+            )
+            if node is None or node["status"] != 200 or node["markdown"] is None:
+                continue
+            for pos, href in enumerate(node["links"]):
+                cands.append(
+                    (q, pos, py_canonical_url(py_resolve_href(u, href)), d + 1, p)
+                )
+
+        # backoff update at domain grain (update_backoff semantics)
+        throttled: dict[str, bool] = {}
+        for dom, st in statuses:
+            throttled[dom] = throttled.get(dom, False) or st in (429, 503)
+        for dom, thr in throttled.items():
+            backoff[dom] = min(backoff.get(dom, 0) + 1, 6) if thr else 0
+
+        # discovered-link gates: non-empty, binary, trap link_filter
+        gated = [
+            (q, pos, tu, d, p)
+            for (q, pos, tu, d, p) in cands
+            if tu and not py_is_binary_url(tu) and not py_is_crawl_trap(tu)
+        ]
+        # first-discoverer per url
+        best: dict[str, tuple[int, int, int, int]] = {}
+        for q, pos, tu, d, p in gated:
+            key = (q, pos, d, p)
+            if tu not in best or key < best[tu]:
+                best[tu] = key
+        # depth filter + template guard + anti-join visited
+        disc: dict[str, tuple[int, int, int, int]] = {}
+        for tu, (q, pos, d, p) in best.items():
+            if d > max_depth - 1 or tu in visited:
+                continue
+            if (
+                template_guard_cap is not None
+                and tpl_counts.get(py_url_template(tu), 0) > template_guard_cap
+            ):
+                continue
+            disc[tu] = (q, pos, d, p)
+        # seq assignment: rank by (disc_seq, disc_pos, url), 1-based over
+        # the offset (engine row_number + seq_offset)
+        ordered = sorted(disc.items(), key=lambda kv: (kv[1][0], kv[1][1], kv[0]))
+        discovered: dict[str, tuple[int, int, int]] = {}
+        for rank, (tu, (_q, _pos, d, p)) in enumerate(ordered, start=1):
+            discovered[tu] = (d, p, seq_offset + rank)
+        seq_offset += len(ordered)
+
+        # next frontier: dedup(deferred ∪ discovered), min (d, p, seq)
+        nf = dict(deferred)
+        for tu, key in discovered.items():
+            if tu not in nf or key < nf[tu]:
+                nf[tu] = key
         frontier = nf
     return visited

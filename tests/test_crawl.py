@@ -1143,3 +1143,119 @@ def test_stored_frontier_threshold_pop_zero_exchange(spark, tmp_path):
     assert {r["count"] for r in got} == {100}
     n_def = deferred.count()
     assert n_def == 5000 - 700
+
+
+def _hazard_engine(spark, m, tmp_path, store=None, ckpt=None, **over):
+    from mcp_crawl4ai_rag_spark.functions.urls import is_crawl_trap
+    from mcp_crawl4ai_rag_spark.sources import hazard as HZ
+
+    kw = dict(
+        robots=HZ.gen_hazard_robots(spark),
+        allowed_host_suffix=None,
+        use_bloom=True,
+        pop_impl="threshold",
+        politeness_grain="domain",
+        epoch_seconds=HZ.HAZ_EPOCH_SECONDS,
+        redirects=HZ.gen_hazard_redirects(spark, m),
+        link_filter=lambda u: ~is_crawl_trap(u),
+        template_guard_cap=HZ.HAZ_TEMPLATE_CAP,
+    )
+    if store:
+        kw["frontier_store_dir"] = str(tmp_path / store)
+    if ckpt:
+        kw["checkpoint_dir"] = str(tmp_path / ckpt)
+    kw.update(over)
+    return CrawlEngine(spark, HZ.gen_hazard_pages(spark, m), **kw)
+
+
+def test_hardened_composed_crawl_matches_twin(spark, tmp_path):
+    """ONE engine run with EVERY hardening guard active — redirects +
+    trap link_filter + in-crawl template guard + wildcard robots (query
+    target) + eTLD+1 politeness with backoff + max_pages + threshold pop
+    from a STORED frontier — against the hazard corpus planting all the
+    hazards; the sequential twin must reproduce the full ordering
+    contract (depth, epoch_seen, seq) URL-for-URL."""
+    from mcp_crawl4ai_rag_spark.plans.crawl import py_crawl_hardened
+    from mcp_crawl4ai_rag_spark.sources import hazard as HZ
+
+    m, max_pages = 300, HZ.HAZ_MAX_PAGES
+    res = _hazard_engine(spark, m, tmp_path, store="fr").run(
+        HZ.gen_hazard_seeds(spark).select("url", "priority", "depth", "seq"),
+        max_depth=HZ.HAZ_MAX_DEPTH,
+        politeness=True,
+        max_epochs=HZ.HAZ_MAX_EPOCHS,
+        max_pages=max_pages,
+    )
+    got = {
+        r["canonical_url"]: (r["depth"], r["epoch_seen"], r["seq"])
+        for r in res.url_seen.collect()
+    }
+    want = py_crawl_hardened(
+        HZ.py_hazard_graph(m),
+        [HZ.hz_url(i) for i in range(HZ.HAZ_SEED_COUNT)],
+        max_depth=HZ.HAZ_MAX_DEPTH,
+        max_epochs=HZ.HAZ_MAX_EPOCHS,
+        epoch_seconds=HZ.HAZ_EPOCH_SECONDS,
+        max_pages=max_pages,
+        template_guard_cap=HZ.HAZ_TEMPLATE_CAP,
+        robots_disallow=list(HZ.HAZ_ROBOTS_DISALLOW),
+        robots_allow=list(HZ.HAZ_ROBOTS_ALLOW),
+    )
+    assert len(got) == len(want) and got == want, (
+        f"engine={len(got)} twin={len(want)} "
+        f"missing={set(want) - set(got)} extra={set(got) - set(want)} "
+        f"diff={ {u: (got[u], want[u]) for u in got if u in want and got[u] != want[u]} }"
+    )
+    # every hazard class provably present in the schedule
+    assert got, "empty crawl"
+    assert any("/sess/" in u for u in got), "mill URLs never scheduled"
+    assert any("/private/s" in u for u in got), "denied URLs never scheduled"
+    assert any("?sid=" in u for u in got), "query-denied URLs never scheduled"
+    assert any("/private/ok" in u for u in got), "Allow override never scheduled"
+    assert not any("/x/x/x" in u for u in got), "trap URLs escaped the filter"
+    assert len(got) == max_pages, "max_pages did not bite"
+    # budgets BIND: many pops land later than their BFS depth level
+    assert sum(1 for d, e, _s in got.values() if e > d) > 50
+    # the template guard bites: strictly fewer mill URLs than a guard-less
+    # twin of the same crawl schedules
+    unguarded = py_crawl_hardened(
+        HZ.py_hazard_graph(m),
+        [HZ.hz_url(i) for i in range(HZ.HAZ_SEED_COUNT)],
+        max_depth=HZ.HAZ_MAX_DEPTH,
+        max_epochs=HZ.HAZ_MAX_EPOCHS,
+        epoch_seconds=HZ.HAZ_EPOCH_SECONDS,
+        max_pages=None,
+        template_guard_cap=None,
+        robots_disallow=list(HZ.HAZ_ROBOTS_DISALLOW),
+        robots_allow=list(HZ.HAZ_ROBOTS_ALLOW),
+    )
+    n_mill_g = sum(1 for u in want if "/sess/" in u)
+    n_mill_u = sum(1 for u in unguarded if "/sess/" in u)
+    assert 0 < n_mill_g < n_mill_u, (n_mill_g, n_mill_u)
+
+
+def test_hardened_composed_kill_resume_identity(spark, tmp_path):
+    """Kill/resume with ALL guards active: resuming a checkpointed
+    hardened run reproduces the uninterrupted one bit-identically
+    (backoff, template counters, max_pages remaining, stored frontier
+    all rebuilt/reloaded correctly)."""
+    from mcp_crawl4ai_rag_spark.sources import hazard as HZ
+
+    m, max_pages = 300, HZ.HAZ_MAX_PAGES
+    seeds = HZ.gen_hazard_seeds(spark)
+    full = _hazard_engine(spark, m, tmp_path, store="f1", ckpt="c1").run(
+        seeds, max_depth=HZ.HAZ_MAX_DEPTH, politeness=True,
+        max_epochs=HZ.HAZ_MAX_EPOCHS, max_pages=max_pages,
+    )
+    _hazard_engine(spark, m, tmp_path, store="f2", ckpt="c2").run(
+        seeds, max_depth=HZ.HAZ_MAX_DEPTH, politeness=True,
+        max_epochs=2, max_pages=max_pages,
+    )
+    resumed = _hazard_engine(spark, m, tmp_path, store="f2", ckpt="c2").resume(
+        max_epochs=HZ.HAZ_MAX_EPOCHS
+    )
+    key = lambda res: {  # noqa: E731
+        (r["canonical_url"], r["depth"], r["seq"], r["epoch_seen"])
+        for r in res.url_seen.collect()
+    }
+    assert key(resumed) == key(full)
