@@ -4386,6 +4386,17 @@ GROUP BY 1
 """
 
 
+# the decoded charset-plant prefixes as a SQL CASE over i % WARC_CHARSET_MOD
+# (single-sourced from sources/corpus.WARC_CHARSET_PLAN — prefix paragraph
+# + blank line before the page markdown, '' for utf-8 pages)
+def _warc_prefix_sql() -> str:
+    whens = "".join(
+        f" WHEN {r} THEN '{plan[3]}' || chr(10) || chr(10)"
+        for r, plan in sorted(C.WARC_CHARSET_PLAN.items())
+    )
+    return f"(CASE i % {C.WARC_CHARSET_MOD}{whens} ELSE '' END)"
+
+
 def _oracle_chunk_documents() -> str:
     # leg 'doc': documents.text has no '\n\n', no '```', no '. ' → the
     # greedy chunker degenerates to exact 200-char slices (verified by the
@@ -4398,6 +4409,7 @@ def _oracle_chunk_documents() -> str:
     # (single-chunk degeneracy, same invariant family as leg 'doc').
     from mcp_crawl4ai_rag_spark.sources.corpus import oracle_url_sql
 
+    _WARC_PREFIX_SQL = _warc_prefix_sql()
     piece = "trim(substr(d.text, CAST(ks.k * 200 + 1 AS INTEGER), 200))"
     nl = "chr(10)"
     nl2 = f"{nl} || {nl}"
@@ -4442,10 +4454,15 @@ SELECT 'html_chunk', url, CAST(0 AS BIGINT), md,
 FROM mdq
 UNION ALL
 -- warc leg: the archive parse recovers exactly the live corpus minus the
--- down pages (WARC_404_MOD), then the same extraction closed form applies
-SELECT 'warc', url, CAST(0 AS BIGINT), md,
-       CAST(length(md) AS BIGINT),
-       CAST(len(regexp_extract_all(md, '{_WS_RE}')) AS BIGINT)
+-- down pages (WARC_404_MOD), then the same extraction closed form applies.
+-- Legacy-charset planted pages (WARC_CHARSET_PLAN residues of i % 7) are
+-- archived in latin-1 / windows-1251 / shift-jis / BOM'd utf-16 with a
+-- non-ASCII prefix paragraph; the oracle restates the DECODED prefix
+-- verbatim, so mojibake in the charset sniffer would hash-mismatch here
+SELECT 'warc', url, CAST(0 AS BIGINT),
+       {_WARC_PREFIX_SQL} || md,
+       CAST(length({_WARC_PREFIX_SQL} || md) AS BIGINT),
+       CAST(len(regexp_extract_all({_WARC_PREFIX_SQL} || md, '{_WS_RE}')) AS BIGINT)
 FROM mdq WHERE i % {C.WARC_404_MOD} <> 0
 """
 

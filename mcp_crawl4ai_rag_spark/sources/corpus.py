@@ -612,6 +612,49 @@ WARC_404_MOD = 23
 WARC_REQ_MOD = 5
 WARC_GZ_MOD = 3
 
+# Legacy-charset planting (r5): Common Crawl bodies arrive in every
+# encoding, so pages at i % WARC_CHARSET_MOD residues are archived in a
+# NON-UTF-8 encoding, each declared through a different channel the
+# sniffer must honor (sources/warc.sniff_charset) — and each prefixed
+# with a non-ASCII paragraph whose decoded markdown the oracle restates
+# verbatim, so mojibake is provably absent from the hash gate:
+#   residue 1: latin-1, declared in the Content-Type header;
+#   residue 2: windows-1251, declared ONLY by an in-document
+#              <meta charset> (header says bare text/html);
+#   residue 3: shift-jis, declared in the Content-Type header;
+#   residue 4: utf-16 WITH BOM while the header LIES (charset=utf-8) —
+#              BOM precedence must win.
+WARC_CHARSET_MOD = 7
+# residue -> (codec, Content-Type header, meta tag to inject, prefix text)
+WARC_CHARSET_PLAN: dict[int, tuple[str, str, str, str]] = {
+    1: (
+        "latin-1",
+        "text/html; charset=ISO-8859-1",
+        "",
+        "Café naïve résumé über señor",
+    ),
+    2: (
+        "cp1251",
+        "text/html",
+        '<meta charset="windows-1251">',
+        "Привет мир "
+        "данные тест",
+    ),
+    3: (
+        "shift_jis",
+        "text/html; charset=Shift_JIS",
+        "",
+        "こんにちは世界のデータ",
+    ),
+    4: (
+        "utf-16",
+        "text/html; charset=utf-8",  # deliberately wrong — BOM wins
+        "",
+        "Ωμέγα δεδομ"
+        "ένα κείμενο",
+    ),
+}
+
 
 def gen_warc_blobs(
     spark: SparkSession, n: int, records_per_blob: int = 20
@@ -671,6 +714,14 @@ def gen_warc_blobs(
                 )
             if pid % WARC_404_MOD == 0:
                 block = render_http_response("", status=404)
+            elif pid % WARC_CHARSET_MOD in WARC_CHARSET_PLAN:
+                codec, ctype, meta, prefix = WARC_CHARSET_PLAN[
+                    pid % WARC_CHARSET_MOD
+                ]
+                payload = (f"{meta}<p>{prefix}</p>" + html).encode(codec)
+                block = render_http_response(
+                    payload, status=200, content_type=ctype
+                )
             else:
                 block = render_http_response(html, status=200)
             parts.append(

@@ -28,7 +28,9 @@ parallel over blobs (files), the same scaling shape as the sitemap source.
 
 from __future__ import annotations
 
+import codecs
 import gzip
+import re
 from typing import Iterator
 
 import pandas as pd
@@ -48,9 +50,74 @@ PARSED_SCHEMA = StructType(
         StructField("url", StringType()),
         StructField("status", IntegerType()),
         StructField("content_type", StringType()),
+        StructField("charset", StringType()),
         StructField("html", StringType()),
     ]
 )
+
+# --- Charset detection -----------------------------------------------------
+# Common Crawl is full of legacy encodings (latin-1, windows-1251,
+# shift-jis, ...); decoding every body as utf-8/replace silently feeds
+# mojibake into the HTML→markdown kernel. The reference never faces this
+# (crawl4ai's browser decodes before the reference sees text,
+# src/crawl4ai_mcp.py:948) — an archive reader must do it itself.
+# Precedence follows the WHATWG encoding sniff: BOM beats the transport
+# header beats an in-document <meta charset>; utf-8 is the default. The
+# BOM codecs (utf-8-sig / utf-16) strip the BOM on decode, so no
+# ever reaches the markdown kernel.
+
+_CHARSET_ALIASES = {
+    "iso-8859-1": "latin-1",
+    "iso8859-1": "latin-1",
+    "latin1": "latin-1",
+    "windows-1251": "cp1251",
+    "win-1251": "cp1251",
+    "shift-jis": "shift_jis",
+    "shift_jis": "shift_jis",
+    "sjis": "shift_jis",
+    "x-sjis": "shift_jis",
+    "utf8": "utf-8",
+}
+_HDR_CHARSET_RE = re.compile(r"charset\s*=\s*[\"']?([A-Za-z0-9_\-]+)", re.I)
+_META_CHARSET_RE = re.compile(
+    rb"<meta[^>]{0,256}?charset\s*=\s*[\"']?([A-Za-z0-9_\-]+)", re.I
+)
+_META_SCAN_BYTES = 2048  # WHATWG prescan window
+
+
+def _valid_codec(name: str | None) -> str | None:
+    if not name:
+        return None
+    name = _CHARSET_ALIASES.get(name.lower(), name.lower())
+    try:
+        codecs.lookup(name)
+        return name
+    except LookupError:
+        return None
+
+
+def sniff_charset(content_type: str | None, body: bytes) -> str:
+    """Codec for an HTTP HTML body: BOM → Content-Type ``charset=`` →
+    ``<meta charset>`` prescan (first 2 KiB) → utf-8. Unknown or
+    malformed declarations fall through to the next source."""
+    if body[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig"
+    if body[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return "utf-16"  # the codec dispatches LE/BE off the BOM
+    m = _HDR_CHARSET_RE.search(content_type or "")
+    enc = _valid_codec(m.group(1) if m else None)
+    if enc:
+        return enc
+    m = _META_CHARSET_RE.search(body[:_META_SCAN_BYTES])
+    enc = _valid_codec(m.group(1).decode("ascii", "replace") if m else None)
+    return enc or "utf-8"
+
+
+def decode_html_body(content_type: str | None, body: bytes) -> tuple[str, str]:
+    """(decoded text, codec used) — sniff then decode with 'replace' so a
+    lying declaration degrades per-character instead of failing the blob."""
+    enc = sniff_charset(content_type, body)
+    return body.decode(enc, "replace"), enc
 
 
 def render_warc_record(
@@ -77,10 +144,14 @@ def render_warc_record(
 
 
 def render_http_response(
-    body: str, status: int = 200, content_type: str = "text/html; charset=utf-8"
+    body: str | bytes,
+    status: int = 200,
+    content_type: str = "text/html; charset=utf-8",
 ) -> bytes:
-    """Render the HTTP response block a WARC ``response`` record carries."""
-    payload = body.encode("utf-8")
+    """Render the HTTP response block a WARC ``response`` record carries.
+    ``body`` may be pre-encoded bytes (legacy-charset archives — the
+    Content-Type should then declare the matching ``charset=``)."""
+    payload = body if isinstance(body, bytes) else body.encode("utf-8")
     reason = {200: "OK", 404: "Not Found", 429: "Too Many Requests"}.get(
         status, "Unknown"
     )
@@ -92,18 +163,20 @@ def render_http_response(
     return head + payload
 
 
-def py_parse_warc(blob: bytes) -> list[tuple[str, int, str, str]]:
+def py_parse_warc(blob: bytes) -> list[tuple[str, int, str, str, str]]:
     """Parse one WARC blob into its ``response`` records.
 
-    Returns ``(url, status, content_type, body)`` tuples in file order;
-    non-response records (warcinfo/request/metadata) are consumed and
-    skipped. Strictly framed by Content-Length; raises ``ValueError`` on a
-    record whose header is malformed or whose block is truncated, so a
-    corrupt archive fails loudly instead of yielding silently-clipped
-    documents."""
+    Returns ``(url, status, content_type, charset, body)`` tuples in file
+    order; non-response records (warcinfo/request/metadata) are consumed
+    and skipped. Strictly framed by Content-Length; raises ``ValueError``
+    on a record whose header is malformed or whose block is truncated, so
+    a corrupt archive fails loudly instead of yielding silently-clipped
+    documents. Bodies decode CHARSET-CORRECTLY (:func:`sniff_charset`:
+    BOM → header → meta → utf-8); HTTP header lines decode as latin-1
+    (RFC 9110 field encoding — lossless for any byte)."""
     if blob[:2] == b"\x1f\x8b":
         blob = gzip.decompress(blob)  # handles concatenated members too
-    out: list[tuple[str, int, str, str]] = []
+    out: list[tuple[str, int, str, str, str]] = []
     pos = 0
     n = len(blob)
     while pos < n:
@@ -136,7 +209,7 @@ def py_parse_warc(blob: bytes) -> list[tuple[str, int, str, str]]:
         http_end = block.find(b"\r\n\r\n")
         if http_end < 0:
             raise ValueError("HTTP response block not terminated")
-        http_lines = block[:http_end].decode("utf-8", "replace").split("\r\n")
+        http_lines = block[:http_end].decode("latin-1").split("\r\n")
         parts = http_lines[0].split(None, 2)
         if len(parts) < 2 or not parts[0].startswith("HTTP/"):
             raise ValueError(f"bad HTTP status line: {http_lines[0]!r}")
@@ -147,8 +220,8 @@ def py_parse_warc(blob: bytes) -> list[tuple[str, int, str, str]]:
                 k, v = ln.split(":", 1)
                 if k.strip().lower() == "content-type":
                     ctype = v.strip()
-        body = block[http_end + 4 :].decode("utf-8", "replace")
-        out.append((fields.get("warc-target-uri", ""), status, ctype, body))
+        body, charset = decode_html_body(ctype, block[http_end + 4 :])
+        out.append((fields.get("warc-target-uri", ""), status, ctype, charset, body))
     return out
 
 
@@ -160,13 +233,14 @@ def parse_warc(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            files, urls, statuses, ctypes, htmls = [], [], [], [], []
+            files, urls, statuses, ctypes, charsets, htmls = [], [], [], [], [], []
             for fname, blob in zip(pdf[file_col], pdf[data_col]):
-                for url, status, ctype, body in py_parse_warc(bytes(blob)):
+                for url, status, ctype, charset, body in py_parse_warc(bytes(blob)):
                     files.append(fname)
                     urls.append(url)
                     statuses.append(status)
                     ctypes.append(ctype)
+                    charsets.append(charset)
                     htmls.append(body)
             yield pd.DataFrame(
                 {
@@ -174,6 +248,7 @@ def parse_warc(
                     "url": urls,
                     "status": pd.Series(statuses, dtype="int32"),
                     "content_type": ctypes,
+                    "charset": charsets,
                     "html": htmls,
                 }
             )

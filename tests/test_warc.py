@@ -42,8 +42,8 @@ def test_roundtrip_and_skips():
     )
     rows = py_parse_warc(blob)
     assert rows == [
-        ("https://e.com/a", 200, "text/html; charset=utf-8", "<p>A</p>"),
-        ("https://e.com/b", 404, "text/html; charset=utf-8", "<p>B</p>"),
+        ("https://e.com/a", 200, "text/html; charset=utf-8", "utf-8", "<p>A</p>"),
+        ("https://e.com/b", 404, "text/html; charset=utf-8", "utf-8", "<p>B</p>"),
     ]
 
 
@@ -53,7 +53,7 @@ def test_adversarial_body_not_delimiter_split():
     evil = "WARC/1.0\r\nWARC-Type: response\r\n\r\nfake"
     blob = _resp("https://e.com/x", evil) + _resp("https://e.com/y", "ok")
     rows = py_parse_warc(blob)
-    assert [(r[0], r[3]) for r in rows] == [
+    assert [(r[0], r[4]) for r in rows] == [
         ("https://e.com/x", evil),
         ("https://e.com/y", "ok"),
     ]
@@ -88,7 +88,7 @@ def test_multibyte_body_framing():
     body = "café — français"
     blob = _resp("https://e.com/u", body) + _resp("https://e.com/v", "tail")
     rows = py_parse_warc(blob)
-    assert [(r[0], r[3]) for r in rows] == [
+    assert [(r[0], r[4]) for r in rows] == [
         ("https://e.com/u", body),
         ("https://e.com/v", "tail"),
     ]
@@ -104,6 +104,11 @@ def test_gen_warc_blobs_matches_html_corpus(spark):
         gen_warc_blobs,
     )
 
+    from mcp_crawl4ai_rag_spark.sources.corpus import (
+        WARC_CHARSET_MOD,
+        WARC_CHARSET_PLAN,
+    )
+
     n = 120
     parsed = parse_warc(gen_warc_blobs(spark, n, records_per_blob=20))
     rows = {r["url"]: r for r in parsed.collect()}
@@ -111,10 +116,20 @@ def test_gen_warc_blobs_matches_html_corpus(spark):
     assert len(rows) == n
     for p in pages:
         r = rows[p["url"]]
-        if p["page_id"] % WARC_404_MOD == 0:
+        pid = p["page_id"]
+        if pid % WARC_404_MOD == 0:
             assert r["status"] == 404 and r["html"] == ""
+        elif pid % WARC_CHARSET_MOD in WARC_CHARSET_PLAN:
+            codec, _ct, meta, prefix = WARC_CHARSET_PLAN[pid % WARC_CHARSET_MOD]
+            # decoded text is EXACTLY the planted page — mojibake-free —
+            # and the sniffer reports the codec it used
+            assert r["html"] == f"{meta}<p>{prefix}</p>" + p["raw_html"], codec
+            want_cs = {"latin-1": "latin-1", "cp1251": "cp1251",
+                       "shift_jis": "shift_jis", "utf-16": "utf-16"}[codec]
+            assert r["charset"] == want_cs
         else:
             assert r["status"] == 200 and r["html"] == p["raw_html"]
+            assert r["charset"] == "utf-8"
 
 
 def test_gen_warc_gzip_blobs_present(spark):
@@ -141,6 +156,11 @@ def test_warc_to_markdown_composition(spark):
         gen_warc_blobs,
     )
 
+    from mcp_crawl4ai_rag_spark.sources.corpus import (
+        WARC_CHARSET_MOD,
+        WARC_CHARSET_PLAN,
+    )
+
     n = 80
     via_warc = (
         extract_markdown(
@@ -151,22 +171,21 @@ def test_warc_to_markdown_composition(spark):
         .select("url", "markdown")
         .collect()
     )
+    live = gen_html_pages(spark, n).where(F.col("page_id") % WARC_404_MOD != 0)
     direct = {
-        r["url"]: r["markdown"]
-        for r in extract_markdown(gen_html_pages(spark, n), "raw_html", "markdown")
-        .join(
-            gen_html_pages(spark, n).where(
-                F.col("page_id") % WARC_404_MOD != 0
-            ).select("url"),
-            "url",
-            "left_semi",
-        )
-        .select("url", "markdown")
+        r["url"]: (r["markdown"], r["page_id"])
+        for r in extract_markdown(live, "raw_html", "markdown")
+        .select("url", "page_id", "markdown")
         .collect()
     }
     assert len(via_warc) == len(direct)
     for r in via_warc:
-        assert direct[r["url"]] == r["markdown"]
+        md, pid = direct[r["url"]]
+        plan = WARC_CHARSET_PLAN.get(pid % WARC_CHARSET_MOD)
+        if plan is not None:
+            # the planted prefix paragraph lands DECODED before the page
+            md = plan[3] + "\n\n" + md
+        assert md == r["markdown"], r["url"]
 
 
 def test_property_warc_roundtrip_arbitrary_bodies():
@@ -211,7 +230,78 @@ def test_property_warc_roundtrip_arbitrary_bodies():
         blob = b"".join(parts)
         if gz:
             blob = gzip.compress(blob, mtime=0)
-        got = [(u, s, bod) for u, s, _ct, bod in py_parse_warc(blob)]
+        got = [(u, s, bod) for u, s, _ct, _cs, bod in py_parse_warc(blob)]
         assert got == want
 
     run()
+
+
+def test_sniff_charset_precedence():
+    """WHATWG sniff order: BOM beats transport header beats <meta>;
+    unknown/malformed declarations fall through; utf-8 default."""
+    from mcp_crawl4ai_rag_spark.sources.warc import sniff_charset
+
+    # BOM wins even when the header lies
+    assert sniff_charset("text/html; charset=utf-8", "﻿x".encode("utf-16")) == "utf-16"
+    assert sniff_charset("text/html; charset=latin-1", b"\xef\xbb\xbfabc") == "utf-8-sig"
+    # header charset, with aliasing
+    assert sniff_charset("text/html; charset=ISO-8859-1", b"abc") == "latin-1"
+    assert sniff_charset('text/html; charset="Shift_JIS"', b"abc") == "shift_jis"
+    # header wins over meta
+    assert (
+        sniff_charset(
+            "text/html; charset=windows-1251", b'<meta charset="utf-8">'
+        )
+        == "cp1251"
+    )
+    # meta fallback (plain header), both meta shapes
+    assert sniff_charset("text/html", b'<meta charset="windows-1251"><p>') == "cp1251"
+    assert (
+        sniff_charset(
+            "text/html",
+            b'<meta http-equiv="Content-Type" content="text/html; charset=shift-jis">',
+        )
+        == "shift_jis"
+    )
+    # junk charset name -> fall through to meta, then default
+    assert sniff_charset("text/html; charset=klingon-8", b"abc") == "utf-8"
+    assert (
+        sniff_charset("text/html; charset=klingon-8", b'<meta charset="latin1">')
+        == "latin-1"
+    )
+    # meta outside the 2 KiB prescan window is ignored
+    far = b" " * 4096 + b'<meta charset="windows-1251">'
+    assert sniff_charset("text/html", far) == "utf-8"
+
+
+def test_legacy_charset_bodies_decode_exactly():
+    """Planted legacy-encoding responses decode mojibake-free through the
+    full record parse; a BOM never leaks into the text."""
+    from mcp_crawl4ai_rag_spark.sources.warc import py_parse_warc
+
+    cases = [
+        ("latin-1", "text/html; charset=ISO-8859-1", "Café naïve résumé"),
+        ("cp1251", "text/html", '<meta charset="windows-1251"><p>Привет мир</p>'),
+        ("shift_jis", "text/html; charset=Shift_JIS", "こんにちは世界"),
+        ("utf-16", "text/html; charset=utf-8", "Ωμέγα δεδομένα"),  # BOM wins
+    ]
+    parts = []
+    for k, (codec, ctype, text) in enumerate(cases):
+        parts.append(
+            render_warc_record(
+                "response",
+                f"https://e.com/c{k}",
+                render_http_response(
+                    text.encode(codec), status=200, content_type=ctype
+                ),
+                record_id=f"c{k}",
+            )
+        )
+    rows = py_parse_warc(b"".join(parts))
+    assert [(r[3], r[4]) for r in rows] == [
+        ("latin-1", "Café naïve résumé"),
+        ("cp1251", '<meta charset="windows-1251"><p>Привет мир</p>'),
+        ("shift_jis", "こんにちは世界"),
+        ("utf-16", "Ωμέγα δεδομένα"),  # BOM stripped by the codec
+    ]
+    assert not any("﻿" in r[4] or "\x00" in r[4] for r in rows)
