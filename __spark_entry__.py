@@ -5259,7 +5259,75 @@ def q_upsert_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("").alias("fp"),
         F.lit("schedule").alias("change_kind"),
     )
-    return merged.unionByName(status).unionByName(sched)
+    # fourth leg (chunk_number=-3, r5): CONDITIONAL recrawl — 304
+    # semantics. The validator index carries (fp, etag, last_modified);
+    # the recrawl splits into conditional/unconditional requests, URLs
+    # whose stored ETag still matches answer 304 with NULL body+fp (the
+    # transfer provably never happens — body0=1 in the content), classify
+    # 'unchanged' with the stored fp carried forward, and keep their
+    # index row; doc_id%3==0 pages changed server-side (new body+etag)
+    # → 200+'changed'+refreshed validators; doc_id%7==0 are brand-new
+    # URLs fetched unconditionally → 'new'. The emitted etag is read
+    # back from the UPDATED index, so index advance is hash-checked too.
+    from mcp_crawl4ai_rag_spark.plans.rag import (
+        conditional_change_status,
+        conditional_fetch_split,
+        simulate_conditional_fetch,
+        update_validator_index,
+    )
+
+    did = F.col("doc_id").cast("string")
+    changed3 = F.col("doc_id") % 3 == 0
+    idx1 = docs.select(
+        F.concat(F.lit("q"), did).alias("url"),
+        F.md5("text").alias("fp"),
+        F.concat(F.lit("e0:"), did).alias("etag"),
+        F.lit("2026-01-01").alias("last_modified"),
+    )
+    server2 = docs.select(
+        F.concat(F.lit("q"), did).alias("url"),
+        F.when(changed3, F.concat(F.col("text"), F.lit("!")))
+        .otherwise(F.col("text"))
+        .alias("body"),
+        F.when(changed3, F.concat(F.lit("e1:"), did))
+        .otherwise(F.concat(F.lit("e0:"), did))
+        .alias("etag"),
+        F.when(changed3, F.lit("2026-02-01"))
+        .otherwise(F.lit("2026-01-01"))
+        .alias("last_modified"),
+    ).unionByName(
+        docs.where(F.col("doc_id") % 7 == 0).select(
+            F.concat(F.lit("qn"), did).alias("url"),
+            F.col("text").alias("body"),
+            F.concat(F.lit("e0:"), did).alias("etag"),
+            F.lit("2026-02-01").alias("last_modified"),
+        )
+    )
+    cond, uncond = conditional_fetch_split(idx1, server2.select("url"))
+    f2 = simulate_conditional_fetch(cond, server2).unionByName(
+        simulate_conditional_fetch(uncond, server2)
+    )
+    st304 = conditional_change_status(idx1, f2)
+    idx2 = update_validator_index(idx1, f2)
+    leg304 = (
+        st304.join(f2.select("url", "status", "body"), "url")
+        .join(idx2.select("url", F.col("etag").alias("__etag2")), "url")
+        .select(
+            "url",
+            F.lit(-3).cast("long").alias("chunk_number"),
+            F.format_string(
+                "st=%d body0=%d etag=%s",
+                F.col("status"),
+                F.col("body").isNull().cast("int"),
+                F.col("__etag2"),
+            ).alias("content"),
+            F.coalesce(F.col("fp"), F.lit("")).alias("fp"),
+            "change_kind",
+        )
+    )
+    return (
+        merged.unionByName(status).unionByName(sched).unionByName(leg304)
+    )
 
 
 def _oracle_upsert_store() -> str:
@@ -5328,6 +5396,25 @@ FROM (
   ) k
   GROUP BY url
 ) agg
+UNION ALL
+-- conditional-recrawl leg (-3): doc_id%3==0 changed server-side -> 200,
+-- fresh etag, changed; others 304 with NO body (body0=1), stored fp
+-- carried, etag kept; doc_id%7==0 brand-new URLs -> unconditional 200
+SELECT 'q' || CAST(doc_id AS VARCHAR) AS url,
+       CAST(-3 AS BIGINT) AS chunk_number,
+       CASE WHEN doc_id % 3 = 0
+            THEN 'st=200 body0=0 etag=e1:' || CAST(doc_id AS VARCHAR)
+            ELSE 'st=304 body0=1 etag=e0:' || CAST(doc_id AS VARCHAR) END
+           AS content,
+       CASE WHEN doc_id % 3 = 0 THEN md5(text || '!') ELSE md5(text) END AS fp,
+       CASE WHEN doc_id % 3 = 0 THEN 'changed' ELSE 'unchanged' END
+           AS change_kind
+FROM documents
+UNION ALL
+SELECT 'qn' || CAST(doc_id AS VARCHAR), CAST(-3 AS BIGINT),
+       'st=200 body0=0 etag=e0:' || CAST(doc_id AS VARCHAR),
+       md5(text), 'new'
+FROM documents WHERE doc_id % 7 = 0
 """
 
 

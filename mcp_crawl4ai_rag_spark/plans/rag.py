@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .. import SER_CKPT_LEVEL as _SER_LEVEL
+
 from ..config import DEFAULT_MATCH_COUNT
 from ..functions.chunking import explode_chunks, with_section_info
 from ..functions.embedding import embed_query, with_embeddings
@@ -230,6 +232,195 @@ def update_fingerprint_index(
     if prev_index is None:
         return batch
     untouched = prev_index.select(url_col, fp_col).join(
+        F.broadcast(batch.select(url_col)), url_col, "left_anti"
+    )
+    return untouched.unionByName(batch)
+
+
+def conditional_fetch_split(
+    prev_index: DataFrame,
+    urls: DataFrame,
+    url_col: str = "url",
+    etag_col: str = "etag",
+    lastmod_col: str = "last_modified",
+) -> tuple[DataFrame, DataFrame]:
+    """Split a recrawl batch into (conditional, unconditional) requests.
+
+    The missing third leg of the freshness story (r5): doc_change_status
+    classifies AFTER a full fetch, but a real recrawl at scale must skip
+    the BODY TRANSFER itself — a URL whose stored validator (ETag /
+    Last-Modified) is still current answers ``304 Not Modified`` with an
+    empty body. URLs present in the validator index get their stored
+    validators projected on (If-None-Match / If-Modified-Since headers);
+    the rest fetch plain. The reference refetches everything blindly
+    (CacheMode.BYPASS, src/crawl4ai_mcp.py:481-487).
+
+    Scale shape: same as :func:`doc_change_status` — the corpus-sized
+    index is semi-pruned to the batch with a broadcast (index side
+    streams), and the ≤|batch| survivors broadcast back. Zero shuffle."""
+    vals = (
+        prev_index.select(url_col, etag_col, lastmod_col)
+        .where(F.col(etag_col).isNotNull() | F.col(lastmod_col).isNotNull())
+        .join(F.broadcast(urls.select(url_col)), url_col, "left_semi")
+    )
+    j = urls.join(F.broadcast(vals), url_col, "left")
+    has_val = F.col(etag_col).isNotNull() | F.col(lastmod_col).isNotNull()
+    return j.where(has_val), j.where(~has_val).drop(etag_col, lastmod_col)
+
+
+def simulate_conditional_fetch(
+    requests: DataFrame,
+    server: DataFrame,
+    url_col: str = "url",
+    body_col: str = "body",
+) -> DataFrame:
+    """Sandbox stand-in for the conditional-GET HTTP layer (the fetch-join
+    twin of CrawlEngine._fetch_batch): ``requests`` rows optionally carry
+    ``etag``/``last_modified`` validators; ``server`` is the current
+    (url, body, etag, last_modified) state. Returns the fetch table
+    ``(url, status, fp, etag, last_modified, body)``:
+
+    * validator matches the server's current one (If-None-Match first,
+      Last-Modified fallback — RFC 9110 §13.1.3 precedence) → status 304
+      with **NULL body and NULL fp**: the body provably never transfers;
+    * otherwise (or no validator) → status 200 with the body, its md5
+      fingerprint, and the server's fresh validators;
+    * URL gone from the server → 404, NULL body.
+
+    At real scale this function is replaced by a mapInPandas HTTP stage
+    with the identical input/output schema; the join here broadcasts the
+    ingest-bounded request batch into the server/corpus scan."""
+    req = requests
+    if "etag" not in req.columns:
+        req = req.withColumn("etag", F.lit(None).cast("string"))
+    if "last_modified" not in req.columns:
+        req = req.withColumn("last_modified", F.lit(None).cast("string"))
+    req = req.select(
+        url_col,
+        F.col("etag").alias("__req_etag"),
+        F.col("last_modified").alias("__req_lm"),
+    )
+    srv = server.select(
+        url_col,
+        F.col(body_col).alias("__srv_body"),
+        F.col("etag").alias("__srv_etag"),
+        F.col("last_modified").alias("__srv_lm"),
+    )
+    j = srv.join(F.broadcast(req), url_col, "inner")
+    etag_hit = F.col("__req_etag").isNotNull() & F.col("__req_etag").eqNullSafe(
+        F.col("__srv_etag")
+    )
+    lm_hit = (
+        F.col("__req_etag").isNull()
+        & F.col("__req_lm").isNotNull()
+        & F.col("__req_lm").eqNullSafe(F.col("__srv_lm"))
+    )
+    not_modified = etag_hit | lm_hit
+    found = j.select(
+        url_col,
+        F.when(not_modified, F.lit(304)).otherwise(F.lit(200)).alias("status"),
+        F.when(not_modified, F.lit(None).cast("string"))
+        .otherwise(F.md5(F.col("__srv_body")))
+        .alias("fp"),
+        F.when(not_modified, F.lit(None).cast("string"))
+        .otherwise(F.col("__srv_etag"))
+        .alias("etag"),
+        F.when(not_modified, F.lit(None).cast("string"))
+        .otherwise(F.col("__srv_lm"))
+        .alias("last_modified"),
+        F.when(not_modified, F.lit(None).cast("string"))
+        .otherwise(F.col("__srv_body"))
+        .alias("body"),
+    ).localCheckpoint(eager=True, storageLevel=_SER_LEVEL)
+    missing = req.join(
+        F.broadcast(found.select(url_col)), url_col, "left_anti"
+    ).select(
+        url_col,
+        F.lit(404).alias("status"),
+        F.lit(None).cast("string").alias("fp"),
+        F.lit(None).cast("string").alias("etag"),
+        F.lit(None).cast("string").alias("last_modified"),
+        F.lit(None).cast("string").alias("body"),
+    )
+    return found.unionByName(missing)
+
+
+def conditional_change_status(
+    prev_index: DataFrame,
+    fetched: DataFrame,
+    url_col: str = "url",
+    fp_col: str = "fp",
+    status_col: str = "status",
+) -> DataFrame:
+    """304-aware :func:`doc_change_status`: ``fetched`` carries an HTTP
+    status column. 304 rows transferred NO body, so they classify
+    ``unchanged`` with the STORED fingerprint carried forward (the index
+    row remains authoritative) — zero fp computation, zero chunk/embed
+    work downstream. Other rows classify new/changed/unchanged by
+    fingerprint exactly as before. A 304 for a URL the index has no row
+    for is a protocol violation (we never sent a validator) — classified
+    ``new`` with a NULL fp so the pipeline refetches it rather than
+    silently trusting it. Failed fetches (404/5xx — no body) classify
+    ``failed``: never chunk/embed-eligible, and the change log records
+    the observation without poisoning the fingerprint trail. Same
+    zero-shuffle broadcast shape."""
+    not_mod = fetched.where(F.col(status_col) == 304)
+    failed = fetched.where(~F.col(status_col).isin(200, 304)).select(
+        url_col,
+        F.lit(None).cast("string").alias(fp_col),
+        F.lit("failed").alias("change_kind"),
+    )
+    full = fetched.where(F.col(status_col) == 200)
+    relevant = prev_index.select(
+        url_col, F.col(fp_col).alias("__prev_fp")
+    ).join(F.broadcast(not_mod.select(url_col)), url_col, "left_semi")
+    leg304 = (
+        not_mod.select(url_col)
+        .join(F.broadcast(relevant), url_col, "left")
+        .select(
+            url_col,
+            F.col("__prev_fp").alias(fp_col),
+            F.when(F.col("__prev_fp").isNull(), F.lit("new"))
+            .otherwise(F.lit("unchanged"))
+            .alias("change_kind"),
+        )
+    )
+    return (
+        doc_change_status(prev_index.select(url_col, fp_col), full, url_col, fp_col)
+        .unionByName(leg304)
+        .unionByName(failed)
+    )
+
+
+def update_validator_index(
+    prev_index: DataFrame | None,
+    fetched: DataFrame,
+    url_col: str = "url",
+    fp_col: str = "fp",
+    status_col: str = "status",
+) -> DataFrame:
+    """Advance the (url, fp, etag, last_modified) VALIDATOR index after a
+    conditional-recrawl batch: 200 rows replace their URL's row with the
+    fresh fingerprint + validators; 304 rows leave the stored row in
+    place (nothing transferred — the stored body and validators remain
+    authoritative); untouched URLs carry over via broadcast anti-join
+    (the corpus-sized index side never shuffles — the
+    :func:`update_fingerprint_index` ingest shape)."""
+    cols = [url_col, fp_col, "etag", "last_modified"]
+    full = fetched.where(
+        (F.col(status_col) == 200) & F.col(fp_col).isNotNull()
+    ).select(*cols)
+    w = Window.partitionBy(url_col).orderBy(
+        F.col(fp_col).asc(), F.col("etag").asc_nulls_last()
+    )
+    batch = (
+        full.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+    if prev_index is None:
+        return batch
+    untouched = prev_index.select(*cols).join(
         F.broadcast(batch.select(url_col)), url_col, "left_anti"
     )
     return untouched.unionByName(batch)

@@ -421,3 +421,95 @@ def test_build_chunks_default_stamp_is_utc(spark):
     t1 = datetime.strptime(row_ny["crawl_time"], fmt)
     t2 = datetime.strptime(row_utc["crawl_time"], fmt)
     assert abs((t2 - t1).total_seconds()) < 120
+
+
+def test_conditional_recrawl_304_skips_body_and_advances_index(spark):
+    """The conditional-GET recrawl path (r5): URLs whose stored validator
+    still matches answer 304 with NULL body+fp (the transfer provably
+    never happened), classify 'unchanged' with the stored fp carried
+    forward, and leave their index row in place; changed URLs answer 200
+    and replace fp+validators; unknown URLs fetch unconditionally as
+    'new'; vanished URLs 404."""
+    from mcp_crawl4ai_rag_spark.plans.rag import (
+        conditional_change_status,
+        conditional_fetch_split,
+        simulate_conditional_fetch,
+        update_validator_index,
+    )
+
+    def srv(rows):
+        return spark.createDataFrame(
+            rows, "url string, body string, etag string, last_modified string"
+        )
+
+    # crawl 1: server v1, full fetch, index built
+    v1 = srv([
+        ("u/a", "body-a", "ea0", "2026-01-01"),
+        ("u/b", "body-b", "eb0", "2026-01-01"),
+        ("u/c", "body-c", None, "2026-01-02"),  # no etag -> Last-Modified
+        ("u/gone", "body-g", "eg0", "2026-01-01"),
+    ])
+    f1 = simulate_conditional_fetch(v1.select("url"), v1)
+    assert {r["status"] for r in f1.collect()} == {200}
+    idx1 = update_validator_index(None, f1)
+
+    # crawl 2: a changed (new body+etag), b unchanged, c unchanged
+    # (Last-Modified match), gone vanished, n brand new
+    v2 = srv([
+        ("u/a", "body-a2", "ea1", "2026-02-01"),
+        ("u/b", "body-b", "eb0", "2026-01-01"),
+        ("u/c", "body-c", None, "2026-01-02"),
+        ("u/n", "body-n", "en0", "2026-02-01"),
+    ])
+    batch = spark.createDataFrame(
+        [("u/a",), ("u/b",), ("u/c",), ("u/gone",), ("u/n",)], "url string"
+    )
+    cond, uncond = conditional_fetch_split(idx1, batch)
+    assert {r["url"] for r in cond.collect()} == {"u/a", "u/b", "u/c", "u/gone"}
+    assert {r["url"] for r in uncond.collect()} == {"u/n"}
+
+    f2 = simulate_conditional_fetch(cond.unionByName(
+        uncond.select("url",
+                      F.lit(None).cast("string").alias("etag"),
+                      F.lit(None).cast("string").alias("last_modified"))
+    ), v2)
+    rows = {r["url"]: r for r in f2.collect()}
+    assert rows["u/a"]["status"] == 200 and rows["u/a"]["body"] == "body-a2"
+    assert rows["u/b"]["status"] == 304 and rows["u/b"]["body"] is None
+    assert rows["u/b"]["fp"] is None  # no body => no fingerprint computed
+    assert rows["u/c"]["status"] == 304 and rows["u/c"]["body"] is None
+    assert rows["u/gone"]["status"] == 404
+    assert rows["u/n"]["status"] == 200
+
+    st = {r["url"]: r for r in conditional_change_status(idx1, f2).collect()}
+    assert st["u/a"]["change_kind"] == "changed"
+    assert st["u/gone"]["change_kind"] == "failed"  # 404: no body, no embed
+    assert st["u/b"]["change_kind"] == "unchanged"
+    # stored fp carried forward onto the 304 row
+    import hashlib
+    assert st["u/b"]["fp"] == hashlib.md5(b"body-b").hexdigest()
+    assert st["u/c"]["change_kind"] == "unchanged"
+    assert st["u/n"]["change_kind"] == "new"
+    # only new/changed rows are chunk/embed-eligible AND only they carry
+    # a body — the 304 rows cannot be re-embedded even by accident
+    eligible = {u for u, r in st.items() if r["change_kind"] in ("new", "changed")}
+    with_body = {u for u, r in rows.items() if r["body"] is not None}
+    assert eligible == {"u/a", "u/n"} and with_body == {"u/a", "u/n"}
+
+    idx2 = {r["url"]: r for r in update_validator_index(idx1, f2).collect()}
+    assert idx2["u/a"]["etag"] == "ea1"  # refreshed
+    assert idx2["u/b"]["etag"] == "eb0"  # carried (304 left it in place)
+    assert idx2["u/c"]["last_modified"] == "2026-01-02"
+    assert "u/gone" in idx2  # 404 leaves the stored row (policy: retry later)
+    assert idx2["u/n"]["etag"] == "en0"
+
+    # protocol violation: a 304 for an un-indexed URL classifies 'new'
+    rogue = spark.createDataFrame(
+        [("u/rogue", 304, None, None, None, None)],
+        "url string, status int, fp string, etag string, "
+        "last_modified string, body string",
+    )
+    st2 = conditional_change_status(idx1, rogue).collect()
+    assert [(r["url"], r["change_kind"], r["fp"]) for r in st2] == [
+        ("u/rogue", "new", None)
+    ]
