@@ -1407,6 +1407,88 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extraction_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction-QUALITY harness (r5): precision/recall of the
+    HTML→markdown converter + corpus-level boilerplate strip against
+    PLANTED ground truth (sources/corpus.gen_boiler_html_pages — the
+    neardup_recall precedent applied to extraction). Two stages per page:
+
+    - 'extract': after html→markdown alone, both unique MAIN markers must
+      survive (recall 2/2) and exactly the 4 TEXT-boilerplate markers
+      (nav link, cookie banner, social bar, footer — real text the
+      converter cannot know is junk) survive while all 3 CODE markers
+      (script body, comment, onclick attribute) are gone (bp_kept 4/7);
+    - 'clean': after strip_boilerplate (per-host line-frequency pass),
+      main recall stays 2/2 and EVERY boilerplate marker is gone
+      (bp_kept 0/7) — extraction quality is exact end-to-end.
+
+    Any converter or strip regression (nav soup leaking, main paragraph
+    eaten, attribute payload surfacing) changes a count and hash-fails.
+    Schema (stage, url, main_kept, bp_kept)."""
+    from mcp_crawl4ai_rag_spark.functions.html import extract_markdown
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import strip_boilerplate
+    from mcp_crawl4ai_rag_spark.sources.corpus import (
+        BOILER_CODE_MARKERS,
+        BOILER_MAIN_MARKERS,
+        BOILER_TEXT_MARKERS,
+        N_BOILER_HOSTS,
+        gen_boiler_html_pages,
+    )
+
+    n = max(_lineitem_count(spark, sf_dir) // 30, 100)
+    pages = gen_boiler_html_pages(spark, n)
+    md = extract_markdown(pages, "raw_html", "markdown")
+    clean = strip_boilerplate(
+        md.select("url", "host", "markdown"),
+        id_col="url",
+        host_col="host",
+        text_col="markdown",
+    )
+
+    def marker(tpl, i, h):
+        if "{i}" in tpl:
+            a, b = tpl.split("{i}")
+            return F.concat(F.lit(a), i, F.lit(b))
+        a, b = tpl.split("{h}")
+        return F.concat(F.lit(a), h, F.lit(b))
+
+    def counts(df, text_col, stage):
+        i = F.regexp_extract(F.col("url"), r"/art/([0-9]+)$", 1)
+        h = (i.cast("long") % N_BOILER_HOSTS).cast("string")
+        t = F.col(text_col)
+        main_kept = sum(
+            (F.instr(t, marker(m, i, h)) > 0).cast("int")
+            for m in BOILER_MAIN_MARKERS
+        )
+        bp_kept = sum(
+            (F.instr(t, marker(m, i, h)) > 0).cast("int")
+            for m in BOILER_TEXT_MARKERS + BOILER_CODE_MARKERS
+        )
+        return df.select(
+            F.lit(stage).alias("stage"),
+            "url",
+            main_kept.cast("long").alias("main_kept"),
+            bp_kept.cast("long").alias("bp_kept"),
+        )
+
+    return counts(md, "markdown", "extract").unionByName(
+        counts(clean, "clean", "clean")
+    )
+
+
+def _oracle_extraction_quality() -> str:
+    url = f"'https://b' || (i % {5}) || '.example.com/art/' || i"
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {_HTML_N_SQL} - 1)) AS i)
+SELECT 'extract' AS stage, {url} AS url,
+       CAST(2 AS BIGINT) AS main_kept, CAST(4 AS BIGINT) AS bp_kept
+FROM ids
+UNION ALL
+SELECT 'clean', {url}, CAST(2 AS BIGINT), CAST(0 AS BIGINT)
+FROM ids
+"""
+
+
 def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench-only leg: WARC archive ingestion throughput — render-once
     (the generator is itself a grouped Arrow stage), then the
@@ -7384,6 +7466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smart_crawl_dispatch": q_smart_crawl_dispatch,
         "smart_crawl_txt": q_smart_crawl_txt,
         "chunk_documents": q_chunk_documents,
+        "extraction_quality": q_extraction_quality,
         "chunk_metadata": q_chunk_metadata,
         "text_signals": q_text_signals,
         "exact_dedup": q_exact_dedup,
@@ -7439,6 +7522,7 @@ def oracle_sql() -> dict[str, str]:
         "smart_crawl_dispatch": _oracle_smart_crawl_dispatch(),
         "smart_crawl_txt": _oracle_smart_crawl_txt(),
         "chunk_documents": _oracle_chunk_documents(),
+        "extraction_quality": _oracle_extraction_quality(),
         "chunk_metadata": _oracle_chunk_metadata(),
         "text_signals": _oracle_text_signals(),
         "exact_dedup": _oracle_exact_dedup(),

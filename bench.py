@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "doc_token_stats",
     "chunk_documents",
     "html_extract",
+    "extraction_quality",
     "warc_parse",
     "quality_score",
     "lang_id",

@@ -236,6 +236,62 @@ def gen_html_pages(spark: SparkSession, n: int, partitions: int = 32) -> DataFra
     )
 
 
+N_BOILER_HOSTS = 5
+# marker inventory of the extraction-quality harness (single-sourced for
+# generator, gate, oracle, tests): 2 unique-per-page MAIN markers; 7
+# boilerplate markers per host — 4 rendered as real text (nav link,
+# cookie banner, social bar, footer: they SURVIVE extraction and must
+# die in the corpus-level strip) and 3 buried in script/comment/onclick
+# (they must die at EXTRACTION itself)
+BOILER_MAIN_MARKERS = ("mainA{i}token", "mainB{i}token")
+BOILER_TEXT_MARKERS = ("bpnav{h}x", "bpcookie{h}x", "bpshare{h}x", "bpfoot{h}x")
+BOILER_CODE_MARKERS = ("bpjs{h}x", "bpcmt{h}x", "bpclick{h}x")
+
+
+def gen_boiler_html_pages(spark: SparkSession, n: int, partitions: int = 32) -> DataFrame:
+    """Ground-truth corpus for the extraction-QUALITY harness (r5): every
+    page plants unique MAIN-content markers and per-host BOILERPLATE
+    markers across the hazard classes a real crawl serves — nav soup,
+    cookie banner, social bar, footer (host-constant text lines), plus
+    inline-JS/comment/onclick remnants. Because the truth is planted,
+    precision/recall of extract_markdown + strip_boilerplate against it
+    is EXACT (the neardup_recall precedent applied to extraction): main
+    markers must all survive both stages; text-boilerplate markers must
+    survive extraction (they are real text) and die in the strip;
+    code-boilerplate markers must die at extraction. The reference
+    delegates all of this to crawl4ai's generator and never measures it
+    (src/crawl4ai_mcp.py:948)."""
+    df = spark.range(0, n, 1, partitions)
+    i = F.col("id").cast("string")
+    h = (F.col("id") % N_BOILER_HOSTS).cast("string")
+    url = F.concat(F.lit("https://b"), h, F.lit(".example.com/art/"), i)
+    raw_html = F.concat(
+        F.lit("<html><head><title>Article "), i,
+        F.lit("</title><style>body{margin:0}</style></head>\n<body>\n"
+              '<nav><ul><li><a href="/home">Home bpnav'), h,
+        F.lit('x</a></li><li><a href="/about">About</a></li></ul></nav>\n'
+              '<div class="cookie">This site uses cookies bpcookie'), h,
+        F.lit("x accept or decline</div>\n<h1>Article "), i,
+        F.lit("</h1>\n<p>Main body mainA"), i,
+        F.lit("token with unique content sentence "), i,
+        F.lit(".</p>\n<p>Second paragraph mainB"), i,
+        F.lit("token continues the article text "), i,
+        F.lit('.</p>\n<script>var tracker = "bpjs'), h,
+        F.lit('x";</script>\n<!-- analytics bpcmt'), h,
+        F.lit("x -->\n<a href=\"#\" onclick=\"track('bpclick"), h,
+        F.lit("x')\">share</a>\n"
+              '<div class="share">Share on FaceSpace bpshare'), h,
+        F.lit("x like subscribe</div>\n<footer>Copyright bpfoot"), h,
+        F.lit("x 2026 All rights reserved</footer>\n</body></html>"),
+    )
+    return df.select(
+        F.col("id").alias("page_id"),
+        url.alias("url"),
+        F.concat(F.lit("b"), h, F.lit(".example.com")).alias("host"),
+        raw_html.alias("raw_html"),
+    )
+
+
 IMAGES_SCHEMA = StructType(
     [
         StructField("image_id", StringType()),

@@ -142,3 +142,60 @@ def test_html_script_payload_never_survives():
     )
     assert out == "keep"
     assert "inject" not in out
+
+
+def test_extraction_quality_harness_exact_and_detects_regressions(spark):
+    """The planted-truth extraction-quality harness (r5): main recall is
+    exactly 2/2 at both stages, text boilerplate survives extraction
+    (4/7) and dies in the strip (0/7) — and the harness actually DETECTS
+    a broken strip (disabled threshold -> boilerplate survives)."""
+    from mcp_crawl4ai_rag_spark.functions.html import extract_markdown
+    from mcp_crawl4ai_rag_spark.operators.corpus_ops import strip_boilerplate
+    from mcp_crawl4ai_rag_spark.sources.corpus import (
+        BOILER_CODE_MARKERS,
+        BOILER_MAIN_MARKERS,
+        BOILER_TEXT_MARKERS,
+        N_BOILER_HOSTS,
+        gen_boiler_html_pages,
+    )
+
+    n = 60
+    pages = gen_boiler_html_pages(spark, n)
+    md = extract_markdown(pages, "raw_html", "markdown")
+    rows = md.select("page_id", "markdown").collect()
+    assert len(rows) == n
+    for r in rows:
+        i, h = r["page_id"], r["page_id"] % N_BOILER_HOSTS
+        text = r["markdown"]
+        for m in BOILER_MAIN_MARKERS:
+            assert m.format(i=i) in text
+        for m in BOILER_TEXT_MARKERS:
+            assert m.format(h=h) in text  # real text: extractor keeps it
+        for m in BOILER_CODE_MARKERS:
+            assert m.format(h=h) not in text  # script/comment/onclick die
+
+    clean = strip_boilerplate(
+        md.select("url", "host", "markdown"),
+        id_col="url", host_col="host", text_col="markdown",
+    )
+    crows = clean.collect()
+    assert all(r["n_removed"] > 0 for r in crows)
+    for r in crows:
+        h = int(r["host"][1])
+        for m in BOILER_TEXT_MARKERS + BOILER_CODE_MARKERS:
+            assert m.format(h=h) not in r["clean"]
+        # main survives: url ends with the page id
+        i = int(r["url"].rsplit("/", 1)[1])
+        for m in BOILER_MAIN_MARKERS:
+            assert m.format(i=i) in r["clean"]
+
+    # regression detectability: a strip that never fires leaves the text
+    # boilerplate in place -> the harness counts jump from 0 to 4
+    broken = strip_boilerplate(
+        md.select("url", "host", "markdown"),
+        min_host_pages=10**9,
+        id_col="url", host_col="host", text_col="markdown",
+    ).limit(5).collect()
+    for r in broken:
+        h = int(r["host"][1])
+        assert any(m.format(h=h) in r["clean"] for m in BOILER_TEXT_MARKERS)
