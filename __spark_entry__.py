@@ -5236,7 +5236,16 @@ def q_upsert_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     classifying fetched docs new/changed/unchanged against a per-URL md5
     fingerprint index lets recrawl skip re-chunk/re-embed for unchanged
     pages. Zero-shuffle plan (broadcast semi-prune + broadcast lookup;
-    PLANS.md "Recrawl change detection")."""
+    PLANS.md "Recrawl change detection").
+
+    Third leg (chunk_number=-2): freshness-aware recrawl scheduling
+    (plans/rag.recrawl_schedule).
+
+    Fourth leg (chunk_number=-3, r5): CONDITIONAL recrawl — 304
+    Not Modified semantics over a validator index; see the inline block
+    below. 304 rows provably skip the body transfer (body0=1 in the
+    hashed content) and the emitted etag reads back from the UPDATED
+    index."""
     from mcp_crawl4ai_rag_spark.plans.rag import doc_change_status
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")

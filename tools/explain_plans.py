@@ -661,6 +661,39 @@ def main():
         checks,
     ))
 
+    # 22b (r5). threshold pop from the engine's OWN stored frontier —
+    # CrawlEngine._store_frontier writes the table BUCKETED BY host
+    # (sorted by the pop order inside each bucket), so the scan reports
+    # HashPartitioning(host) and EVERY clustering the pop needs (both
+    # rank windows, the threshold groupBy) is already satisfied: the
+    # whole pop plans with ZERO shuffle Exchanges — the epoch pop at
+    # 10^10 never moves a frontier row between executors.
+    from mcp_crawl4ai_rag_spark.plans.crawl import CrawlEngine as _CE
+
+    with tempfile.TemporaryDirectory() as td3:
+        eng_s = _CE(
+            spark, fr.limit(0), frontier_store_dir=td3, pop_impl="threshold"
+        )
+        stored_b = eng_s._store_frontier(0, fr)
+        popped_b, _def_b = pop_per_host_threshold(
+            stored_b.withColumn("budget", F.lit(50)), None, materialize=False
+        )
+        sb_plan = formatted(popped_b)
+    checks = [
+        ("SelectedBucketsCount", "bucketed table scan (bucket layout drives partitioning)"),
+        ("BroadcastHashJoin", "O(hosts) thresholds broadcast onto the bucketed scan"),
+    ]
+    if "Exchange hashpartitioning" in sb_plan:
+        checks.append(("never", "SHUFFLE EXCHANGE IN BUCKETED POP — the zero-Exchange claim is broken"))
+    schemas_b = _re.findall(r"ReadSchema: struct<([^>]*)>", sb_plan)
+    if not any("canonical_url" not in s for s in schemas_b):
+        checks.append(("never", "NO PRUNED SCAN — ranking branch read the wide columns"))
+    sections.append((
+        "Threshold pop from the engine's host-bucketed stored frontier (r5: ZERO shuffle Exchanges)",
+        sb_plan,
+        checks,
+    ))
+
     # image_e2e composition: the two plan-shape-critical stages. Stage A's
     # candidate generation must be a banded equi-join (never all-pairs);
     # stage C's shard schedule must come from the distributed prefix sum,
