@@ -359,6 +359,73 @@ def best_frontier_time(spark, n: int, reps: int = 2) -> tuple[float, float]:
     return best[1], best[2]
 
 
+def stored_epoch_time(spark, n: int, reps: int = 2) -> float:
+    """Stored-frontier epoch (r5 — the 10^10 cluster shape, executed):
+    the frontier lives in a host-BUCKETED parquet table
+    (CrawlEngine._store_frontier — one definition), the timed region is
+    bloom+anti-join dedup → budget attach → THRESHOLD pop straight off
+    the table scan (materialize=False: the table IS the
+    materialization), with BOTH pop outputs consumed at FULL width (the
+    engine-faithful shape, where the bucket layout's zero-Exchange pop
+    actually matters; tools/stored_pop_witness.py measures the pop at
+    0 shuffled bytes vs 626 MB for the in-memory two-phase). The table
+    write itself is untimed — on the deployment cluster the previous
+    epoch wrote it."""
+    import tempfile
+
+    from pyspark import StorageLevel as _SL
+    from pyspark.sql import functions as F
+
+    from mcp_crawl4ai_rag_spark.functions.urls import url_hash
+    from mcp_crawl4ai_rag_spark.operators.politeness import (
+        attach_budgets,
+        pop_per_host_threshold,
+    )
+    from mcp_crawl4ai_rag_spark.operators.urlseen import anti_join_seen, build_bloom
+    from mcp_crawl4ai_rag_spark.plans.crawl import CrawlEngine
+
+    def urls(ids):
+        i = F.col("id")
+        host_id = F.when(i % 4 == 0, F.lit(0)).otherwise((i % 1021).cast("int"))
+        host = F.concat(F.lit("h"), host_id.cast("string"), F.lit(".example.com"))
+        u = F.concat(F.lit("https://"), host, F.lit("/p/"), i.cast("string"))
+        return ids.select(
+            u.alias("canonical_url"),
+            url_hash(u).alias("url_hash"),
+            host.alias("host"),
+            F.lit("/p/x").alias("path"),
+            (F.col("id") % 4).cast("int").alias("depth"),
+            F.lit(0).alias("priority"),
+            F.col("id").alias("seq"),
+        )
+
+    td = tempfile.mkdtemp(prefix="bench_stored_frontier_")
+    eng = CrawlEngine(
+        spark, urls(spark.range(0)).limit(0),
+        frontier_store_dir=td, pop_impl="threshold",
+    )
+    stored = eng._store_frontier(0, urls(spark.range(0, n, 1, SHUFFLE_PARTITIONS)))
+    url_seen = urls(spark.range(0, n, 3, SHUFFLE_PARTITIONS)).select(
+        "url_hash", "canonical_url"
+    ).localCheckpoint(eager=True, storageLevel=_SL.MEMORY_AND_DISK)
+    budget_seconds = ((n * 2 // 3) * 0.4 / 1021) * 2.0
+
+    def epoch() -> float:
+        t0 = time.time()
+        bloom = build_bloom(url_seen, "url_hash", expected=n // 3)
+        fresh = anti_join_seen(stored, url_seen, bloom)
+        with_b = attach_budgets(fresh, None, None, epoch_seconds=budget_seconds)
+        popped, deferred = pop_per_host_threshold(with_b, None, materialize=False)
+        popped.write.format("noop").mode("overwrite").save()
+        deferred.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    epoch()  # warm (JIT/codegen)
+    best = min(epoch() for _ in range(reps))
+    url_seen.unpersist()
+    return best
+
+
 def kernel_scan_time(spark, n: int, reps: int = 2) -> float:
     """Compute-bound scaling probe: URL canonicalize + classify + binary
     filter + hash over n generated URLs, whole-stage codegen, no shuffle.
@@ -846,6 +913,20 @@ def main() -> None:
     spark_klo.stop()
     n_hi = n_lo = FRONTIER_N
 
+    # r5: the stored-frontier epoch (bucketed table + zero-Exchange
+    # threshold pop, full-width consumers) at both parallelism levels —
+    # the N→4N criterion measured through the shape the engine actually
+    # ships for 10^10 (where the pop moves zero bytes between executors)
+    _load("stored_hi")
+    spark_shi = _mk_spark(CPUS)
+    s_hi = stored_epoch_time(spark_shi, FRONTIER_N)
+    spark_shi.stop()
+
+    _load("stored_lo")
+    spark_slo = _mk_spark(lo_cores)
+    s_lo = stored_epoch_time(spark_slo, FRONTIER_N)
+    spark_slo.stop()
+
     # input-size ladder: quarter / 1× / 4× of FRONTIER_N at fixed CPUS
     # cores (the 1× rung reuses the frontier_hi cell above — same shape,
     # same JVM policy). 16× input growth across the ladder.
@@ -919,6 +1000,11 @@ def main() -> None:
                     "kernel_sec_hi": round(k_hi, 2),
                     "kernel_speedup": round(k_lo / k_hi, 3),
                     "kernel_efficiency_vs_4x": round(k_lo / k_hi / (CPUS / lo_cores), 3),
+                    "stored_sec_lo": round(s_lo, 2),
+                    "stored_sec_hi": round(s_hi, 2),
+                    "stored_urls_per_sec_hi": round(FRONTIER_N / s_hi, 1),
+                    "stored_speedup": round(s_lo / s_hi, 3),
+                    "stored_efficiency_vs_4x": round(s_lo / s_hi / (CPUS / lo_cores), 3),
                     **ceiling,
                     "input_ladder": ladder,
                     "compose10x": compose,
