@@ -250,7 +250,11 @@ class CrawlEngine:
         # domain N-subdomains fast. Implementation: the host column is
         # MAPPED to its domain around the budget join + pop (and the
         # backoff statuses fold at the same grain), then restored — robots
-        # gating, fetch, lineage, and url_seen stay hostname-grain.
+        # gating, fetch, lineage, and url_seen stay hostname-grain. The
+        # max_pages_per_host quota follows the same grain (per DOMAIN
+        # under "domain"): counter fold, resume rebuild, and the clamp
+        # join all key identically, so the quota can never silently
+        # no-op on a key mismatch.
         if politeness_grain not in ("host", "domain"):
             raise ValueError(
                 f"politeness_grain must be host|domain, got {politeness_grain!r}"
@@ -588,9 +592,20 @@ class CrawlEngine:
         epochs_run = start_epoch
 
         host_counts = None  # (host, scheduled) — only when quota'd
+        # quota grain matches the politeness grain: under "domain" the
+        # counter keys by registrable domain (max_pages_per_host reads as
+        # max pages per DOMAIN), so the counter always joins the same key
+        # the pop rows carry
+        _quota_key = (
+            (lambda c: registrable_domain(c))
+            if self.politeness_grain == "domain"
+            else (lambda c: c)
+        )
         if max_pages_per_host is not None:
             if _resume_state is not None:
-                host_counts = url_seen.groupBy("host").agg(
+                host_counts = url_seen.groupBy(
+                    _quota_key(F.col("host")).alias("host")
+                ).agg(
                     F.count(F.lit(1)).alias("scheduled")
                 ).localCheckpoint(eager=True, storageLevel=_SER_LEVEL)
             else:
@@ -635,8 +650,12 @@ class CrawlEngine:
                 # eTLD+1 grain: budgets join + pop partition on the
                 # registrable domain; original hostname parked in a side
                 # column and restored after the pop (robots/fetch/lineage
-                # never see the mapped value)
-                domain_grain = politeness and self.politeness_grain == "domain"
+                # never see the mapped value). The grain governs the
+                # max_pages_per_host quota too (counter fold + resume
+                # rebuild below use the same key) — a hostname-keyed
+                # counter joined onto domain-keyed rows would silently
+                # never clamp.
+                domain_grain = self.politeness_grain == "domain"
                 if domain_grain:
                     new_urls = new_urls.withColumn(
                         "__host_hostgrain", F.col("host")
@@ -729,7 +748,9 @@ class CrawlEngine:
             # the |hosts|-row counter (incremental — never re-aggregate the
             # full url_seen)
             if max_pages_per_host is not None and n_popped:
-                delta = popped.groupBy("host").agg(
+                delta = popped.groupBy(
+                    _quota_key(F.col("host")).alias("host")
+                ).agg(
                     F.count(F.lit(1)).alias("__d")
                 )
                 host_counts = (

@@ -1259,3 +1259,42 @@ def test_hardened_composed_kill_resume_identity(spark, tmp_path):
         for r in res.url_seen.collect()
     }
     assert key(resumed) == key(full)
+
+
+def test_quota_follows_politeness_grain(spark):
+    """max_pages_per_host under politeness_grain="domain" clamps per
+    registrable DOMAIN (counter fold, clamp join, and pop rows all key by
+    domain — a grain mismatch would silently never clamp); under the
+    default host grain the same corpus yields the per-hostname quota."""
+    urls = [
+        f"https://{sub}.shop-x.com/p{k}"
+        for sub in ("a", "b") for k in range(8)
+    ]
+    pages = spark.createDataFrame(
+        [
+            (u, u.split("/")[2], "/" + u.split("/", 3)[3], f"# {u}", [], [], 200, True)
+            for u in urls
+        ],
+        "url string, host string, path string, markdown string, "
+        "out_links array<string>, image_ids array<string>, "
+        "status int, success boolean",
+    )
+    seeds = spark.createDataFrame(
+        [(u, 0, 0, k) for k, u in enumerate(urls)],
+        "url string, priority int, depth int, seq long",
+    )
+
+    def run(grain):
+        res = CrawlEngine(
+            spark, pages, politeness_grain=grain,
+        ).run(seeds, max_depth=1, max_pages_per_host=5, max_epochs=4)
+        from collections import Counter
+        return Counter(r["host"] for r in res.url_seen.collect())
+
+    by_host = run("host")
+    assert by_host == {"a.shop-x.com": 5, "b.shop-x.com": 5}
+    by_dom = run("domain")
+    # one shared domain budget: exactly 5 TOTAL across both subdomains
+    assert sum(by_dom.values()) == 5
+    with pytest.raises(ValueError):
+        CrawlEngine(spark, pages, politeness_grain="bogus")
