@@ -112,13 +112,25 @@ class BloomFilter:
         return BloomFilter(bits=np.bitwise_or(self.bits, other.bits), m=self.m, k=self.k)
 
 
+# Above this bitset size build_bloom() delegates to the sharded build: the
+# monolithic fold collects ``fold_partitions`` FULL m-bit bitsets, so driver
+# result bytes grow O(folds × m) — at a 1B-URL frontier epoch (333M seen keys,
+# 399 MB bitset × 16 folds ≈ 6.4 GB) the collect blows the default 1 GiB
+# spark.driver.maxResultSize (measured: BENCH/bench_r5_ladder_deep.jsonl, the
+# failed 1B rung). The sharded build keeps the collect O(m) TOTAL, at the cost
+# of one narrow repartition of (hash, shard) pairs — cheap relative to a
+# >64 MB driver merge, and the honest 10^10 deployment shape anyway.
+BLOOM_AUTO_SHARD_BYTES = 64 * 1024 * 1024
+_BLOOM_SHARD_TARGET_BYTES = 32 * 1024 * 1024
+
+
 def build_bloom(
     df: DataFrame,
     hash_col: str,
     expected: int | None = None,
     fpp: float = BLOOM_FPP,
     fold_partitions: int = 16,
-) -> BloomFilter:
+) -> "BloomFilter | ShardedBloom":
     """Distributed build: each partition folds its Arrow batches into a local
     bitset (mapInPandas), the driver ORs the per-partition bitsets. One pass,
     no shuffle; only bitsets cross to the driver.
@@ -126,14 +138,21 @@ def build_bloom(
     ``fold_partitions`` bounds the number of per-partition bitsets: each fold
     task carries a FULL m-bit bitset, so cost (alloc + driver collect) is
     O(partitions × m) while the hashing itself is cheap — coalescing to ~16
-    folds is a ~10x win over folding on 64+ scan partitions. At 10^10-key
-    scale a single bitset stops fitting the driver — use
-    :func:`build_bloom_sharded`, which repartitions by ``pmod(hash, S)`` and
-    keeps the collect O(m) total across S shard-sized bitsets."""
+    folds is a ~10x win over folding on 64+ scan partitions. Once the bitset
+    exceeds ``BLOOM_AUTO_SHARD_BYTES`` the build auto-delegates to
+    :func:`build_bloom_sharded` (collect O(m) total across shard-sized
+    bitsets); probes are polymorphic (:func:`bloom_maybe_contains` takes
+    either), so callers never need to pick."""
     if expected is None:
         expected = df.count()
     proto = BloomFilter.sized_for(expected, fpp)
     m, k = proto.m, proto.k
+    bitset_bytes = (m + 7) // 8
+    if bitset_bytes > BLOOM_AUTO_SHARD_BYTES:
+        n_shards = max(8, -(-bitset_bytes // _BLOOM_SHARD_TARGET_BYTES))
+        return build_bloom_sharded(
+            df, hash_col, n_shards=n_shards, expected=expected, fpp=fpp
+        )
     if fold_partitions:
         df = df.select(hash_col).coalesce(fold_partitions)
 

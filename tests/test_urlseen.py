@@ -313,3 +313,42 @@ def test_bloom_sparse_reduceat_path_identical_and_bounded():
         scatter.add_hashes(h[s : s + 100_000])  # 100k*7 = 700k < 1<<20 → scatter
     assert np.array_equal(sparse.bits, scatter.bits)
     assert sparse.contains_hashes(h).all()
+
+
+def test_build_bloom_auto_shards_above_driver_budget(spark, monkeypatch):
+    """Above BLOOM_AUTO_SHARD_BYTES build_bloom must return the sharded
+    filter (collect O(m) total, the 10^10 shape) instead of collecting
+    fold_partitions full-width bitsets — the monolithic collect measurably
+    blows spark.driver.maxResultSize at a 1B-URL epoch (the failed 1B rung
+    in BENCH/bench_r5_ladder_deep.jsonl). Threshold shrunk so the switch is
+    exercised at test scale; anti-join output must be bit-identical to the
+    exact anti-join either way."""
+    from mcp_crawl4ai_rag_spark.operators import urlseen as us
+
+    cand = spark.range(0, 3000, 1, 8).select(
+        F.concat(F.lit("u"), F.col("id")).alias("canonical_url"),
+        F.xxhash64(F.concat(F.lit("u"), F.col("id"))).alias("url_hash"),
+    )
+    seen = spark.range(0, 1500, 1, 8).select(
+        F.concat(F.lit("u"), (F.col("id") * 2)).alias("canonical_url"),
+        F.xxhash64(F.concat(F.lit("u"), (F.col("id") * 2))).alias("url_hash"),
+    )
+    mono = build_bloom(seen, "url_hash", expected=1500)
+    assert isinstance(mono, BloomFilter)  # below threshold: unchanged path
+
+    monkeypatch.setattr(us, "BLOOM_AUTO_SHARD_BYTES", 64)
+    monkeypatch.setattr(us, "_BLOOM_SHARD_TARGET_BYTES", 32)
+    auto = us.build_bloom(seen, "url_hash", expected=1500)
+    assert isinstance(auto, us.ShardedBloom)
+    # ~1500-key bitset is ~1.8 kB → ceil(1.8k/32) ≈ 57 shards ≥ the floor of 8
+    assert auto.n_shards >= 8
+    hits = seen.withColumn("hit", bloom_maybe_contains(auto, F.col("url_hash")))
+    assert hits.where(~F.col("hit")).count() == 0  # zero false negatives
+    exact = set(
+        r[0] for r in anti_join_seen(cand, seen, None).select("canonical_url").collect()
+    )
+    with_auto = set(
+        r[0]
+        for r in anti_join_seen(cand, seen, auto).select("canonical_url").collect()
+    )
+    assert exact == with_auto and len(exact) == 1500
